@@ -1,0 +1,113 @@
+"""MJPEG423 stream encoder — generates byte-exact .MPG containers.
+
+End-to-end port of the reference encoder's pipeline and frame-type selection
+logic (reference: encoder/mjpeg423_encoder.c:18-231):
+
+  per frame: RGB -> YCbCr -> FDCT -> quantize as I *and* (if not first) as P
+  -> entropy-encode both candidates -> pick the smaller, forcing I at frame 0
+  and at least every `max_i_interval` frames -> write frame + trailer entry.
+
+The quantized-state bookkeeping collapses to: prev_state = round(coef/quant)
+for every frame regardless of which candidate wins (the reference's
+prev/next buffer swap dance, mjpeg423_encoder.c:154-185, is pointer management
+around exactly this invariant — quantize_P updates the reference in place with
+the same rounded values quantize_I snapshots into DCACq_next).
+
+Primarily a test-corpus generator (the reference encoder never ran on the
+FPGA either: sample_main.c is compiled out), but fully functional.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+
+from ..core import tables as T
+from ..core.format import Frame, serialize_file
+from ..ops import encode_ref, entropy_ref
+from ..ops.transform_ref import raster_to_blocks
+
+
+def _encode_plane_candidates(
+    q: np.ndarray,
+    q_prev: np.ndarray | None,
+    encode_plane: Callable[[np.ndarray], bytes],
+) -> tuple[bytes, bytes | None]:
+    """Return (I-candidate bits, P-candidate bits or None)."""
+    bits_i = encode_plane(encode_ref.diff_dc_i(q))
+    bits_p = None
+    if q_prev is not None:
+        bits_p = encode_plane(encode_ref.diff_p(q, q_prev))
+    return bits_i, bits_p
+
+
+def encode_frames(
+    frames_rgb: Sequence[np.ndarray],
+    max_i_interval: int = 24,
+    entropy_encode: Callable[[np.ndarray], bytes] | None = None,
+) -> bytes:
+    """Encode RGB frames into an .MPG container byte string.
+
+    frames_rgb: sequence of (H, W, 3) uint8 arrays (R, G, B channel order).
+    max_i_interval: force an I-frame at least this often
+    (reference: mjpeg423_encoder.c:154-157 selection rule).
+    entropy_encode: plane bit-packer; defaults to the Python oracle
+    (the native C codec is injected by callers that have it built).
+    """
+    if entropy_encode is None:
+        entropy_encode = entropy_ref.encode_plane
+    first = np.asarray(frames_rgb[0])
+    h, w = first.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
+
+    yq = T.YQUANT64
+    cq = T.CQUANT64
+
+    prev: dict[str, np.ndarray] | None = None
+    out_frames: list[Frame] = []
+    last_iframe = 0
+
+    for fi, rgb in enumerate(frames_rgb):
+        rgb = np.asarray(rgb, dtype=np.uint8)
+        y, cb, cr = encode_ref.rgb_to_ycbcr_frame(rgb)
+        planes = {}
+        for name, img, quant in (("y", y, yq), ("cb", cb, cq), ("cr", cr, cq)):
+            blocks = raster_to_blocks(img)  # (B, 8, 8) uint8
+            coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
+            planes[name] = encode_ref.quantize_blocks(coefs, quant)
+
+        bits_i: dict[str, bytes] = {}
+        bits_p: dict[str, bytes | None] = {}
+        for name in ("y", "cb", "cr"):
+            bi, bp = _encode_plane_candidates(
+                planes[name], prev[name] if prev is not None else None, entropy_encode
+            )
+            bits_i[name] = bi
+            bits_p[name] = bp
+
+        size_i = sum(len(b) for b in bits_i.values())
+        size_p = (
+            sum(len(b) for b in bits_p.values() if b is not None)
+            if prev is not None
+            else None
+        )
+        # Frame-type selection (reference: mjpeg423_encoder.c:155-157)
+        pick_i = (
+            fi == 0
+            or size_p is None
+            or size_i <= size_p
+            or fi - last_iframe >= max_i_interval
+        )
+        if pick_i:
+            last_iframe = fi
+            out_frames.append(
+                Frame(T.FRAME_TYPE_I, bits_i["y"], bits_i["cb"], bits_i["cr"])
+            )
+        else:
+            out_frames.append(
+                Frame(T.FRAME_TYPE_P, bits_p["y"], bits_p["cb"], bits_p["cr"])  # type: ignore[arg-type]
+            )
+        prev = planes
+
+    return serialize_file(w, h, out_frames)

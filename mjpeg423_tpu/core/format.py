@@ -1,0 +1,235 @@
+"""MJPEG423 container format: header / frame / trailer (de)serialization.
+
+Byte-exact implementation of the container layout defined by the reference
+encoder/decoder (reference: encoder/mjpeg423_encoder.c:82-225,
+decoder/mjpeg423_decoder.c:33-107):
+
+    File   := Header Payload Trailer Pad512
+    Header := num_frames w_size h_size num_iframes payload_size   (5 x u32 LE)
+    Frame  := frame_size frame_type Ysize Cbsize                  (4 x u32 LE)
+              Ybits[Ysize] Cbbits[Cbsize] Crbits[Crsize] pad
+              (pad -> frame_size % 4 == 0; frame_size includes the 16-byte
+               frame header; Crsize = frame_size - 16 - Ysize - Cbsize - pad)
+    Trailer:= num_iframes x { frame_index, frame_position }       (u32 LE pairs)
+    Pad512 := 512 bytes (SD over-read guard; reference writes uninitialized
+              memory, we write zeros)
+
+frame_type: 0 = I, 1 = P.  payload_size excludes the 20-byte file header.
+frame_position is the absolute file offset of the frame header.
+"""
+from __future__ import annotations
+
+import dataclasses
+import struct
+from typing import BinaryIO, Iterator, Sequence
+
+FILE_HEADER_BYTES = 20
+FRAME_HEADER_BYTES = 16
+TRAILER_ENTRY_BYTES = 8
+PAD512 = 512
+
+_U32x5 = struct.Struct("<5I")
+_U32x4 = struct.Struct("<4I")
+_U32x2 = struct.Struct("<2I")
+
+
+@dataclasses.dataclass(frozen=True)
+class FileHeader:
+    """5-word container header (reference: mpeg423_decoder_ext.h:14-21)."""
+
+    num_frames: int
+    width: int
+    height: int
+    num_iframes: int
+    payload_size: int  # bytes of frame payload, excluding this 20-byte header
+
+    def pack(self) -> bytes:
+        return _U32x5.pack(
+            self.num_frames, self.width, self.height,
+            self.num_iframes, self.payload_size,
+        )
+
+    @classmethod
+    def unpack(cls, data: bytes) -> "FileHeader":
+        return cls(*_U32x5.unpack(data[:FILE_HEADER_BYTES]))
+
+    @property
+    def blocks_w(self) -> int:
+        return self.width // 8
+
+    @property
+    def blocks_h(self) -> int:
+        return self.height // 8
+
+    @property
+    def blocks_per_plane(self) -> int:
+        return self.blocks_w * self.blocks_h
+
+
+@dataclasses.dataclass(frozen=True)
+class TrailerEntry:
+    """I-frame index entry (reference: mjpeg423_types.h:22-25)."""
+
+    frame_index: int
+    frame_position: int  # absolute byte offset of the frame header in the file
+
+
+@dataclasses.dataclass(frozen=True)
+class Frame:
+    """One parsed frame: header fields + the three plane bitstreams."""
+
+    frame_type: int  # 0 = I, 1 = P
+    y_bits: bytes
+    cb_bits: bytes
+    cr_bits: bytes
+
+    @property
+    def is_iframe(self) -> bool:
+        return self.frame_type == 0
+
+    def packed_size(self) -> int:
+        raw = FRAME_HEADER_BYTES + len(self.y_bits) + len(self.cb_bits) + len(self.cr_bits)
+        return raw + (-raw) % 4
+
+    def pack(self) -> bytes:
+        """Serialize with the 4-byte alignment padding.
+
+        Mirrors encoder/mjpeg423_encoder.c:187-201: frame_size is padded to a
+        multiple of 4 and the pad bytes are zeros.
+        """
+        frame_size = self.packed_size()
+        pad = frame_size - FRAME_HEADER_BYTES - len(self.y_bits) - len(self.cb_bits) - len(self.cr_bits)
+        return b"".join(
+            (
+                _U32x4.pack(frame_size, self.frame_type, len(self.y_bits), len(self.cb_bits)),
+                self.y_bits,
+                self.cb_bits,
+                self.cr_bits,
+                b"\x00" * pad,
+            )
+        )
+
+
+@dataclasses.dataclass
+class Mpeg423File:
+    """A fully parsed .MPG container."""
+
+    header: FileHeader
+    frames: list[Frame]
+    trailer: list[TrailerEntry]
+
+    @property
+    def width(self) -> int:
+        return self.header.width
+
+    @property
+    def height(self) -> int:
+        return self.header.height
+
+    def gop_boundaries(self) -> list[int]:
+        """Frame indices of I-frames (GOP starts), from the trailer."""
+        return [e.frame_index for e in self.trailer]
+
+
+def parse_frame_at(buf: bytes, offset: int) -> tuple[Frame, int]:
+    """Parse one frame at `offset`; returns (frame, next_offset).
+
+    Crsize is implied: frame_size - 16 - Ysize - Cbsize minus the alignment pad
+    (reference: decoder/mjpeg423_decoder.c:94-107 reads the whole blob and
+    points Cr at Cb+Cbsize; trailing pad bytes are never referenced because the
+    entropy decoder consumes exactly the encoded bits).  We retain the pad
+    bytes inside cr_bits' tail-free slice by computing the unpadded Cr size.
+    """
+    frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(buf, offset)
+    body_start = offset + FRAME_HEADER_BYTES
+    body_end = offset + frame_size
+    y_bits = buf[body_start:body_start + y_size]
+    cb_bits = buf[body_start + y_size:body_start + y_size + cb_size]
+    # Everything after Y|Cb up to frame_size is Cr plus <=3 pad bytes.  The pad
+    # is not distinguishable from Cr data by the header alone; keep it attached
+    # (the bit reader never consumes past the final coefficient, and the
+    # reference decoder likewise over-reads freely).
+    cr_bits = buf[body_start + y_size + cb_size:body_end]
+    return Frame(frame_type, y_bits, cb_bits, cr_bits), body_end
+
+
+def parse_file(data: bytes) -> Mpeg423File:
+    """Parse a whole .MPG byte buffer (reference: mjpeg423_decoder.c:33-107)."""
+    header = FileHeader.unpack(data)
+    frames: list[Frame] = []
+    offset = FILE_HEADER_BYTES
+    for _ in range(header.num_frames):
+        frame, offset = parse_frame_at(data, offset)
+        frames.append(frame)
+    trailer: list[TrailerEntry] = []
+    toff = FILE_HEADER_BYTES + header.payload_size
+    for _ in range(header.num_iframes):
+        idx, pos = _U32x2.unpack_from(data, toff)
+        trailer.append(TrailerEntry(idx, pos))
+        toff += TRAILER_ENTRY_BYTES
+    return Mpeg423File(header, frames, trailer)
+
+
+def frame_offsets(data: bytes) -> list[int]:
+    """Byte offset of every frame header, by chaining frame_size fields.
+
+    This is the cheap index pass that makes per-frame parallel entropy decode
+    possible (each frame header states its own size;
+    reference: mjpeg423_decoder.c:94-98).
+    """
+    header = FileHeader.unpack(data)
+    offsets = []
+    off = FILE_HEADER_BYTES
+    for _ in range(header.num_frames):
+        offsets.append(off)
+        (frame_size,) = struct.unpack_from("<I", data, off)
+        off += frame_size
+    return offsets
+
+
+def serialize_file(
+    width: int,
+    height: int,
+    frames: Sequence[Frame],
+) -> bytes:
+    """Serialize frames into a byte-exact .MPG container.
+
+    Trailer entries are generated for every I-frame, in order, with absolute
+    frame-header offsets; 512 zero pad bytes are appended after the trailer
+    (reference: mjpeg423_encoder.c:204-225 — the reference pads with
+    uninitialized stack memory; we use zeros, which no decoder reads).
+    """
+    chunks: list[bytes] = []
+    trailer: list[TrailerEntry] = []
+    pos = FILE_HEADER_BYTES
+    for i, fr in enumerate(frames):
+        packed = fr.pack()
+        if fr.is_iframe:
+            trailer.append(TrailerEntry(i, pos))
+        chunks.append(packed)
+        pos += len(packed)
+    payload_size = pos - FILE_HEADER_BYTES
+    header = FileHeader(len(frames), width, height, len(trailer), payload_size)
+    out = [header.pack()]
+    out.extend(chunks)
+    for e in trailer:
+        out.append(_U32x2.pack(e.frame_index, e.frame_position))
+    out.append(b"\x00" * PAD512)
+    return b"".join(out)
+
+
+def read_file(f: BinaryIO) -> Mpeg423File:
+    return parse_file(f.read())
+
+
+def iter_gops(mpg: Mpeg423File) -> Iterator[tuple[int, list[Frame]]]:
+    """Yield (start_frame_index, frames) for each GOP.
+
+    A GOP runs from one I-frame up to (excluding) the next.  Every I-frame
+    resets all coefficient state (reference: lossless_decode.c:76-78), so GOPs
+    are independently decodable — this is the unit of sharding.
+    """
+    starts = mpg.gop_boundaries()
+    for gi, start in enumerate(starts):
+        end = starts[gi + 1] if gi + 1 < len(starts) else mpg.header.num_frames
+        yield start, mpg.frames[start:end]
