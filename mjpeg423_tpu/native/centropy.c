@@ -1,0 +1,268 @@
+/*
+ * centropy.c — native MJPEG423 entropy (lossless) codec.
+ *
+ * The entropy parse is the one inherently serial, host-side stage of the
+ * decode pipeline (variable-length codes: reference lossless_decode.c:101-133)
+ * — the analog of the reference design running it on both Nios II CPUs while
+ * the transform ran in FPGA hardware.  This implementation is a from-scratch
+ * 64-bit-accumulator bit reader/writer, bit-exact with the reference codec
+ * (validated against both the Python oracle and the compiled reference in
+ * tests/test_native.py).
+ *
+ * Decode output convention matches ops/entropy_ref.py: dense (num_blocks, 64)
+ * int16 natural-order AMPLITUDES with the I-frame DC block-to-block cumsum
+ * applied (int16 wraparound).  Dequantization and P accumulation happen on
+ * the TPU.
+ *
+ * Build: compiled with -fwrapv so signed overflow wraps (the reference
+ * depends on two's-complement wrap on Nios II).
+ */
+#include <stddef.h>
+#include <stdint.h>
+#include <string.h>
+
+#define MJ_EXPORT __attribute__((visibility("default")))
+
+/* Zig-zag order: natural index of the k-th zig-zag coefficient
+ * (reference: tables.c:35-42). */
+static const uint8_t ZZ[64] = {
+    0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+/* ------------------------------------------------------------------ */
+/* Bit reader: 64-bit accumulator, MSB-first; zero bits past the end   */
+/* (the reference's 32-bit lookahead reads past the declared size but  */
+/* never consumes those bits on well-formed streams).                  */
+typedef struct {
+  const uint8_t* data;
+  size_t len;
+  size_t pos;     /* next byte to load */
+  uint64_t acc;   /* bits in the low `navail` bits */
+  int navail;
+} BitReader;
+
+static inline void br_init(BitReader* br, const uint8_t* data, size_t len) {
+  br->data = data;
+  br->len = len;
+  br->pos = 0;
+  br->acc = 0;
+  br->navail = 0;
+}
+
+static inline void br_refill(BitReader* br) {
+  if (br->navail > 32) return;
+  if (br->pos + 4 <= br->len) {
+    uint32_t w = ((uint32_t)br->data[br->pos] << 24) |
+                 ((uint32_t)br->data[br->pos + 1] << 16) |
+                 ((uint32_t)br->data[br->pos + 2] << 8) |
+                 (uint32_t)br->data[br->pos + 3];
+    br->acc = (br->acc << 32) | w;
+    br->pos += 4;
+    br->navail += 32;
+  } else {
+    while (br->navail <= 56) {
+      uint8_t b = (br->pos < br->len) ? br->data[br->pos] : 0;
+      br->pos++;
+      br->acc = (br->acc << 8) | b;
+      br->navail += 8;
+    }
+  }
+}
+
+static inline uint32_t br_get(BitReader* br, int n) {
+  /* caller guarantees navail >= n after refill (n <= 32) */
+  br->navail -= n;
+  uint32_t v = (uint32_t)((br->acc >> br->navail) & ((1u << n) - 1u));
+  return v;
+}
+
+/* VLI sign extension (reference: lossless_decode.c:204) */
+static inline int32_t huff_extend(uint32_t x, int s) {
+  return (x < (1u << (s - 1))) ? (int32_t)x - (1 << s) + 1 : (int32_t)x;
+}
+
+/*
+ * Decode one plane into out[num_blocks*64] int16 natural-order amplitudes.
+ * Returns 0 on success, -1 on a structurally corrupt stream (zig-zag index
+ * out of range — the reference would write out of bounds here).
+ */
+MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
+                                 int num_blocks, int is_p, int16_t* out) {
+  BitReader br;
+  br_init(&br, bits, bits_len);
+  memset(out, 0, (size_t)num_blocks * 64 * sizeof(int16_t));
+  int16_t cur = 0; /* I-frame DC accumulator (DCTELEM, wraps) */
+
+  for (int b = 0; b < num_blocks; b++) {
+    int16_t* row = out + (size_t)b * 64;
+    br_refill(&br);
+    /* DC (reference: input_DC, lossless_decode.c:210-224) */
+    {
+      int size = (int)br_get(&br, 4);
+      int32_t amp = 0;
+      if (size) amp = huff_extend(br_get(&br, size), size);
+      if (is_p) {
+        row[0] = (int16_t)amp;
+      } else {
+        cur = (int16_t)(cur + (int16_t)amp);
+        row[0] = cur;
+      }
+    }
+    /* AC loop (reference: lossless_decode.c:101-133) */
+    int index = 1;
+    for (;;) {
+      br_refill(&br);
+      int run = (int)br_get(&br, 4);
+      int size = (int)br_get(&br, 4);
+      if (size == 0) {
+        if (run == 15) { /* ZRL */
+          index += 16;
+          if (index > 64) return -1;
+          continue;
+        }
+        break; /* END */
+      }
+      int32_t amp = huff_extend(br_get(&br, size), size);
+      index += run;
+      if (index > 63) return -1;
+      row[ZZ[index]] = (int16_t)amp;
+      if (index >= 63) break;
+      index++;
+    }
+  }
+  return 0;
+}
+
+/*
+ * Batched decode: n_items plane bitstreams inside one contiguous buffer.
+ * offsets/lengths index into `data`; is_p is per item; out is
+ * n_items * num_blocks * 64 int16.  Returns 0, or -(1+i) if item i failed.
+ */
+MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
+                                 const uint64_t* lengths, const uint8_t* is_p,
+                                 int n_items, int num_blocks, int16_t* out) {
+  for (int i = 0; i < n_items; i++) {
+    int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
+                                num_blocks, is_p[i],
+                                out + (size_t)i * num_blocks * 64);
+    if (rc != 0) return -(1 + i);
+  }
+  return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* Bit writer: 64-bit accumulator, MSB-first.  Replicates the          */
+/* reference's output_rest quirk: the final partial byte is 0x00       */
+/* (lossless_encode.c:80-83 writes the LE low byte of the bit buffer). */
+typedef struct {
+  uint8_t* out;
+  size_t cap;
+  size_t pos;
+  uint64_t acc;
+  int nbits;
+  int overflow;
+} BitWriter;
+
+static inline void bw_init(BitWriter* bw, uint8_t* out, size_t cap) {
+  bw->out = out;
+  bw->cap = cap;
+  bw->pos = 0;
+  bw->acc = 0;
+  bw->nbits = 0;
+  bw->overflow = 0;
+}
+
+static inline void bw_put(BitWriter* bw, int n, uint32_t bits) {
+  bw->acc = (bw->acc << n) | (bits & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1u)));
+  bw->nbits += n;
+  while (bw->nbits >= 8) {
+    bw->nbits -= 8;
+    if (bw->pos < bw->cap) {
+      bw->out[bw->pos++] = (uint8_t)((bw->acc >> bw->nbits) & 0xFF);
+    } else {
+      bw->overflow = 1;
+      bw->pos++;
+    }
+  }
+  bw->acc &= (1u << bw->nbits) - 1u;
+}
+
+static inline size_t bw_finish(BitWriter* bw) {
+  if (bw->nbits) {
+    if (bw->pos < bw->cap)
+      bw->out[bw->pos] = 0x00; /* reference output_rest quirk */
+    else
+      bw->overflow = 1;
+    bw->pos++;
+    bw->nbits = 0;
+  }
+  return bw->pos;
+}
+
+/* VLI size + encoded amplitude (reference: lossless_encode.c:121-138) */
+static inline int encode_vli(int32_t x, uint32_t* enc) {
+  int32_t ax = x < 0 ? -x : x;
+  int size = 0;
+  while (ax >> size) size++;
+  if (size > 11) size = 11;
+  if (size == 0) size = 1; /* x != 0 by contract */
+  *enc = (x > 0) ? ((uint32_t)x & ((1u << size) - 1u))
+                 : ((uint32_t)(x - 1) & ((1u << size) - 1u));
+  return size;
+}
+
+/*
+ * Encode one plane of quantized coefficients (num_blocks*64 int16, natural
+ * order, diffs pre-applied).  Returns byte length, or -1 if out_cap is too
+ * small (caller should size out at ~3 bytes/coeff worst case).
+ */
+MJ_EXPORT long mj423_encode_plane(const int16_t* coeffs, int num_blocks,
+                                  uint8_t* out, size_t out_cap) {
+  BitWriter bw;
+  bw_init(&bw, out, out_cap);
+  for (int b = 0; b < num_blocks; b++) {
+    const int16_t* row = coeffs + (size_t)b * 64;
+    /* DC */
+    int32_t dc = row[0];
+    if (dc == 0) {
+      bw_put(&bw, 4, 0);
+    } else {
+      uint32_t enc;
+      int size = encode_vli(dc, &enc);
+      bw_put(&bw, 4, (uint32_t)size);
+      bw_put(&bw, size, enc);
+    }
+    /* AC (reference: lossless_encode.c:41-55) */
+    int lastindex = 63;
+    while (lastindex > 0 && row[ZZ[lastindex]] == 0) lastindex--;
+    int index = 1;
+    int runlength = 0;
+    while (index <= lastindex) {
+      while (runlength < 16 && row[ZZ[index]] == 0) {
+        runlength++;
+        index++;
+      }
+      if (runlength == 16) {
+        bw_put(&bw, 4, 15);
+        bw_put(&bw, 4, 0); /* ZRL */
+      } else {
+        uint32_t enc;
+        int size = encode_vli(row[ZZ[index]], &enc);
+        bw_put(&bw, 4, (uint32_t)runlength);
+        bw_put(&bw, 4, (uint32_t)size);
+        bw_put(&bw, size, enc);
+        index++;
+      }
+      runlength = 0;
+    }
+    if (lastindex < 63) {
+      bw_put(&bw, 4, 0);
+      bw_put(&bw, 4, 0); /* END */
+    }
+  }
+  size_t n = bw_finish(&bw);
+  return bw.overflow ? -1 : (long)n;
+}

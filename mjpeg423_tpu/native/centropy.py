@@ -1,0 +1,164 @@
+"""ctypes bindings for the native entropy codec (centropy.c).
+
+Builds the shared library on demand with the system C compiler (cached by
+source mtime); falls back to the pure-Python oracle implementation when no
+compiler is available so the framework always works.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import shutil
+import subprocess
+import threading
+
+import numpy as np
+
+from ..ops import entropy_ref
+
+_HERE = pathlib.Path(__file__).resolve().parent
+_SRC = _HERE / "centropy.c"
+_BUILD = _HERE / "_build"
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | None = None
+_TRIED = False
+
+
+def _compiler() -> str | None:
+    for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
+        if cc and shutil.which(cc):
+            return cc
+    return None
+
+
+def _build() -> pathlib.Path | None:
+    cc = _compiler()
+    if cc is None:
+        return None
+    so = _BUILD / "libcentropy.so"
+    stamp = _BUILD / "stamp"
+    want = f"{_SRC.stat().st_mtime}:{cc}"
+    if so.exists() and stamp.exists() and stamp.read_text() == want:
+        return so
+    _BUILD.mkdir(exist_ok=True)
+    cmd = [cc, "-O3", "-std=c11", "-fwrapv", "-fPIC", "-shared",
+           "-o", str(so), str(_SRC)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        return None
+    stamp.write_text(want)
+    return so
+
+
+def _load() -> ctypes.CDLL | None:
+    global _LIB, _TRIED
+    with _LOCK:
+        if _TRIED:
+            return _LIB
+        _TRIED = True
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(str(so))
+        lib.mj423_decode_plane.restype = ctypes.c_int
+        lib.mj423_decode_plane.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+        ]
+        lib.mj423_decode_batch.restype = ctypes.c_int
+        lib.mj423_decode_batch.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        ]
+        lib.mj423_encode_plane.restype = ctypes.c_long
+        lib.mj423_encode_plane.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def decode_plane(bits: bytes, num_blocks: int, is_p: bool) -> np.ndarray:
+    """Entropy-decode one plane -> (num_blocks, 64) int16 amplitudes.
+
+    Same contract as ops/entropy_ref.decode_plane (its docstring is
+    normative); uses the native codec when available.
+    """
+    lib = _load()
+    if lib is None:
+        return entropy_ref.decode_plane(bits, num_blocks, is_p)
+    out = np.empty((num_blocks, 64), dtype=np.int16)
+    rc = lib.mj423_decode_plane(
+        bits, len(bits), num_blocks, int(is_p),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise ValueError("corrupt MJPEG423 plane bitstream")
+    return out
+
+
+def decode_batch(
+    data: bytes | np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    is_p: np.ndarray,
+    num_blocks: int,
+) -> np.ndarray:
+    """Decode many plane bitstreams sliced out of one buffer in one call.
+
+    data: container bytes; offsets/lengths: (N,) uint64; is_p: (N,) uint8.
+    Returns (N, num_blocks, 64) int16.
+    """
+    n = int(offsets.shape[0])
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
+    is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
+    lib = _load()
+    if lib is None:
+        buf = bytes(data) if not isinstance(data, bytes) else data
+        out = np.empty((n, num_blocks, 64), dtype=np.int16)
+        for i in range(n):
+            o, l = int(offsets[i]), int(lengths[i])
+            out[i] = entropy_ref.decode_plane(buf[o:o + l], num_blocks, bool(is_p[i]))
+        return out
+    out = np.empty((n, num_blocks, 64), dtype=np.int16)
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    rc = lib.mj423_decode_batch(
+        data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, num_blocks,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt MJPEG423 plane bitstream (item {-rc - 1})")
+    return out
+
+
+def encode_plane(coeffs: np.ndarray) -> bytes:
+    """Entropy-encode (num_blocks, 64) int16 natural-order coefficients."""
+    lib = _load()
+    if lib is None:
+        return entropy_ref.encode_plane(coeffs)
+    c = np.ascontiguousarray(coeffs, dtype=np.int16)
+    nb = c.shape[0]
+    cap = nb * 64 * 3 + 64
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.mj423_encode_plane(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), nb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n < 0:
+        raise ValueError("entropy encode overflow")
+    return out[:n].tobytes()

@@ -1,0 +1,104 @@
+"""Native C entropy codec vs the Python oracle (and via it, the reference)."""
+import numpy as np
+import pytest
+
+from mjpeg423_tpu.core.tables import ZIGZAG
+from mjpeg423_tpu.native import centropy
+from mjpeg423_tpu.ops import entropy_ref
+
+pytestmark = pytest.mark.skipif(
+    not centropy.native_available(), reason="no C compiler available"
+)
+
+
+def _rand_coeffs(rng, nb, lo=-200, hi=200, density=0.3):
+    c = rng.integers(lo, hi, size=(nb, 64)).astype(np.int16)
+    c[rng.random((nb, 64)) > density] = 0
+    return c
+
+
+def test_encode_matches_python(rng):
+    for density in (0.05, 0.3, 0.9):
+        c = _rand_coeffs(rng, 50, density=density)
+        assert centropy.encode_plane(c) == entropy_ref.encode_plane(c)
+
+
+def test_decode_matches_python(rng):
+    for is_p in (False, True):
+        c = _rand_coeffs(rng, 50)
+        bits = entropy_ref.encode_plane(c)
+        np.testing.assert_array_equal(
+            centropy.decode_plane(bits, 50, is_p),
+            entropy_ref.decode_plane(bits, 50, is_p),
+        )
+
+
+def test_decode_edge_patterns():
+    cases = [
+        np.zeros((2, 64), dtype=np.int16),                      # all zero
+        np.full((1, 64), 1, dtype=np.int16),                    # fully dense
+    ]
+    zrl = np.zeros((1, 64), dtype=np.int16)
+    zrl[0, ZIGZAG[62]] = -5                                     # 3x ZRL
+    cases.append(zrl)
+    big = np.zeros((1, 64), dtype=np.int16)
+    big[0, 0] = 2047
+    big[0, 1] = -2047                                           # max VLI size
+    cases.append(big)
+    for c in cases:
+        bits = entropy_ref.encode_plane(c)
+        assert centropy.encode_plane(c) == bits
+        for is_p in (False, True):
+            np.testing.assert_array_equal(
+                centropy.decode_plane(bits, c.shape[0], is_p),
+                entropy_ref.decode_plane(bits, c.shape[0], is_p),
+            )
+
+
+def test_trailing_byte_quirk_matches():
+    c = np.zeros((1, 64), dtype=np.int16)
+    c[0, ZIGZAG[63]] = 3  # amplitude lands in the zeroed final byte
+    bits = centropy.encode_plane(c)
+    assert bits == entropy_ref.encode_plane(c)
+    np.testing.assert_array_equal(
+        centropy.decode_plane(bits, 1, True),
+        entropy_ref.decode_plane(bits, 1, True),
+    )
+
+
+def test_decode_batch():
+    rng = np.random.default_rng(3)
+    planes = [_rand_coeffs(rng, 12) for _ in range(9)]
+    blobs = [entropy_ref.encode_plane(c) for c in planes]
+    data = b"".join(blobs)
+    offsets, lengths, pos = [], [], 0
+    for b in blobs:
+        offsets.append(pos)
+        lengths.append(len(b))
+        pos += len(b)
+    is_p = np.array([i % 2 for i in range(9)], dtype=np.uint8)
+    out = centropy.decode_batch(
+        data, np.array(offsets, np.uint64), np.array(lengths, np.uint64),
+        is_p, 12,
+    )
+    for i in range(9):
+        np.testing.assert_array_equal(
+            out[i], entropy_ref.decode_plane(blobs[i], 12, bool(is_p[i]))
+        )
+
+
+def test_corrupt_stream_raises():
+    # A stream of 0xFF bytes: run=15,size=15 repeatedly -> index overruns.
+    with pytest.raises(ValueError):
+        centropy.decode_plane(b"\xff" * 64, 2, False)
+
+
+def test_truncated_stream_zero_extends():
+    """Bits past the end read as zeros (matching the Python oracle)."""
+    c = _rand_coeffs(np.random.default_rng(5), 8)
+    bits = entropy_ref.encode_plane(c)
+    cut = bits[: len(bits) // 2]
+    np.testing.assert_array_equal(
+        centropy.decode_plane(cut, 8, True),
+        entropy_ref.decode_plane(cut, 8, True),
+    )
