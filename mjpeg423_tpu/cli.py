@@ -1,0 +1,179 @@
+"""Command-line interface: decode / encode / play / info / bench.
+
+The reference's UI is four pushbuttons polled by the core0 main loop
+(reference: core0/software/main.c:29-127 — Play/Pause, NextVideo, FF, RW) on
+top of loadVideo/playVideo.  The CLI maps those capabilities onto an offline
+toolchain:
+
+  decode  <in.mpg> [-o outdir] [--bmp|--npy] [--start-frame N]
+  encode  <frame.bmp ...|in.npy> -o out.mpg [--max-i-interval N]
+  play    <in.mpg> [--fps N] [--no-pace] [--ff/--rw emulation via --start-s]
+  info    <in.mpg>
+  bench   [... forwarded to bench.py's main]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _load_stream(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def cmd_info(args) -> int:
+    from .core import format as fmt
+
+    data = _load_stream(args.input)
+    index = fmt.index_frames(data)
+    h = index.header
+    n_i = int((index.frame_type == 0).sum())
+    out = {
+        "num_frames": h.num_frames,
+        "width": h.width,
+        "height": h.height,
+        "num_iframes": h.num_iframes,
+        "payload_bytes": h.payload_size,
+        "blocks_per_plane": h.blocks_per_plane,
+        "iframe_count_check": n_i,
+        "gop_starts": index.gop_starts()[:16],
+        "mean_frame_bytes": round(h.payload_size / max(h.num_frames, 1), 1),
+    }
+    print(json.dumps(out, indent=2))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .io import bmp
+    from .runtime import DecodePipeline
+    from .utils.config import DecodeConfig
+
+    data = _load_stream(args.input)
+    cfg = DecodeConfig(
+        use_pallas=not args.no_pallas,
+        frames_per_batch=args.batch,
+    )
+    pipe = DecodePipeline(cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    t0 = time.perf_counter()
+    n = 0
+    npy_frames = [] if args.npy else None
+    for win in pipe.decode(data, start_frame=args.start_frame):
+        for i in range(win.count):
+            fi = win.start_frame + i
+            if args.npy:
+                npy_frames.append(win.frames[i])
+            else:
+                bmp.write_bmp32(
+                    os.path.join(args.outdir, f"{args.prefix}{fi:04d}.bmp"),
+                    win.frames[i],
+                )
+            n += 1
+    dt = time.perf_counter() - t0
+    if args.npy:
+        np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
+                np.stack(npy_frames))
+    print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
+          file=sys.stderr)
+    return 0
+
+
+def cmd_encode(args) -> int:
+    from .codec import encoder
+    from .io import bmp
+
+    frames = []
+    for p in args.inputs:
+        if p.endswith(".npy"):
+            arr = np.load(p)
+            if arr.ndim == 3:
+                arr = arr[None] if arr.shape[-1] == 3 else arr
+            if arr.ndim == 4:  # (F, H, W, 3)
+                frames.extend(list(arr))
+            else:  # (F, H, W) packed
+                frames.extend(bmp.packed_to_rgb(f) for f in arr)
+        else:
+            frames.append(bmp.read_bmp(p))
+    data = encoder.encode_frames(frames, max_i_interval=args.max_i_interval)
+    with open(args.output, "wb") as f:
+        f.write(data)
+    print(f"encoded {len(frames)} frames -> {args.output} "
+          f"({len(data)} bytes)", file=sys.stderr)
+    return 0
+
+
+def cmd_play(args) -> int:
+    from .runtime import Player
+    from .utils.config import DecodeConfig
+
+    data = _load_stream(args.input)
+    cfg = DecodeConfig(fps=args.fps, use_pallas=not args.no_pallas)
+    player = Player(data, cfg)
+    if args.start_s:
+        player.seek_to_iframe(int(args.start_s * args.fps))
+    stats = player.play(paced=not args.no_pace)
+    print(
+        f"played {stats.frames_delivered} frames in {stats.wall_s:.3f}s "
+        f"({stats.fps:.2f} fps, {stats.frames_late} late)",
+        file=sys.stderr,
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.call(
+        [sys.executable, os.path.join(root, "bench.py"), *args.rest]
+    )
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mjpeg423", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("info", help="print container metadata")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("decode", help="decode .mpg to BMP frames / npy")
+    p.add_argument("input")
+    p.add_argument("-o", "--outdir", default=".")
+    p.add_argument("--prefix", default="frame")
+    p.add_argument("--npy", action="store_true")
+    p.add_argument("--start-frame", type=int, default=0)
+    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--no-pallas", action="store_true")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("encode", help="encode BMP/npy frames to .mpg")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--max-i-interval", type=int, default=24)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("play", help="paced playback with stats")
+    p.add_argument("input")
+    p.add_argument("--fps", type=float, default=24.0)
+    p.add_argument("--no-pace", action="store_true")
+    p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--start-s", type=float, default=0.0)
+    p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("bench", help="run the benchmark harness")
+    p.add_argument("rest", nargs=argparse.REMAINDER)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,8 @@ import dataclasses
 import struct
 from typing import BinaryIO, Iterator, Sequence
 
+import numpy as np
+
 FILE_HEADER_BYTES = 20
 FRAME_HEADER_BYTES = 16
 TRAILER_ENTRY_BYTES = 8
@@ -161,13 +163,23 @@ def parse_file(data: bytes) -> Mpeg423File:
     for _ in range(header.num_frames):
         frame, offset = parse_frame_at(data, offset)
         frames.append(frame)
+    return Mpeg423File(header, frames, parse_file_trailer(data, header))
+
+
+def parse_file_trailer(data: bytes, header: FileHeader) -> list[TrailerEntry]:
+    """Parse only the I-frame trailer (random access without frame parsing).
+
+    This is how the reference seeks: it fseeks straight to
+    header_size + payload_size and reads num_iframes entries
+    (reference: core1/software/main.c:103-118 load_mpeg_trailer).
+    """
     trailer: list[TrailerEntry] = []
     toff = FILE_HEADER_BYTES + header.payload_size
     for _ in range(header.num_iframes):
         idx, pos = _U32x2.unpack_from(data, toff)
         trailer.append(TrailerEntry(idx, pos))
         toff += TRAILER_ENTRY_BYTES
-    return Mpeg423File(header, frames, trailer)
+    return trailer
 
 
 def frame_offsets(data: bytes) -> list[int]:
@@ -185,6 +197,58 @@ def frame_offsets(data: bytes) -> list[int]:
         (frame_size,) = struct.unpack_from("<I", data, off)
         off += frame_size
     return offsets
+
+
+@dataclasses.dataclass
+class FrameIndex:
+    """Vectorized frame table: plane byte ranges for zero-copy batch decode.
+
+    The cheap index pass over frame_size chaining (reference:
+    mjpeg423_decoder.c:94-98) that unlocks per-frame parallel entropy decode:
+    each plane's bitstream is addressed as (offset, length) into the original
+    container buffer, so the native batch decoder reads the file bytes in
+    place — the analog of the reference's zero-copy pointer passing between
+    cores (SURVEY.md §5.8).
+    """
+
+    header: FileHeader
+    frame_type: np.ndarray      # (F,) uint32, 0 = I / 1 = P
+    plane_off: np.ndarray       # (3, F) uint64 — y, cb, cr byte offsets
+    plane_len: np.ndarray       # (3, F) uint64
+    trailer: list[TrailerEntry]
+
+    @property
+    def num_frames(self) -> int:
+        return int(self.frame_type.shape[0])
+
+    @property
+    def is_iframe(self) -> np.ndarray:
+        return self.frame_type == 0
+
+    def gop_starts(self) -> list[int]:
+        return [e.frame_index for e in self.trailer]
+
+
+def index_frames(data: bytes) -> FrameIndex:
+    """Build a FrameIndex by chaining frame headers (no payload copies)."""
+    header = FileHeader.unpack(data)
+    nf = header.num_frames
+    ftype = np.empty(nf, dtype=np.uint32)
+    off = np.empty((3, nf), dtype=np.uint64)
+    length = np.empty((3, nf), dtype=np.uint64)
+    pos = FILE_HEADER_BYTES
+    for fi in range(nf):
+        frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(data, pos)
+        body = pos + FRAME_HEADER_BYTES
+        cr_size = frame_size - FRAME_HEADER_BYTES - y_size - cb_size
+        ftype[fi] = frame_type
+        off[0, fi], length[0, fi] = body, y_size
+        off[1, fi], length[1, fi] = body + y_size, cb_size
+        # cr_size includes <=3 alignment pad bytes; the bit reader never
+        # consumes past the final coefficient (see parse_frame_at).
+        off[2, fi], length[2, fi] = body + y_size + cb_size, cr_size
+        pos += frame_size
+    return FrameIndex(header, ftype, off, length, parse_file_trailer(data, header))
 
 
 def serialize_file(

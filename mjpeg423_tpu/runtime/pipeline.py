@@ -1,0 +1,267 @@
+"""Streaming decode pipeline: parse stage ∥ device transform ∥ output.
+
+The TPU-native re-architecture of the reference's 3-stage dual-core + HW
+pipeline (reference: playback.c:80-134 `process`, core1/software/main.c:227-335
+message loop):
+
+  Stage A (host threads)  — entropy parse: native C batch decoder over
+      (frames x planes) byte ranges indexed straight into the container
+      buffer (zero copy; the core1 + Cb/Cr-on-core0 analog).
+  Stage B (device)        — one jit-compiled windowed decode step: dequant +
+      segmented temporal scan + fused IDCT/color (Pallas) + raster.  Windows
+      of W frames carry the int16 coefficient state of their last frame
+      forward, so window boundaries need no GOP alignment — the carry is the
+      device-resident analog of the reference's persistent DCAC buffers
+      (MPEG_WORKING_BUFFER, mpeg423_decoder_ext.h:35-41).
+  Stage C (host)          — device->host transfer + delivery.
+
+Backpressure: bounded queues between stages (the 1-deep OK/DONE mailbox
+handshake generalized to N-deep; reference: mailbox.h:8-16).  Async dispatch:
+stage B enqueues the next window before the previous transfer completes
+(XLA async dispatch = the reference's post-early/join-late mSGDMA pattern,
+playback.c:102-121).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator
+
+import numpy as np
+
+from ..core import format as fmt
+from ..native import centropy
+from ..ops import entropy_ref
+from ..utils.config import DecodeConfig
+from ..utils.profile import Profiler, default_profiler
+
+PLANE_COUNT = 3
+
+
+@dataclasses.dataclass
+class DecodedWindow:
+    """A batch of decoded frames: [start, start + count) of the stream."""
+
+    start_frame: int
+    count: int
+    frames: np.ndarray  # (W, H, W) uint32 packed BGRA; rows beyond count are pad
+
+
+def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
+                         tile: int, interpret: bool | None):
+    """Build the jit'd windowed decode step with coefficient-state carry."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import transform_jax, transform_pallas
+
+    yq, cq = transform_jax.quant_tensors()
+
+    @jax.jit
+    def step(amps, seg, carry):
+        # amps: (3, W, B, 64) int16; seg: (W,) bool; carry: (3, B, 64) int16.
+        states = []
+        new_carry = []
+        for p, q in ((0, yq), (1, cq), (2, cq)):
+            deltas = transform_jax.dequantize(amps[p], q)
+            vals, seen = _scan_with_flags(deltas, seg)
+            # Frames before the window's first I-frame continue from carry.
+            vals = jnp.where(
+                seen, vals, (carry[p][None] + vals).astype(jnp.int16)
+            )
+            states.append(vals)
+            new_carry.append(vals[-1])
+        if use_pallas:
+            frames = transform_pallas.decode_transform_states_pallas(
+                *states, blocks_h=blocks_h, blocks_w=blocks_w, tile=tile,
+                interpret=interpret,
+            )
+        else:
+            frames = transform_jax.decode_transform_states(
+                *states, blocks_h=blocks_h, blocks_w=blocks_w
+            )
+        return frames, jnp.stack(new_carry)
+
+    def _scan_with_flags(deltas, seg):
+        f = deltas.shape[0]
+        segb = jnp.broadcast_to(
+            seg.reshape((f,) + (1,) * (deltas.ndim - 1)), deltas.shape
+        )
+
+        def combine(a, b):
+            av, aseg = a
+            bv, bseg = b
+            return jnp.where(bseg, bv, (av + bv).astype(jnp.int16)), aseg | bseg
+
+        return jax.lax.associative_scan(combine, (deltas, segb), axis=0)
+
+    return step
+
+
+class DecodePipeline:
+    """End-to-end streaming decoder for one MJPEG423 container."""
+
+    def __init__(
+        self,
+        config: DecodeConfig | None = None,
+        profiler: Profiler | None = None,
+    ):
+        self.config = config or DecodeConfig()
+        self.profiler = profiler or default_profiler
+        self._executor: ThreadPoolExecutor | None = None
+        self._step_cache: dict = {}
+
+    # ----- Stage A: host entropy parse ---------------------------------
+
+    def _decode_plane_fn(self):
+        if self.config.use_native_entropy and centropy.native_available():
+            return None  # use batch API
+        return entropy_ref.decode_plane
+
+    def parse_window(
+        self, data: bytes, index: fmt.FrameIndex, start: int, count: int
+    ) -> np.ndarray:
+        """Entropy-decode frames [start, start+count) -> (3, count, B, 64) int16."""
+        nb = index.header.blocks_per_plane
+        with self.profiler.time("parse/window"):
+            if self._decode_plane_fn() is None:
+                # One native call over all count*3 plane bitstreams.
+                sl = slice(start, start + count)
+                offs = index.plane_off[:, sl].reshape(-1)
+                lens = index.plane_len[:, sl].reshape(-1)
+                is_p = np.broadcast_to(
+                    index.frame_type[sl] != 0, (3, count)
+                ).reshape(-1)
+                out = centropy.decode_batch(data, offs, lens, is_p, nb)
+                return out.reshape(3, count, nb, 64)
+            out = np.empty((3, count, nb, 64), dtype=np.int16)
+            fn = self._decode_plane_fn()
+            for p in range(3):
+                for i in range(count):
+                    fi = start + i
+                    o = int(index.plane_off[p, fi])
+                    l = int(index.plane_len[p, fi])
+                    out[p, i] = fn(
+                        data[o:o + l], nb, bool(index.frame_type[fi])
+                    )
+            return out
+
+    # ----- Stage B: device step ----------------------------------------
+
+    def _get_step(self, blocks_h: int, blocks_w: int):
+        key = (blocks_h, blocks_w, self.config.use_pallas)
+        if key not in self._step_cache:
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = self.config.use_pallas and on_tpu
+            self._step_cache[key] = _device_step_factory(
+                blocks_h, blocks_w, use_pallas, self.config.pallas_tile,
+                None if on_tpu else True,
+            )
+        return self._step_cache[key]
+
+    # ----- Full pipeline ------------------------------------------------
+
+    def decode(
+        self,
+        data: bytes,
+        start_frame: int = 0,
+        stop: Callable[[], bool] | None = None,
+    ) -> Iterator[DecodedWindow]:
+        """Decode a container from `start_frame`, yielding frame windows.
+
+        start_frame must be an I-frame index (seek targets come from the
+        trailer, like the reference — playback.c:136-152).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.config
+        index = fmt.index_frames(data)
+        hdr = index.header
+        bh, bw = hdr.blocks_h, hdr.blocks_w
+        nb = hdr.blocks_per_plane
+        w = cfg.frames_per_batch
+        step = self._get_step(bh, bw)
+
+        if start_frame and not index.is_iframe[start_frame]:
+            raise ValueError(f"start_frame {start_frame} is not an I-frame")
+
+        nf = hdr.num_frames
+        windows = [
+            (s, min(w, nf - s)) for s in range(start_frame, nf, w)
+        ]
+
+        # Stage A prefetch: parse windows ahead on a thread pool.
+        workers = cfg.parse_workers or None
+        parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
+        stop_flag = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    futs = []
+                    for s, c in windows:
+                        futs.append((s, c, ex.submit(
+                            self.parse_window, data, index, s, c
+                        )))
+                    for s, c, fut in futs:
+                        if stop_flag.is_set():
+                            for _, _, f2 in futs:
+                                f2.cancel()
+                            break
+                        parse_q.put((s, c, fut.result()))
+            finally:
+                parse_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
+        pending: list[tuple[int, int, object]] = []
+        try:
+            while True:
+                item = parse_q.get()
+                if item is None:
+                    break
+                s, c, amps = item
+                if c < w:  # pad the tail window (zero deltas repeat last frame)
+                    pad = np.zeros((3, w, nb, 64), dtype=np.int16)
+                    pad[:, :c] = amps
+                    amps = pad
+                seg = np.zeros(w, dtype=bool)
+                seg[: min(c, w)] = index.is_iframe[s:s + c]
+                with self.profiler.time("device/dispatch"):
+                    frames, carry = step(
+                        jnp.asarray(amps), jnp.asarray(seg), carry
+                    )
+                pending.append((s, c, frames))
+                # Keep prefetch_batches windows in flight; drain the oldest.
+                while len(pending) > cfg.prefetch_batches:
+                    yield self._drain(pending.pop(0))
+                    if stop is not None and stop():
+                        stop_flag.set()
+                        return
+            while pending:
+                yield self._drain(pending.pop(0))
+                if stop is not None and stop():
+                    return
+        finally:
+            stop_flag.set()
+
+    def _drain(self, item) -> DecodedWindow:
+        s, c, frames = item
+        with self.profiler.time("output/transfer"):
+            host = np.asarray(frames)
+        return DecodedWindow(s, c, host[:c])
+
+    def decode_array(self, data: bytes, **kw) -> np.ndarray:
+        """Decode fully into one (F, H, W) uint32 array."""
+        out = []
+        for win in self.decode(data, **kw):
+            out.append(win.frames)
+        return np.concatenate(out, axis=0)

@@ -1,0 +1,58 @@
+"""Typed runtime configuration (the reference's config.h made first-class).
+
+Every compile-time #define knob from the reference (reference:
+core0/software/common/config.h:23-62) appears here as a dataclass field,
+plus the TPU-native knobs (mesh shape, tile size, backend path).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class DecodeConfig:
+    """Decode/playback configuration.
+
+    Reference knob mapping:
+      fps / frame_period_us     <- FRAME_RATE_US 41666 (config.h:29)
+      num_output_buffers        <- DISPLAY_NUM_OUTPUT_BUFFERS 4 (config.h:27)
+      force_periodic            <- FORCE_PERIODIC (config.h:31)
+      max_i_interval            <- MAX_IFRAME_OFFSET 24 (config.h:54)
+      use_pallas                <- IDCT_HW_ACCEL / YCBCR_TO_RGB_HW_ACCEL
+                                   (config.h:47-52 — HW accel on/off becomes
+                                   Pallas kernel vs plain-XLA fallback)
+    """
+
+    # Playback pacing
+    fps: float = 24.0
+    force_periodic: bool = True
+    num_output_buffers: int = 4
+
+    # Stream structure
+    max_i_interval: int = 24
+
+    # Device execution
+    use_pallas: bool = True
+    pallas_tile: int = 512
+    frames_per_batch: int = 24        # device batch (typically one GOP)
+    prefetch_batches: int = 2          # host->device in-flight batches
+
+    # Host entropy decode
+    parse_workers: int = 0             # 0 = os.cpu_count()
+    use_native_entropy: bool = True
+
+    # Mesh (single-host multi-chip)
+    mesh_data: int = 0                 # 0 = all devices on the data axis
+    mesh_block: int = 1
+
+    @property
+    def frame_period_us(self) -> float:
+        return 1e6 / self.fps
+
+
+@dataclasses.dataclass
+class EncodeConfig:
+    """Encoder knobs (reference: mjpeg423_encoder.h:14 arguments)."""
+
+    max_i_interval: int = 24
+    use_native_entropy: bool = True

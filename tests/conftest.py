@@ -7,12 +7,21 @@ the real TPU chip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the environment selects the TPU platform (e.g. axon):
+# tests validate sharding on the virtual 8-device mesh; bench.py runs on TPU.
+# A pytest plugin imports jax before this conftest, so the env var alone is
+# too late — update the live jax config as well (backends init lazily, so
+# this sticks as long as no device has been touched yet).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
