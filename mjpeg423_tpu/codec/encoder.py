@@ -111,3 +111,90 @@ def encode_frames(
         prev = planes
 
     return serialize_file(w, h, out_frames)
+
+
+def encode_frames_device(
+    frames_rgb: Sequence[np.ndarray],
+    max_i_interval: int = 24,
+    entropy_encode: Callable[[np.ndarray], bytes] | None = None,
+    parallel_entropy: bool = True,
+) -> bytes:
+    """Byte-identical to encode_frames, with the transform on the device.
+
+    Pipeline split: host does color conversion (float64, must match C
+    doubles — rgb_to_ycbcr.c:64-66) and the serial entropy pack; the device
+    does FDCT + quantize + I/P differencing for ALL frames in one jit call
+    (ops/encode_jax.py — the encoder has no temporal recurrence, so the
+    whole transform batch-parallelizes).  Frame-type selection stays on the
+    host (it needs candidate byte sizes; mjpeg423_encoder.c:154-185).
+    """
+    import jax.numpy as jnp
+
+    from ..ops import encode_jax
+
+    if entropy_encode is None:
+        entropy_encode = entropy_ref.encode_plane
+    first = np.asarray(frames_rgb[0])
+    h, w = first.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
+
+    nf = len(frames_rgb)
+    planes = {n: [] for n in ("y", "cb", "cr")}
+    for rgb in frames_rgb:
+        y, cb, cr = encode_ref.rgb_to_ycbcr_frame(np.asarray(rgb, dtype=np.uint8))
+        for name, img in (("y", y), ("cb", cb), ("cr", cr)):
+            planes[name].append(raster_to_blocks(img))
+    stacked = {n: jnp.asarray(np.stack(v)) for n, v in planes.items()}
+
+    cand_i, cand_p = encode_jax.encode_transform(
+        stacked["y"], stacked["cb"], stacked["cr"]
+    )
+    cand_i = {n: np.asarray(v) for n, v in cand_i.items()}
+    cand_p = {n: np.asarray(v) for n, v in cand_p.items()}
+
+    names = ("y", "cb", "cr")
+    jobs_i = [(fi, n) for fi in range(nf) for n in names]
+    jobs_p = [(fi, n) for fi in range(1, nf) for n in names]
+
+    def _enc_i(job):
+        fi, n = job
+        return entropy_encode(cand_i[n][fi])
+
+    def _enc_p(job):
+        fi, n = job
+        return entropy_encode(cand_p[n][fi - 1])
+
+    if parallel_entropy:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor() as ex:
+            bits_i = dict(zip(jobs_i, ex.map(_enc_i, jobs_i)))
+            bits_p = dict(zip(jobs_p, ex.map(_enc_p, jobs_p)))
+    else:
+        bits_i = {j: _enc_i(j) for j in jobs_i}
+        bits_p = {j: _enc_p(j) for j in jobs_p}
+
+    out_frames: list[Frame] = []
+    last_iframe = 0
+    for fi in range(nf):
+        size_i = sum(len(bits_i[(fi, n)]) for n in names)
+        size_p = (
+            sum(len(bits_p[(fi, n)]) for n in names) if fi > 0 else None
+        )
+        pick_i = (
+            fi == 0
+            or size_p is None
+            or size_i <= size_p
+            or fi - last_iframe >= max_i_interval
+        )
+        src = bits_i if pick_i else bits_p
+        if pick_i:
+            last_iframe = fi
+        out_frames.append(
+            Frame(
+                T.FRAME_TYPE_I if pick_i else T.FRAME_TYPE_P,
+                src[(fi, "y")], src[(fi, "cb")], src[(fi, "cr")],
+            )
+        )
+    return serialize_file(w, h, out_frames)
