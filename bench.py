@@ -1,8 +1,8 @@
 """Headline benchmark: 1080p-equivalent MJPEG423 device decode throughput.
 
-Runs the full device decode transform (dequant + segmented temporal scan +
-IDCT + YCbCr->RGB + raster) on synthetic coefficient streams and reports
-frames/s at 1080p-equivalent (1920x1088, 4:4:4 — 32640 blocks/plane).
+Runs the full device decode transform (dequant + temporal state + IDCT +
+YCbCr->RGB + raster) on synthetic coefficient streams and reports frames/s
+at 1080p-equivalent (1920x1088 4:4:4, 32640 blocks/plane).
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
@@ -11,7 +11,13 @@ vs_baseline is pixel-throughput relative to the reference FPGA player's
 implied 7.37 Mpix/s (640x480 @ 24 fps; BASELINE.md — the reference publishes
 no numbers, this is its hardware envelope).
 
-Usage: python bench.py [--small] [--frames F] [--iters N] [--path auto|xla|pallas]
+Timing methodology: the TPU tunnel's block_until_ready can return before
+device execution finishes for small dispatches, so each measurement runs K
+data-dependent decode iterations chained inside ONE jit (window-carry feeds
+the next iteration) and fetches a scalar checksum — wall time is then bounded
+below by real device time.  K is auto-scaled until the run takes >= 0.5 s.
+
+Usage: python bench.py [--small] [--frames F] [--path fused|pallas|xla|all]
 """
 from __future__ import annotations
 
@@ -23,6 +29,8 @@ import time
 import numpy as np
 
 REF_PIX_PER_S = 640 * 480 * 24  # 7.37 Mpix/s (BASELINE.md)
+MIN_WALL_S = 0.5
+MAX_CHAIN = 512
 
 
 def _log(*a):
@@ -32,7 +40,6 @@ def _log(*a):
 def make_amps(rng, f, b):
     """Synthetic entropy-decoded amplitude tensors with realistic sparsity."""
     amps = np.zeros((3, f, b, 64), dtype=np.int16)
-    # Dense low-frequency content, sparse high frequency (like real streams).
     amps[..., :8] = rng.integers(-64, 64, size=(3, f, b, 8))
     hi = rng.integers(-8, 8, size=(3, f, b, 56))
     mask = rng.random((3, f, b, 56)) < 0.15
@@ -42,28 +49,68 @@ def make_amps(rng, f, b):
     return amps, seg
 
 
-def bench_path(fn, args, iters):
-    out = fn(*args)
-    out.block_until_ready()  # compile + warm
+def bench_chained(make_chain, frames_per_iter):
+    """Time make_chain(iters) with auto-scaled chain length.
+
+    make_chain(iters) -> callable returning a scalar jax array whose value
+    depends on every chained iteration.
+    """
+    iters = 8
+    while True:
+        fn = make_chain(iters)
+        out = fn()
+        float(out)  # warm: compile + one full run
+        t0 = time.perf_counter()
+        float(fn())
+        dt = time.perf_counter() - t0
+        if dt >= MIN_WALL_S or iters >= MAX_CHAIN:
+            return dt / iters
+        scale = max(2, int(MIN_WALL_S / max(dt, 1e-4) + 1))
+        iters = min(MAX_CHAIN, iters * scale)
+
+
+def bench_parse(rng, f, b, h, w):
+    """Host entropy-parse throughput: native batch decode of f frames."""
+    from mjpeg423_tpu.native import centropy
+
+    if not centropy.native_available():
+        _log("parse: native codec unavailable, skipping")
+        return
+    amps, _ = make_amps(rng, f, b)
+    blobs = []
+    for p in range(3):
+        for fi in range(f):
+            blobs.append(centropy.encode_plane(amps[p, fi]))
+    data = b"".join(blobs)
+    offsets = np.zeros(len(blobs), dtype=np.uint64)
+    lengths = np.array([len(x) for x in blobs], dtype=np.uint64)
+    offsets[1:] = np.cumsum(lengths)[:-1]
+    is_p = np.ones(len(blobs), dtype=np.uint8)  # P: no DC chain, same cost
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    out.block_until_ready()
-    return (time.perf_counter() - t0) / iters
+    out = centropy.decode_batch(data, offsets, lengths, is_p, b)
+    dt = time.perf_counter() - t0
+    fps = f / dt
+    _log(
+        f"stage=parse: {len(data) / 1e6:.1f} MB bitstream, {dt * 1e3:.1f} ms, "
+        f"{fps:.1f} frames/s host-parse ({len(data) / dt / 1e6:.0f} MB/s, "
+        f"{out.shape[0] * b / dt:.3e} blocks/s)"
+    )
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--path", choices=("auto", "xla", "pallas"), default="auto")
+    ap.add_argument("--path", choices=("fused", "pallas", "xla", "all"),
+                    default="fused")
+    ap.add_argument("--parse", action="store_true",
+                    help="also measure host entropy-parse throughput")
     cli = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from mjpeg423_tpu.ops import transform_jax, transform_pallas
+    from mjpeg423_tpu.ops import transform_fused, transform_jax, transform_pallas
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -78,32 +125,60 @@ def main():
     b = bh * bw
 
     rng = np.random.default_rng(423)
+    if cli.parse:
+        bench_parse(rng, f, b, h, w)
     amps, seg = make_amps(rng, f, b)
-    dev_args = (
-        jax.device_put(jnp.asarray(amps[0])),
-        jax.device_put(jnp.asarray(amps[1])),
-        jax.device_put(jnp.asarray(amps[2])),
-        jax.device_put(jnp.asarray(seg)),
-    )
+    d_amps = jax.device_put(jnp.asarray(amps))
+    d_seg = jax.device_put(jnp.asarray(seg))
+    d_carry = jax.device_put(jnp.zeros((3, b, 64), jnp.int16))
 
-    def xla_fn(ay, acb, acr, s):
-        return transform_jax.decode_transform(ay, acb, acr, s, blocks_h=bh, blocks_w=bw)
+    def make_fused_chain(iters):
+        @jax.jit
+        def run(a, s, c):
+            def body(i, cc):
+                _, nc = transform_fused.decode_window_fused(
+                    a, s, cc, blocks_h=bh, blocks_w=bw
+                )
+                return nc
+            final = jax.lax.fori_loop(0, iters, body, c)
+            return jnp.sum(final.astype(jnp.int32))
+        return lambda: run(d_amps, d_seg, d_carry)
 
-    def pallas_fn(ay, acb, acr, s):
-        return transform_pallas.decode_transform_pallas(
-            ay, acb, acr, s, blocks_h=bh, blocks_w=bw
+    def make_generic_chain(decode_fn):
+        def make(iters):
+            @jax.jit
+            def run(a3, s):
+                def body(i, tok):
+                    ay = a3[0] + tok  # data dependency between iterations
+                    out = decode_fn(ay, a3[1], a3[2], s)
+                    return jnp.sum(
+                        out[0, 0, :64].astype(jnp.int32)
+                    ).astype(jnp.int16)
+                tok = jax.lax.fori_loop(0, iters, body, jnp.int16(0))
+                return tok.astype(jnp.int32)
+            return lambda: run(d_amps, d_seg)
+        return make
+
+    paths = {}
+    if cli.path in ("fused", "all"):
+        paths["fused"] = make_fused_chain
+    if cli.path in ("pallas", "all") and on_tpu:
+        paths["pallas"] = make_generic_chain(
+            lambda ay, acb, acr, s: transform_pallas.decode_transform_pallas(
+                ay, acb, acr, s, blocks_h=bh, blocks_w=bw
+            )
+        )
+    if cli.path in ("xla", "all"):
+        paths["xla"] = make_generic_chain(
+            lambda ay, acb, acr, s: transform_jax.decode_transform(
+                ay, acb, acr, s, blocks_h=bh, blocks_w=bw
+            )
         )
 
-    candidates = {}
-    if cli.path in ("auto", "xla"):
-        candidates["xla"] = xla_fn
-    if cli.path in ("auto", "pallas") and on_tpu:
-        candidates["pallas"] = pallas_fn
-
     results = {}
-    for name, fn in candidates.items():
+    for name, mk in paths.items():
         try:
-            dt = bench_path(fn, dev_args, cli.iters)
+            dt = bench_chained(mk, f)
         except Exception as e:  # noqa: BLE001 — a failing path must not kill bench
             _log(f"path {name} failed: {type(e).__name__}: {e}")
             continue

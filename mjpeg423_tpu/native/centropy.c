@@ -144,13 +144,25 @@ MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
 MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
                                  const uint64_t* lengths, const uint8_t* is_p,
                                  int n_items, int num_blocks, int16_t* out) {
+  int err = 0;
+  /* Items (frame x plane bitstreams) are independent — this loop is the
+   * host-side parallelism axis (the reference parallelized the same stage
+   * across its two CPUs; SURVEY.md §2 task-parallel row). */
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
   for (int i = 0; i < n_items; i++) {
     int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
                                 num_blocks, is_p[i],
                                 out + (size_t)i * num_blocks * 64);
-    if (rc != 0) return -(1 + i);
+    if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+      err = -(1 + i);
+    }
   }
-  return 0;
+  return err;
 }
 
 /* ------------------------------------------------------------------ */

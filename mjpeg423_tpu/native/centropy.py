@@ -42,12 +42,17 @@ def _build() -> pathlib.Path | None:
     if so.exists() and stamp.exists() and stamp.read_text() == want:
         return so
     _BUILD.mkdir(exist_ok=True)
-    cmd = [cc, "-O3", "-std=c11", "-fwrapv", "-fPIC", "-shared",
-           "-o", str(so), str(_SRC)]
+    base = [cc, "-O3", "-std=c11", "-fwrapv", "-fPIC", "-shared",
+            "-o", str(so), str(_SRC)]
+    # OpenMP parallelizes the batch decode across frame-plane items; fall
+    # back to a serial build when the toolchain lacks it.
     try:
-        subprocess.run(cmd, check=True, capture_output=True)
+        subprocess.run(base + ["-fopenmp"], check=True, capture_output=True)
     except subprocess.CalledProcessError:
-        return None
+        try:
+            subprocess.run(base, check=True, capture_output=True)
+        except subprocess.CalledProcessError:
+            return None
     stamp.write_text(want)
     return so
 

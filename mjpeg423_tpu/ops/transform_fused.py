@@ -1,0 +1,217 @@
+"""Fully-fused Pallas decode window: amps -> raster frames in ONE HBM pass.
+
+The v2 hot path.  transform_pallas.py fuses IDCT+color but still pays three
+extra HBM round trips per batch: the dequant+temporal-scan pass (XLA), the
+input relayout to coefficient-major, and the output block->raster transpose.
+This kernel moves all of them into VMEM:
+
+    grid step = one block-row of the frame, all W frames of the window
+    in:   (W, 1)            int32 I-frame mask  (SMEM)
+          (3, W, 1, bw, 64) int16 amplitudes    (one block-row slice)
+          (3, 1, bw, 64)    int16 carry state   (previous window's last frame)
+    out:  (W, 8, width)     uint32 raster rows  + new carry
+
+    per frame f (sequential fori, W small):
+      per plane: dequant (VPU) -> state update (I: replace, P: += int16)
+      -> in-VMEM transpose to coefficient-major -> islow IDCT butterflies on
+      (8, bw) int32 tiles -> color convert + BGRA pack -> in-VMEM transpose
+      to raster rows -> dynamic store out_ref[f].
+
+HBM traffic per window: read amps (3 x W x B x 128 B) + write raster
+(W x H x width x 4 B) + carry — the information-theoretic minimum for this
+stage.  The temporal recurrence runs sequentially inside the kernel (W <= ~32
+iterations of pure VPU work per grid step); parallelism comes from the grid
+over block-rows and XLA's pipelining of grid steps (the mSGDMA double
+buffering analog).
+
+Bit-exactness: same integer ops as transform_jax.py / the reference
+(idct.c:35-180, ycbcr_to_rgb.c:26-49, lossless_decode.c:76-128).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import tables as T
+from .transform_pallas import _butterfly, _normalize_rgb
+
+_I32 = jnp.int32
+
+
+def _idct_cm(xcm: jnp.ndarray) -> jnp.ndarray:
+    """Coefficient-major (64, Tb) int16 -> (8[outcol], 8[row], Tb) int32 samples."""
+    x3 = xcm.astype(_I32).reshape(8, 8, -1)  # [row, col, Tb]
+    ws = _butterfly([x3[r] for r in range(8)], pass1=True)
+    w3 = jnp.stack(ws, axis=1)  # [col, row, Tb]
+    out = _butterfly([w3[c] for c in range(8)], pass1=False)
+    return jnp.clip(jnp.stack(out, axis=0), 0, 255)  # [outcol, row, Tb]
+
+
+def _make_kernel(w_frames: int):
+    def kernel(seg_ref, quants_ref, amps_ref, carry_ref, out_ref,
+               carry_out_ref, state):
+        """One block-row of the frame, all frames of the window.
+
+        state: VMEM scratch (3, bw, 64) int16 — the running coefficient
+        state (the MPEG_WORKING_BUFFER DCAC analog,
+        mpeg423_decoder_ext.h:35-41).
+        """
+        for p in range(3):
+            state[p] = carry_ref[p, 0]
+
+        def frame_body(f, _):
+            is_i = seg_ref[f, 0] != 0
+            planes = []
+            for p in range(3):
+                amp = amps_ref[p, f, 0]                 # (bw, 64) int16
+                # quants_ref rows: [yq, cq]; planes (y, cb, cr) -> (0, 1, 1).
+                # Multiply in int32 (v5e has no 16-bit vector multiply) and
+                # truncate — identical to the int16 modular product.
+                delta = (
+                    amp.astype(_I32) * quants_ref[min(p, 1)].astype(_I32)
+                ).astype(jnp.int16)
+                st = jnp.where(
+                    is_i, delta, (state[p] + delta).astype(jnp.int16)
+                )
+                state[p] = st
+                planes.append(_idct_cm(st.T))           # (8, 8, bw) int32
+            y, cb, cr = planes
+            cb = cb - _I32(128)
+            cr = cr - _I32(128)
+            yy = jax.lax.shift_left(y, _I32(T.COLOR_SHIFT))
+            r = _normalize_rgb(yy + _I32(T.C_CR_R) * cr)
+            g = _normalize_rgb(yy - _I32(T.C_CB_G) * cb - _I32(T.C_CR_G) * cr)
+            b = _normalize_rgb(yy + _I32(T.C_CB_B) * cb)
+            packed = (
+                b
+                | jax.lax.shift_left(g, _I32(8))
+                | jax.lax.shift_left(r, _I32(16))
+            ).astype(jnp.uint32)                        # [outcol, row, bw]
+            # Store in blocked [outcol, row, bw] layout as-is; the wrapper
+            # does the raster transpose in XLA (a lane-interleaving reshape
+            # is not Mosaic-expressible, and the transpose outside costs one
+            # 2x raster-size HBM pass).  Out layout [W, outcol, brow, row, bw]
+            # keeps the grid-blocked brow dim out of the tiled last-two dims.
+            out_ref[f, :, 0] = packed
+            return 0
+
+        jax.lax.fori_loop(0, w_frames, frame_body, 0)
+        for p in range(3):
+            carry_out_ref[p, 0] = state[p]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("blocks_h", "blocks_w", "interpret", "raster")
+)
+def decode_window_fused(
+    amps: jnp.ndarray,
+    seg: jnp.ndarray,
+    carry: jnp.ndarray,
+    *,
+    blocks_h: int,
+    blocks_w: int,
+    interpret: bool | None = None,
+    raster: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused decode of a frame window with coefficient-state carry.
+
+    amps:  (3, W, B, 64) int16 entropy-decoded amplitudes (I-frame DC cumsum
+           pre-applied; B = blocks_h * blocks_w row-major).
+    seg:   (W,) bool I-frame mask.
+    carry: (3, B, 64) int16 state of the frame before the window (zeros for
+           the first window of a stream — a leading I-frame overwrites it).
+    Returns (frames, new_carry (3, B, 64) int16); frames is (W, H, width)
+    uint32 raster when raster=True, else the kernel's native blocked layout
+    (W, 8[outcol], blocks_h, 8[row], blocks_w) — the device-side raster
+    transpose costs a 2x raster-size HBM pass (~45% of the fused kernel's
+    time at 1080p), so consumers that can reorder on the host (a NumPy
+    transposed view — see blocked_to_raster_host) should take raster=False.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, w_frames, b, _ = amps.shape
+    assert b == blocks_h * blocks_w, (b, blocks_h, blocks_w)
+    quants = jnp.stack([
+        jnp.asarray(T.YQUANT64, dtype=jnp.int16),
+        jnp.asarray(T.CQUANT64, dtype=jnp.int16),
+    ])
+    seg_i = seg.astype(jnp.int32).reshape(w_frames, 1)
+
+    amps5 = amps.reshape(3, w_frames, blocks_h, blocks_w, 64)
+    carry4 = carry.reshape(3, blocks_h, blocks_w, 64)
+
+    frames, new_carry = pl.pallas_call(
+        _make_kernel(w_frames),
+        grid=(blocks_h,),
+        in_specs=[
+            pl.BlockSpec(
+                (w_frames, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (2, 64), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, w_frames, 1, blocks_w, 64),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, blocks_w, 64),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (w_frames, 8, 1, 8, blocks_w),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, blocks_w, 64),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (w_frames, 8, blocks_h, 8, blocks_w), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct((3, blocks_h, blocks_w, 64), jnp.int16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, blocks_w, 64), jnp.int16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2600 * 3 * w_frames * b,
+            bytes_accessed=amps.size * 2 + w_frames * b * 64 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg_i, quants, amps5, carry4)
+    new_carry = new_carry.reshape(3, b, 64)
+    if not raster:
+        return frames, new_carry
+    # [W, outcol, bh, row, bw] -> [W, bh, row, bw, outcol] -> (W, H, width)
+    return frames.transpose(0, 2, 3, 4, 1).reshape(
+        w_frames, blocks_h * 8, blocks_w * 8
+    ), new_carry
+
+
+def blocked_to_raster_host(blocked: "np.ndarray"):  # noqa: F821
+    """Host-side raster conversion of the kernel's blocked output.
+
+    blocked: (W, 8[outcol], bh, 8[row], bw) uint32 (NumPy).  The final
+    reshape copies (the transpose view is non-contiguous); use when frames
+    land on the host anyway and host memcpy is cheaper than the device-side
+    transpose pass (device-resident consumers should instead keep the
+    blocked layout or take raster=True).
+    """
+    w, _, bh, _, bw = blocked.shape
+    return blocked.transpose(0, 2, 3, 4, 1).reshape(w, bh * 8, bw * 8)

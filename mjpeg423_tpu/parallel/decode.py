@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import transform_jax, transform_pallas
+from ..ops import transform_fused, transform_jax, transform_pallas
 from .mesh import BLOCK_AXIS, DATA_AXIS
 from .temporal import _local_scan, _sharded_scan_body
 
@@ -81,6 +81,16 @@ def decode_transform_sharded(
     yq, cq = transform_jax.quant_tensors()
 
     def body(ay, acb, acr, seg):
+        if use_pallas and (gop_aligned or n_data == 1):
+            # Fully-fused kernel: the temporal recurrence runs inside (each
+            # shard's first frame is an I-frame, so zero carry is correct).
+            local_b = ay.shape[1]
+            carry = jnp.zeros((3, local_b, 64), dtype=jnp.int16)
+            frames, _ = transform_fused.decode_window_fused(
+                jnp.stack([ay, acb, acr]), seg, carry,
+                blocks_h=local_rows, blocks_w=blocks_w, interpret=interpret,
+            )
+            return frames
         states = []
         for amps, q in ((ay, yq), (acb, cq), (acr, cq)):
             deltas = transform_jax.dequantize(amps, q)

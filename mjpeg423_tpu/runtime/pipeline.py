@@ -52,11 +52,24 @@ class DecodedWindow:
 
 def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
                          tile: int, interpret: bool | None):
-    """Build the jit'd windowed decode step with coefficient-state carry."""
+    """Build the jit'd windowed decode step with coefficient-state carry.
+
+    use_pallas=True -> the fully-fused kernel (ops/transform_fused.py):
+    dequant + temporal recurrence + IDCT + color + raster in one HBM pass.
+    Fallback: XLA segmented scan + jnp transform.
+    """
     import jax
     import jax.numpy as jnp
 
-    from ..ops import transform_jax, transform_pallas
+    from ..ops import transform_fused, transform_jax
+
+    if use_pallas:
+        def fused_step(amps, seg, carry):
+            return transform_fused.decode_window_fused(
+                amps, seg, carry, blocks_h=blocks_h, blocks_w=blocks_w,
+                interpret=interpret,
+            )
+        return fused_step
 
     yq, cq = transform_jax.quant_tensors()
 
@@ -157,10 +170,13 @@ class DecodePipeline:
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
-            use_pallas = self.config.use_pallas and on_tpu
+            # Off-TPU the fused kernel still works via the interpreter, but
+            # it is orders of magnitude slower than XLA-on-CPU; only use it
+            # when explicitly forced (config.use_pallas on a CPU backend is
+            # honored for testing).
             self._step_cache[key] = _device_step_factory(
-                blocks_h, blocks_w, use_pallas, self.config.pallas_tile,
-                None if on_tpu else True,
+                blocks_h, blocks_w, self.config.use_pallas,
+                self.config.pallas_tile, None if on_tpu else True,
             )
         return self._step_cache[key]
 

@@ -60,6 +60,28 @@ def test_decode_sharded_matches_oracle(stream, n_data, n_block):
     np.testing.assert_array_equal(np.asarray(got), want)
 
 
+def test_decode_sharded_fused_gop_aligned(rng_module):
+    # Synthetic amps with I-frames exactly at the 4-way shard boundaries:
+    # the fused kernel runs the recurrence shard-locally with zero carry.
+    f, bh, bw = 16, 4, 8
+    b = bh * bw
+    amps = rng_module.integers(-200, 200, size=(3, f, b, 64)).astype(np.int16)
+    seg = np.zeros(f, dtype=bool)
+    seg[[0, 4, 8, 12]] = True
+    want = np.asarray(
+        transform_jax.decode_transform(
+            amps[0], amps[1], amps[2], seg, blocks_h=bh, blocks_w=bw
+        )
+    )
+    mesh = make_mesh(n_data=4, n_block=1)
+    args = shard_inputs(mesh, amps[0], amps[1], amps[2], seg)
+    got = decode_transform_sharded(
+        *args, mesh=mesh, blocks_h=bh, blocks_w=bw,
+        gop_aligned=True, use_pallas=True, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_decode_sharded_pallas_interpret(stream):
     coefs, want = stream
     mesh = make_mesh(n_data=2, n_block=1)
