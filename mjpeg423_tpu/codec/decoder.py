@@ -106,27 +106,56 @@ def dequantize_stream(coefs: CoefficientStream) -> dict[str, np.ndarray]:
 def transform_frame_numpy(
     y_state: np.ndarray, cb_state: np.ndarray, cr_state: np.ndarray,
     blocks_h: int, blocks_w: int,
+    null_stages: frozenset[str] | set[str] = frozenset(),
 ) -> np.ndarray:
     """One frame: dequantized coefficients -> (H, W) uint32 RGBA raster."""
-    y = transform_ref.idct_blocks(y_state.reshape(-1, 8, 8))
-    cb = transform_ref.idct_blocks(cb_state.reshape(-1, 8, 8))
-    cr = transform_ref.idct_blocks(cr_state.reshape(-1, 8, 8))
-    rgba = transform_ref.ycbcr_to_rgb_blocks(y, cb, cr)  # (B, 8, 8) uint32
+    if "idct" in null_stages:
+        # NULL_DCT: coefficients pass through, clamped like samples
+        # (reference: idct.c:187-192 copies input to output).
+        planes = [
+            np.clip(s.reshape(-1, 8, 8).astype(np.int32), 0, 255)
+            for s in (y_state, cb_state, cr_state)
+        ]
+    else:
+        planes = [
+            transform_ref.idct_blocks(s.reshape(-1, 8, 8))
+            for s in (y_state, cb_state, cr_state)
+        ]
+    y, cb, cr = planes
+    if "color" in null_stages:
+        # NULL_COLORCONV: grayscale — Y into all three channels
+        # (reference: ycbcr_to_rgb.c:54-70 writes the Y sample per channel).
+        yv = y.astype(np.uint32)
+        rgba = yv | (yv << 8) | (yv << 16)
+    else:
+        rgba = transform_ref.ycbcr_to_rgb_blocks(y, cb, cr)  # (B, 8, 8) u32
     return transform_ref.blocks_to_raster(rgba, blocks_h, blocks_w)
 
 
 def decode_stream(
     data: bytes,
     decode_plane: DecodePlaneFn | None = None,
+    null_stages: frozenset[str] | set[str] = frozenset(),
 ) -> Iterator[np.ndarray]:
-    """Decode an .MPG byte buffer into (H, W) uint32 RGBA frames (NumPy path)."""
+    """Decode an .MPG byte buffer into (H, W) uint32 RGBA frames (NumPy path).
+
+    null_stages: stage-isolation toggles, the runtime analog of the
+    reference's compile-time NULL_* stubs (reference: util.h:37-40,
+    idct.c:187-192, ycbcr_to_rgb.c:54-70 — each stage has a pass-through
+    variant used to debug stages in isolation).  Members:
+      "idct"  — bypass the IDCT: pass coefficients through clamped to
+                [0, 255] (NULL_DCT semantics)
+      "color" — bypass color conversion: emit the Y sample replicated into
+                R, G and B (NULL_COLORCONV grayscale semantics)
+    """
     mpg = parse_file(data)
     coefs = parse_coefficient_deltas(mpg, decode_plane)
     states = dequantize_stream(coefs)
     bh, bw = mpg.header.blocks_h, mpg.header.blocks_w
     for fi in range(coefs.num_frames):
         yield transform_frame_numpy(
-            states["y"][fi], states["cb"][fi], states["cr"][fi], bh, bw
+            states["y"][fi], states["cb"][fi], states["cr"][fi], bh, bw,
+            null_stages=null_stages,
         )
 
 
