@@ -69,6 +69,12 @@ def bench_chained(make_chain, frames_per_iter):
         iters = min(MAX_CHAIN, iters * scale)
 
 
+def _time_once(fn, *a):
+    t0 = time.perf_counter()
+    fn(*a)
+    return time.perf_counter() - t0
+
+
 def bench_parse(rng, f, b, h, w):
     """Host entropy-parse throughput: native batch decode of f frames."""
     from mjpeg423_tpu.native import centropy
@@ -86,14 +92,49 @@ def bench_parse(rng, f, b, h, w):
     lengths = np.array([len(x) for x in blobs], dtype=np.uint64)
     offsets[1:] = np.cumsum(lengths)[:-1]
     is_p = np.ones(len(blobs), dtype=np.uint8)  # P: no DC chain, same cost
+    out = centropy.decode_batch(data, offsets, lengths, is_p, b)  # warm
+    iters = max(1, int(0.3 / max(1e-4, _time_once(
+        centropy.decode_batch, data, offsets, lengths, is_p, b))))
     t0 = time.perf_counter()
-    out = centropy.decode_batch(data, offsets, lengths, is_p, b)
-    dt = time.perf_counter() - t0
+    for _ in range(iters):
+        out = centropy.decode_batch(data, offsets, lengths, is_p, b)
+    dt = (time.perf_counter() - t0) / iters
     fps = f / dt
     _log(
         f"stage=parse: {len(data) / 1e6:.1f} MB bitstream, {dt * 1e3:.1f} ms, "
         f"{fps:.1f} frames/s host-parse ({len(data) / dt / 1e6:.0f} MB/s, "
         f"{out.shape[0] * b / dt:.3e} blocks/s)"
+    )
+
+
+def bench_e2e(rng, f, b, h, w, use_pallas):
+    """Full streaming pipeline: container bytes -> host frames.
+
+    Covers host entropy parse (OpenMP C batch decode), the device transform,
+    and the device->host transfer; this is the number a serving deployment
+    sees for ONE stream (multiple concurrent streams overlap the stages).
+    """
+    from mjpeg423_tpu.core.format import Frame, serialize_file
+    from mjpeg423_tpu.native import centropy
+    from mjpeg423_tpu.runtime import DecodePipeline
+    from mjpeg423_tpu.utils.config import DecodeConfig
+
+    amps, seg = make_amps(rng, f, b)
+    frames = []
+    for fi in range(f):
+        planes = [centropy.encode_plane(amps[p, fi]) for p in range(3)]
+        frames.append(Frame(0 if seg[fi] else 1, *planes))
+    data = serialize_file(w, h, frames)
+
+    pipe = DecodePipeline(DecodeConfig(use_pallas=use_pallas,
+                                       frames_per_batch=min(f, 16)))
+    out = pipe.decode_array(data)  # warm: compiles + runs once
+    t0 = time.perf_counter()
+    out = pipe.decode_array(data)
+    dt = time.perf_counter() - t0
+    _log(
+        f"stage=e2e: {len(data) / 1e6:.1f} MB container -> {out.shape} in "
+        f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s end-to-end (1 stream)"
     )
 
 
@@ -105,6 +146,8 @@ def main():
                     default="fused")
     ap.add_argument("--parse", action="store_true",
                     help="also measure host entropy-parse throughput")
+    ap.add_argument("--e2e", action="store_true",
+                    help="also measure the full streaming pipeline")
     cli = ap.parse_args()
 
     import jax
@@ -127,6 +170,8 @@ def main():
     rng = np.random.default_rng(423)
     if cli.parse:
         bench_parse(rng, f, b, h, w)
+    if cli.e2e:
+        bench_e2e(rng, f, b, h, w, use_pallas=on_tpu)
     amps, seg = make_amps(rng, f, b)
     d_amps = jax.device_put(jnp.asarray(amps))
     d_seg = jax.device_put(jnp.asarray(seg))

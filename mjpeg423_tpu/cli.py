@@ -126,6 +126,23 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    from .runtime.serve import StreamPool
+    from .utils.config import DecodeConfig
+
+    streams = [_load_stream(p) for p in args.inputs]
+    cfg = DecodeConfig(use_pallas=not args.no_pallas)
+    pool = StreamPool(cfg)
+    stats = pool.decode_all(streams, max_concurrent=args.concurrent)
+    print(
+        f"decoded {stats.streams} streams / {stats.frames} frames in "
+        f"{stats.wall_s:.3f}s ({stats.frames_per_s:.1f} frames/s, "
+        f"{stats.mpix_per_s:.1f} Mpix/s aggregate)",
+        file=sys.stderr,
+    )
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -166,6 +183,12 @@ def main(argv=None) -> int:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--start-s", type=float, default=0.0)
     p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("serve", help="decode many containers concurrently")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("--concurrent", type=int, default=4)
+    p.add_argument("--no-pallas", action="store_true")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")
     p.add_argument("rest", nargs=argparse.REMAINDER)

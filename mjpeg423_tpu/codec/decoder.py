@@ -16,7 +16,7 @@ Stage decomposition (shared with the TPU path):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Iterator, Sequence
+from typing import Callable, Iterator
 
 import numpy as np
 

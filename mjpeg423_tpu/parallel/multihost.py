@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 
 def initialize(
     coordinator_address: str | None = None,

@@ -24,7 +24,6 @@ playback.c:102-121).
 from __future__ import annotations
 
 import dataclasses
-import functools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -87,15 +86,9 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
             )
             states.append(vals)
             new_carry.append(vals[-1])
-        if use_pallas:
-            frames = transform_pallas.decode_transform_states_pallas(
-                *states, blocks_h=blocks_h, blocks_w=blocks_w, tile=tile,
-                interpret=interpret,
-            )
-        else:
-            frames = transform_jax.decode_transform_states(
-                *states, blocks_h=blocks_h, blocks_w=blocks_w
-            )
+        frames = transform_jax.decode_transform_states(
+            *states, blocks_h=blocks_h, blocks_w=blocks_w
+        )
         return frames, jnp.stack(new_carry)
 
     def _scan_with_flags(deltas, seg):

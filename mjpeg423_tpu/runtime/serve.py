@@ -16,8 +16,6 @@ import dataclasses
 import threading
 import time
 
-import numpy as np
-
 from ..utils.config import DecodeConfig
 from ..utils.profile import Profiler, default_profiler
 from .pipeline import DecodePipeline

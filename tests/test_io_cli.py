@@ -94,6 +94,17 @@ def test_cli_info_decode_encode_roundtrip(tmp_path, stream, capsys):
     assert os.path.getsize(out2) > 0
 
 
+def test_cli_serve(tmp_path, stream, capsys):
+    data, _ = stream
+    paths = []
+    for k in range(2):
+        p = str(tmp_path / f"s{k}.mpg")
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    assert cli.main(["serve", *paths, "--no-pallas"]) == 0
+
+
 def test_cli_play_unpaced(tmp_path, stream, capsys):
     data, _ = stream
     mpg = str(tmp_path / "p.mpg")
