@@ -148,6 +148,8 @@ def main():
                     help="also measure host entropy-parse throughput")
     ap.add_argument("--e2e", action="store_true",
                     help="also measure the full streaming pipeline")
+    ap.add_argument("--rows-per-step", type=int, default=1,
+                    help="fused kernel block-row grouping (lane width knob)")
     cli = ap.parse_args()
 
     import jax
@@ -182,7 +184,8 @@ def main():
         def run(a, s, c):
             def body(i, cc):
                 _, nc = transform_fused.decode_window_fused(
-                    a, s, cc, blocks_h=bh, blocks_w=bw
+                    a, s, cc, blocks_h=bh, blocks_w=bw,
+                    rows_per_step=cli.rows_per_step,
                 )
                 return nc
             final = jax.lax.fori_loop(0, iters, body, c)

@@ -230,9 +230,24 @@ class FrameIndex:
 
 
 def index_frames(data: bytes) -> FrameIndex:
-    """Build a FrameIndex by chaining frame headers (no payload copies)."""
+    """Build a FrameIndex by chaining frame headers (no payload copies).
+
+    Uses the native C chain walk when available (long streams have one
+    header read per frame — the only remaining per-frame host loop).
+    """
     header = FileHeader.unpack(data)
     nf = header.num_frames
+    try:
+        from ..native import centropy
+
+        native = centropy.index_frames(data, FILE_HEADER_BYTES, nf)
+    except Exception:  # pragma: no cover — fall back on any native issue
+        native = None
+    if native is not None:
+        ftype, off, length = native
+        return FrameIndex(
+            header, ftype, off, length, parse_file_trailer(data, header)
+        )
     ftype = np.empty(nf, dtype=np.uint32)
     off = np.empty((3, nf), dtype=np.uint64)
     length = np.empty((3, nf), dtype=np.uint64)

@@ -165,6 +165,42 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
   return err;
 }
 
+/*
+ * Container frame indexing: chain frame_size fields to fill per-frame
+ * type + per-plane (offset, length) tables (the cheap index pass that
+ * unlocks parallel entropy decode; reference: mjpeg423_decoder.c:94-98).
+ * Layout per frame: {frame_size, frame_type, y_size, cb_size} u32 LE +
+ * payload (reference: encoder/mjpeg423_encoder.c:187-201).
+ * Returns 0, or -(1+i) if frame i's header runs past the buffer.
+ */
+MJ_EXPORT int mj423_index_frames(const uint8_t* data, size_t len,
+                                 uint64_t start, int num_frames,
+                                 uint32_t* frame_type, uint64_t* plane_off,
+                                 uint64_t* plane_len) {
+  uint64_t pos = start;
+  for (int i = 0; i < num_frames; i++) {
+    if (pos + 16 > len) return -(1 + i);
+    uint32_t hdr[4];
+    memcpy(hdr, data + pos, 16); /* u32 LE on all supported hosts */
+    uint64_t frame_size = hdr[0];
+    uint64_t y_size = hdr[2], cb_size = hdr[3];
+    if (frame_size < 16 || pos + frame_size > len ||
+        16 + y_size + cb_size > frame_size)
+      return -(1 + i);
+    uint64_t body = pos + 16;
+    uint64_t cr_size = frame_size - 16 - y_size - cb_size;
+    frame_type[i] = hdr[1];
+    plane_off[0 * (size_t)num_frames + i] = body;
+    plane_len[0 * (size_t)num_frames + i] = y_size;
+    plane_off[1 * (size_t)num_frames + i] = body + y_size;
+    plane_len[1 * (size_t)num_frames + i] = cb_size;
+    plane_off[2 * (size_t)num_frames + i] = body + y_size + cb_size;
+    plane_len[2 * (size_t)num_frames + i] = cr_size;
+    pos += frame_size;
+  }
+  return 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* Bit writer: 64-bit accumulator, MSB-first.  Replicates the          */
 /* reference's output_rest quirk: the final partial byte is 0x00       */

@@ -79,6 +79,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.mj423_index_frames.restype = ctypes.c_int
+        lib.mj423_index_frames.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint64),
+        ]
         lib.mj423_encode_plane.restype = ctypes.c_long
         lib.mj423_encode_plane.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
@@ -149,6 +155,32 @@ def decode_batch(
     if rc != 0:
         raise ValueError(f"corrupt MJPEG423 plane bitstream (item {-rc - 1})")
     return out
+
+
+def index_frames(
+    data: bytes, start: int, num_frames: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Native frame-header chain walk (core/format.index_frames hot loop).
+
+    Returns (frame_type (F,) uint32, plane_off (3, F) uint64,
+    plane_len (3, F) uint64), or None when the native codec is unavailable
+    (caller falls back to the Python walk).  Raises on a corrupt chain.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    ftype = np.empty(num_frames, dtype=np.uint32)
+    off = np.empty((3, num_frames), dtype=np.uint64)
+    length = np.empty((3, num_frames), dtype=np.uint64)
+    rc = lib.mj423_index_frames(
+        data, len(data), start, num_frames,
+        ftype.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        length.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt frame chain at frame {-rc - 1}")
+    return ftype, off, length
 
 
 def encode_plane(coeffs: np.ndarray) -> bytes:

@@ -107,7 +107,10 @@ def _make_kernel(w_frames: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("blocks_h", "blocks_w", "interpret", "raster")
+    jax.jit,
+    static_argnames=(
+        "blocks_h", "blocks_w", "interpret", "raster", "rows_per_step"
+    ),
 )
 def decode_window_fused(
     amps: jnp.ndarray,
@@ -118,6 +121,7 @@ def decode_window_fused(
     blocks_w: int,
     interpret: bool | None = None,
     raster: bool = True,
+    rows_per_step: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused decode of a frame window with coefficient-state carry.
 
@@ -137,18 +141,27 @@ def decode_window_fused(
         interpret = jax.default_backend() != "tpu"
     _, w_frames, b, _ = amps.shape
     assert b == blocks_h * blocks_w, (b, blocks_h, blocks_w)
+    # rows_per_step (k) folds k block-rows into one grid step: lane tiles
+    # widen from bw to k*bw and the grid shrinks k-fold (trade VMEM for
+    # VPU/grid efficiency).  Row-major block order makes the fold a pure
+    # reshape.
+    k = rows_per_step
+    if blocks_h % k:
+        raise ValueError(f"blocks_h {blocks_h} not divisible by rows_per_step {k}")
+    groups = blocks_h // k
+    bw_eff = k * blocks_w
     quants = jnp.stack([
         jnp.asarray(T.YQUANT64, dtype=jnp.int16),
         jnp.asarray(T.CQUANT64, dtype=jnp.int16),
     ])
     seg_i = seg.astype(jnp.int32).reshape(w_frames, 1)
 
-    amps5 = amps.reshape(3, w_frames, blocks_h, blocks_w, 64)
-    carry4 = carry.reshape(3, blocks_h, blocks_w, 64)
+    amps5 = amps.reshape(3, w_frames, groups, bw_eff, 64)
+    carry4 = carry.reshape(3, groups, bw_eff, 64)
 
     frames, new_carry = pl.pallas_call(
         _make_kernel(w_frames),
-        grid=(blocks_h,),
+        grid=(groups,),
         in_specs=[
             pl.BlockSpec(
                 (w_frames, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -157,36 +170,36 @@ def decode_window_fused(
                 (2, 64), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, w_frames, 1, blocks_w, 64),
+                (3, w_frames, 1, bw_eff, 64),
                 lambda i: (0, 0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, blocks_w, 64),
+                (3, 1, bw_eff, 64),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (w_frames, 8, 1, 8, blocks_w),
+                (w_frames, 8, 1, 8, bw_eff),
                 lambda i: (0, 0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, blocks_w, 64),
+                (3, 1, bw_eff, 64),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(
-                (w_frames, 8, blocks_h, 8, blocks_w), jnp.uint32
+                (w_frames, 8, groups, 8, bw_eff), jnp.uint32
             ),
-            jax.ShapeDtypeStruct((3, blocks_h, blocks_w, 64), jnp.int16),
+            jax.ShapeDtypeStruct((3, groups, bw_eff, 64), jnp.int16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, blocks_w, 64), jnp.int16),
+            pltpu.VMEM((3, bw_eff, 64), jnp.int16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2600 * 3 * w_frames * b,
@@ -198,8 +211,9 @@ def decode_window_fused(
     new_carry = new_carry.reshape(3, b, 64)
     if not raster:
         return frames, new_carry
-    # [W, outcol, bh, row, bw] -> [W, bh, row, bw, outcol] -> (W, H, width)
-    return frames.transpose(0, 2, 3, 4, 1).reshape(
+    # [W, outcol, g, row, k, bw] -> [W, g, k, row, bw, outcol] -> raster
+    x = frames.reshape(w_frames, 8, groups, 8, k, blocks_w)
+    return x.transpose(0, 2, 4, 3, 5, 1).reshape(
         w_frames, blocks_h * 8, blocks_w * 8
     ), new_carry
 

@@ -35,6 +35,19 @@ def test_fused_single_window(stream):
     np.testing.assert_array_equal(np.asarray(frames), want)
 
 
+def test_fused_rows_per_step(stream):
+    coefs, want = stream
+    amps = _amps3(coefs)
+    seg = coefs.frame_types == 0
+    carry = np.zeros((3, amps.shape[2], 64), dtype=np.int16)
+    frames, _ = transform_fused.decode_window_fused(
+        amps, seg, carry,
+        blocks_h=coefs.height // 8, blocks_w=coefs.width // 8,
+        rows_per_step=2,  # 32px high -> 4 block rows -> 2 groups
+    )
+    np.testing.assert_array_equal(np.asarray(frames), want)
+
+
 def test_fused_windowed_carry_chain(stream):
     coefs, want = stream
     amps = _amps3(coefs)
