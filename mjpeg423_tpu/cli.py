@@ -126,6 +126,42 @@ def cmd_play(args) -> int:
     return 0
 
 
+def cmd_selftest(args) -> int:
+    """Operational self-check (the Fat_Test / test_idct_accel analog):
+    encode a synthetic clip, decode it on the active backend through the
+    production pipeline, and verify bit-exactness vs the NumPy oracle."""
+    import numpy as np
+
+    from .codec import decoder, encoder
+    from .runtime import DecodePipeline
+    from .utils.config import DecodeConfig
+
+    rng = np.random.default_rng(423)
+    frames = []
+    for t in range(args.frames):
+        yy, xx = np.mgrid[0:48, 0:64]
+        f = np.stack(
+            [(xx * 4 + t * 7) % 256, (yy * 5) % 256, (xx + yy + t) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(f)
+    data = encoder.encode_frames_device(frames, max_i_interval=4)
+    want = decoder.decode_stream_array(data)
+    pipe = DecodePipeline(DecodeConfig(use_pallas=not args.no_pallas,
+                                       frames_per_batch=3))
+    got = pipe.decode_array(data)
+    ok = np.array_equal(got, want)
+    import jax
+
+    print(
+        f"selftest backend={jax.default_backend()} frames={args.frames} "
+        f"pipeline={'pallas-fused' if not args.no_pallas else 'xla'}: "
+        f"{'PASS (bit-exact)' if ok else 'FAIL'}",
+        file=sys.stderr,
+    )
+    return 0 if ok else 1
+
+
 def cmd_serve(args) -> int:
     from .runtime.serve import StreamPool
     from .utils.config import DecodeConfig
@@ -183,6 +219,11 @@ def main(argv=None) -> int:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--start-s", type=float, default=0.0)
     p.set_defaults(fn=cmd_play)
+
+    p = sub.add_parser("selftest", help="encode/decode round-trip self-check")
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--no-pallas", action="store_true")
+    p.set_defaults(fn=cmd_selftest)
 
     p = sub.add_parser("serve", help="decode many containers concurrently")
     p.add_argument("inputs", nargs="+")

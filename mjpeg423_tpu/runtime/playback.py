@@ -100,6 +100,18 @@ class Player:
         self.current_frame = best
         return best
 
+    # ----- Checkpoint / resume (SURVEY.md §5.4) -------------------------
+
+    def get_state(self) -> dict:
+        """Playback position snapshot — resume = (stream, position) only
+        (decode is stateless per GOP; the reference's whole resume state is
+        3 integers, playback.c:24-34)."""
+        return {"current_frame": self.current_frame}
+
+    def set_state(self, state: dict) -> None:
+        """Restore a snapshot; position snaps to its GOP's I-frame."""
+        self.seek_to_iframe(int(state["current_frame"]))
+
     # ----- Playing ------------------------------------------------------
 
     def play(

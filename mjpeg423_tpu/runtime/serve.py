@@ -56,12 +56,16 @@ class StreamPool:
         streams: list[bytes],
         sink=None,
         max_concurrent: int = 4,
+        retries: int = 1,
     ) -> ServeStats:
         """Decode every stream; returns aggregate stats.
 
         sink(stream_idx, window) is called for each DecodedWindow if given.
         max_concurrent bounds the number of streams in flight (each holds
-        prefetch_batches windows of device memory).
+        prefetch_batches windows of device memory).  A failed stream is
+        retried from its start up to `retries` times — the GOP-restart
+        elasticity unit (SURVEY.md §5.3: a failed shard re-decodes its GOP;
+        decode is stateless per stream so a clean restart is always valid).
         """
         stats = ServeStats(streams=len(streams))
         lock = threading.Lock()
@@ -69,17 +73,27 @@ class StreamPool:
         errors: list[Exception] = []
 
         def worker(si: int, data: bytes):
-            try:
-                with sem:
-                    for win in self.pipeline.decode(data):
-                        if sink is not None:
-                            sink(si, win)
-                        h, w = win.frames.shape[1:3]
-                        with lock:
-                            stats.frames += win.count
-                            stats.pixels += win.count * h * w
-            except Exception as e:  # noqa: BLE001 — collected and re-raised
-                errors.append(e)
+            for attempt in range(retries + 1):
+                frames = pixels = 0
+                try:
+                    with sem:
+                        for win in self.pipeline.decode(data):
+                            if sink is not None:
+                                # On retry the sink sees the stream's windows
+                                # again from the start; windows are keyed by
+                                # start_frame so replay is idempotent for
+                                # dict-style sinks.
+                                sink(si, win)
+                            h, w = win.frames.shape[1:3]
+                            frames += win.count
+                            pixels += win.count * h * w
+                    with lock:  # commit only on success (no double counting)
+                        stats.frames += frames
+                        stats.pixels += pixels
+                    return
+                except Exception as e:  # noqa: BLE001 — retried, then re-raised
+                    if attempt == retries:
+                        errors.append(e)
 
         t0 = time.perf_counter()
         threads = [

@@ -111,3 +111,42 @@ def test_cli_play_unpaced(tmp_path, stream, capsys):
     with open(mpg, "wb") as f:
         f.write(data)
     assert cli.main(["play", mpg, "--no-pace", "--no-pallas"]) == 0
+
+
+def test_cli_selftest():
+    assert cli.main(["selftest", "--no-pallas", "--frames", "4"]) == 0
+
+
+def test_player_state_snapshot(stream):
+    from mjpeg423_tpu.runtime import Player
+    from mjpeg423_tpu.utils.config import DecodeConfig
+
+    data, _ = stream
+    player = Player(data, DecodeConfig(use_pallas=False))
+    player.current_frame = 6
+    st = player.get_state()
+    player2 = Player(data, DecodeConfig(use_pallas=False))
+    player2.set_state(st)
+    # Snaps to the GOP's I-frame at or before frame 6.
+    assert player2.current_frame in player2.index.gop_starts()
+    assert player2.current_frame <= 6
+
+
+def test_serve_retry_commits_once(stream):
+    from mjpeg423_tpu.runtime.serve import StreamPool
+    from mjpeg423_tpu.utils.config import DecodeConfig
+
+    data, want_frames = stream
+    calls = {"n": 0}
+    pool = StreamPool(DecodeConfig(use_pallas=False, frames_per_batch=4))
+    orig = pool.pipeline.decode
+
+    def flaky(d, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected fault")
+        return orig(d, **kw)
+
+    pool.pipeline.decode = flaky
+    stats = pool.decode_all([data], retries=1)
+    assert stats.frames == 10  # counted once despite the retry
