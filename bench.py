@@ -64,6 +64,12 @@ def bench_chained(make_chain, frames_per_iter):
         float(fn())
         dt = time.perf_counter() - t0
         if dt >= MIN_WALL_S or iters >= MAX_CHAIN:
+            if dt < MIN_WALL_S:
+                _log(
+                    f"warning: {iters}-iteration chain ran only {dt:.3f}s "
+                    f"(< {MIN_WALL_S}s) — the tunnel may under-report; treat "
+                    "as an upper bound on throughput"
+                )
             return dt / iters
         scale = max(2, int(MIN_WALL_S / max(dt, 1e-4) + 1))
         iters = min(MAX_CHAIN, iters * scale)
@@ -113,7 +119,17 @@ def bench_e2e(rng, f, b, h, w, use_pallas):
     Covers host entropy parse (OpenMP C batch decode), the device transform,
     and the device->host transfer; this is the number a serving deployment
     sees for ONE stream (multiple concurrent streams overlap the stages).
+
+    NOTE: over the development tunnel the device->host link runs at ~1 MB/s
+    (measured; production PCIe is ~4 orders faster), so this stage caps its
+    geometry — the result characterizes pipeline orchestration, not raster
+    egress bandwidth.  Device-resident consumers (raster=False) skip the
+    transfer entirely.
     """
+    if h * w > 272 * 480:
+        h, w = 272, 480
+        b = (h // 8) * (w // 8)
+        f = min(f, 8)
     from mjpeg423_tpu.core.format import Frame, serialize_file
     from mjpeg423_tpu.native import centropy
     from mjpeg423_tpu.runtime import DecodePipeline
@@ -138,6 +154,51 @@ def bench_e2e(rng, f, b, h, w, use_pallas):
     )
 
 
+def bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu):
+    """Mesh-sharded decode over all local devices; scaling efficiency vs 1.
+
+    With one device this degenerates to the single-chip number (the driver's
+    multi-chip environment exercises the real scaling).  I-frames in the
+    synthetic stream land every 24 frames, so data shards are NOT
+    GOP-aligned — the cross-device temporal carry collective is in the path.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mjpeg423_tpu.parallel import (
+        decode_transform_sharded, make_mesh, shard_inputs,
+    )
+
+    n = len(jax.devices())
+    times = {}
+    for n_data in sorted({1, n}):
+        if f % n_data:
+            continue
+        mesh = make_mesh(n_data=n_data, n_block=1)
+        args = shard_inputs(mesh, d_amps[0], d_amps[1], d_amps[2], d_seg)
+
+        @jax.jit
+        def run(ay, acb, acr, s, mesh=mesh):
+            def body(i, tok):
+                out = decode_transform_sharded(
+                    ay + tok, acb, acr, s, mesh=mesh,
+                    blocks_h=bh, blocks_w=bw,
+                )
+                return jnp.sum(out[0, 0, :64].astype(jnp.int32)).astype(jnp.int16)
+            return jax.lax.fori_loop(0, 32, body, jnp.int16(0)).astype(jnp.int32)
+
+        float(run(*args))  # warm
+        t0 = time.perf_counter()
+        float(run(*args))
+        dt = (time.perf_counter() - t0) / 32
+        times[n_data] = dt
+        _log(f"sharded n_data={n_data}: {dt * 1e3:.2f} ms/batch, "
+             f"{f / dt:.1f} frames/s")
+    if len(times) == 2:
+        eff = times[1] / (times[n] * n)
+        _log(f"scaling efficiency @ {n} devices: {eff * 100:.1f}%")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
@@ -150,6 +211,11 @@ def main():
                     help="also measure the full streaming pipeline")
     ap.add_argument("--rows-per-step", type=int, default=1,
                     help="fused kernel block-row grouping (lane width knob)")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed run")
+    ap.add_argument("--sharded", action="store_true",
+                    help="run the mesh-sharded decode over all local devices "
+                         "and report scaling efficiency vs one device")
     cli = ap.parse_args()
 
     import jax
@@ -223,13 +289,21 @@ def main():
             )
         )
 
+    if cli.sharded:
+        bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu)
+
     results = {}
     for name, mk in paths.items():
         try:
+            if cli.trace:
+                jax.profiler.start_trace(cli.trace)
             dt = bench_chained(mk, f)
         except Exception as e:  # noqa: BLE001 — a failing path must not kill bench
             _log(f"path {name} failed: {type(e).__name__}: {e}")
             continue
+        finally:
+            if cli.trace:
+                jax.profiler.stop_trace()
         fps = f / dt
         results[name] = fps
         _log(

@@ -54,12 +54,15 @@ def cmd_decode(args) -> int:
     from .runtime import DecodePipeline
     from .utils.config import DecodeConfig
 
+    from .utils.profile import Profiler
+
     data = _load_stream(args.input)
     cfg = DecodeConfig(
         use_pallas=not args.no_pallas,
         frames_per_batch=args.batch,
     )
-    pipe = DecodePipeline(cfg)
+    profiler = Profiler()
+    pipe = DecodePipeline(cfg, profiler)
     os.makedirs(args.outdir, exist_ok=True)
     t0 = time.perf_counter()
     n = 0
@@ -81,6 +84,8 @@ def cmd_decode(args) -> int:
                 np.stack(npy_frames))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
           file=sys.stderr)
+    if args.profile:
+        print(profiler.format_report(), file=sys.stderr)
     return 0
 
 
@@ -204,6 +209,8 @@ def main(argv=None) -> int:
     p.add_argument("--start-frame", type=int, default=0)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timing aggregates when done")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("encode", help="encode BMP/npy frames to .mpg")

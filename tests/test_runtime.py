@@ -79,3 +79,12 @@ def test_player_paced_counts_late_frames(stream):
     stats = player.play(paced=True, max_frames=8)
     assert stats.frames_delivered == 8
     assert 0 <= stats.frames_late <= 8
+
+
+def test_pipeline_surfaces_corrupt_stream(stream):
+    data, _ = stream
+    # Truncate mid-payload: the frame-size chain walks past the buffer.
+    bad = data[: len(data) // 3]
+    pipe = DecodePipeline(DecodeConfig(use_pallas=False))
+    with pytest.raises(Exception):
+        pipe.decode_array(bad)
