@@ -23,13 +23,21 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Persistent compilation cache: first-compile of the chained kernels takes
+# minutes through the remote TPU compiler; repeat bench runs reuse them.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 REF_PIX_PER_S = 640 * 480 * 24  # 7.37 Mpix/s (BASELINE.md)
-MIN_WALL_S = 0.5
+MIN_WALL_S = 0.4
 MAX_CHAIN = 512
 
 
@@ -55,7 +63,9 @@ def bench_chained(make_chain, frames_per_iter):
     make_chain(iters) -> callable returning a scalar jax array whose value
     depends on every chained iteration.
     """
-    iters = 8
+    # Start high: one compile usually suffices (the fused path runs ~2 ms per
+    # batch, so 256 chained iterations land just past the wall-time floor).
+    iters = 256
     while True:
         fn = make_chain(iters)
         out = fn()
@@ -203,8 +213,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
-    ap.add_argument("--path", choices=("fused", "pallas", "xla", "all"),
-                    default="fused")
+    ap.add_argument(
+        "--path",
+        choices=("fused", "blocked", "pallas", "xla", "all"),
+        default="fused",
+    )
     ap.add_argument("--parse", action="store_true",
                     help="also measure host entropy-parse throughput")
     ap.add_argument("--e2e", action="store_true",
@@ -213,6 +226,9 @@ def main():
                     help="fused kernel block-row grouping (lane width knob)")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed run")
+    ap.add_argument("--blocked", action="store_true",
+                    help="also bench the fused kernel with blocked (non-"
+                         "raster) output — device-resident consumer layout")
     ap.add_argument("--sharded", action="store_true",
                     help="run the mesh-sharded decode over all local devices "
                          "and report scaling efficiency vs one device")
@@ -245,13 +261,13 @@ def main():
     d_seg = jax.device_put(jnp.asarray(seg))
     d_carry = jax.device_put(jnp.zeros((3, b, 64), jnp.int16))
 
-    def make_fused_chain(iters):
+    def make_fused_chain(iters, raster=True):
         @jax.jit
         def run(a, s, c):
             def body(i, cc):
                 _, nc = transform_fused.decode_window_fused(
                     a, s, cc, blocks_h=bh, blocks_w=bw,
-                    rows_per_step=cli.rows_per_step,
+                    rows_per_step=cli.rows_per_step, raster=raster,
                 )
                 return nc
             final = jax.lax.fori_loop(0, iters, body, c)
@@ -276,6 +292,12 @@ def main():
     paths = {}
     if cli.path in ("fused", "all"):
         paths["fused"] = make_fused_chain
+    if cli.path == "blocked" or cli.blocked:
+        # Device-resident consumers: blocked output layout, no raster
+        # transpose pass (the serving configuration for model-input feeds).
+        paths["fused_blocked"] = lambda iters: make_fused_chain(
+            iters, raster=False
+        )
     if cli.path in ("pallas", "all") and on_tpu:
         paths["pallas"] = make_generic_chain(
             lambda ay, acb, acr, s: transform_pallas.decode_transform_pallas(

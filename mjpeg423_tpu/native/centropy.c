@@ -55,10 +55,9 @@ static inline void br_init(BitReader* br, const uint8_t* data, size_t len) {
 static inline void br_refill(BitReader* br) {
   if (br->navail > 32) return;
   if (br->pos + 4 <= br->len) {
-    uint32_t w = ((uint32_t)br->data[br->pos] << 24) |
-                 ((uint32_t)br->data[br->pos + 1] << 16) |
-                 ((uint32_t)br->data[br->pos + 2] << 8) |
-                 (uint32_t)br->data[br->pos + 3];
+    uint32_t w;
+    memcpy(&w, br->data + br->pos, 4); /* single bswap beats 4 shift/ors */
+    w = __builtin_bswap32(w);
     br->acc = (br->acc << 32) | w;
     br->pos += 4;
     br->navail += 32;
@@ -79,9 +78,13 @@ static inline uint32_t br_get(BitReader* br, int n) {
   return v;
 }
 
-/* VLI sign extension (reference: lossless_decode.c:204) */
+/* VLI sign extension (reference: lossless_decode.c:204).  Branchless:
+ * when the top bit of the s-bit field is clear the value is negative and
+ * maps to x - (2^s - 1); amplitude signs are data-dependent so a branch
+ * here mispredicts ~50% of the time. */
 static inline int32_t huff_extend(uint32_t x, int s) {
-  return (x < (1u << (s - 1))) ? (int32_t)x - (1 << s) + 1 : (int32_t)x;
+  uint32_t neg = ((x >> (s - 1)) & 1u) ^ 1u;
+  return (int32_t)(x - neg * ((1u << s) - 1u));
 }
 
 /*
@@ -115,8 +118,9 @@ MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
     int index = 1;
     for (;;) {
       br_refill(&br);
-      int run = (int)br_get(&br, 4);
-      int size = (int)br_get(&br, 4);
+      uint32_t rs = br_get(&br, 8); /* run:4 size:4 in one pull */
+      int run = (int)(rs >> 4);
+      int size = (int)(rs & 15);
       if (size == 0) {
         if (run == 15) { /* ZRL */
           index += 16;

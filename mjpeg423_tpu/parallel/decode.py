@@ -120,6 +120,55 @@ def decode_transform_sharded(
     return fn(amps_y, amps_cb, amps_cr, is_iframe)
 
 
+def decode_stream_sharded(
+    data: bytes,
+    mesh: Mesh,
+    *,
+    use_pallas: bool = False,
+    interpret: bool | None = None,
+    decode_plane=None,
+) -> "jnp.ndarray":
+    """Whole-container sharded decode: bytes -> (F, H, W) uint32 frames.
+
+    Host-parses every frame (native batch decoder), pads the frame axis to
+    the data-axis size, and runs the mesh decode (frames over "data" with
+    the cross-device temporal carry, blocks over "block").  Convenience
+    wrapper for the single-call batch-decode use case; streaming callers use
+    runtime.DecodePipeline.
+    """
+    from ..codec.decoder import parse_coefficient_deltas
+    from ..core.format import parse_file
+
+    mpg = parse_file(data)
+    coefs = parse_coefficient_deltas(mpg, decode_plane)
+    f = coefs.num_frames
+    n_data = mesh.shape[DATA_AXIS]
+    pad = (-f) % n_data
+    import numpy as np
+
+    def padf(x):
+        if pad:
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+        return x
+
+    seg = padf((coefs.frame_types == 0).astype(bool))
+    args = shard_inputs(
+        mesh, padf(coefs.y), padf(coefs.cb), padf(coefs.cr), seg
+    )
+    frames = decode_transform_sharded(
+        *args,
+        mesh=mesh,
+        blocks_h=coefs.height // 8,
+        blocks_w=coefs.width // 8,
+        gop_aligned=False,
+        use_pallas=use_pallas,
+        interpret=interpret,
+    )
+    return frames[:f]
+
+
 def shard_inputs(
     mesh: Mesh,
     amps_y, amps_cb, amps_cr, is_iframe,

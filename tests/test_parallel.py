@@ -97,3 +97,19 @@ def test_decode_sharded_pallas_interpret(stream):
         interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_decode_stream_sharded_convenience(stream):
+    from mjpeg423_tpu.parallel.decode import decode_stream_sharded
+    from mjpeg423_tpu.codec import encoder as enc_mod
+
+    # 13 frames: NOT a multiple of the 4-way data axis (exercises padding).
+    rng = np.random.default_rng(99)
+    frames = make_test_frames(rng, num_frames=13, h=32, w=32)
+    data = enc_mod.encode_frames(frames, max_i_interval=5)
+    from mjpeg423_tpu.codec import decoder as dec_mod
+
+    want = dec_mod.decode_stream_array(data)
+    mesh = make_mesh(n_data=4, n_block=2)
+    got = np.asarray(decode_stream_sharded(data, mesh))
+    np.testing.assert_array_equal(got, want)
