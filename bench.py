@@ -123,6 +123,28 @@ def bench_parse(rng, f, b, h, w):
     )
 
 
+def bench_encode(rng, f, b, h, w):
+    """Encoder throughput: RGB frames -> container bytes (device FDCT path).
+
+    Covers host color conversion, the jit FDCT+quantize+diff transform, and
+    the threaded native entropy pack with candidate selection."""
+    from mjpeg423_tpu.codec import encoder
+    from mjpeg423_tpu.native import centropy
+
+    ee = centropy.encode_plane if centropy.native_available() else None
+    frames = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(f)
+    ]
+    data = encoder.encode_frames_device(frames, entropy_encode=ee)  # warm
+    t0 = time.perf_counter()
+    data = encoder.encode_frames_device(frames, entropy_encode=ee)
+    dt = time.perf_counter() - t0
+    _log(
+        f"stage=encode: {f} frames @ {w}x{h} -> {len(data) / 1e6:.1f} MB in "
+        f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode"
+    )
+
+
 def bench_e2e(rng, f, b, h, w, use_pallas):
     """Full streaming pipeline: container bytes -> host frames.
 
@@ -215,13 +237,15 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument(
         "--path",
-        choices=("fused", "blocked", "pallas", "xla", "all"),
+        choices=("fused", "blocked", "pallas", "xla", "all", "none"),
         default="fused",
     )
     ap.add_argument("--parse", action="store_true",
                     help="also measure host entropy-parse throughput")
     ap.add_argument("--e2e", action="store_true",
                     help="also measure the full streaming pipeline")
+    ap.add_argument("--encode", action="store_true",
+                    help="also measure encoder throughput")
     ap.add_argument("--rows-per-step", type=int, default=1,
                     help="fused kernel block-row grouping (lane width knob)")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -256,6 +280,8 @@ def main():
         bench_parse(rng, f, b, h, w)
     if cli.e2e:
         bench_e2e(rng, f, b, h, w, use_pallas=on_tpu)
+    if cli.encode:
+        bench_encode(rng, min(f, 8), b, h, w)
     amps, seg = make_amps(rng, f, b)
     d_amps = jax.device_put(jnp.asarray(amps))
     d_seg = jax.device_put(jnp.asarray(seg))
@@ -335,6 +361,10 @@ def main():
         )
 
     if not results:
+        if cli.path == "none":  # stages-only invocation
+            print(json.dumps({"metric": "stages_only", "value": 1,
+                              "unit": "ok", "vs_baseline": 0}))
+            return 0
         print(json.dumps({"metric": "decode_1080p_frames_per_s", "value": 0,
                           "unit": "frames/s", "vs_baseline": 0}))
         return 1

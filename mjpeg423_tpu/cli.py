@@ -105,7 +105,10 @@ def cmd_encode(args) -> int:
                 frames.extend(bmp.packed_to_rgb(f) for f in arr)
         else:
             frames.append(bmp.read_bmp(p))
-    data = encoder.encode_frames(frames, max_i_interval=args.max_i_interval)
+    encode = (
+        encoder.encode_frames if args.no_device else encoder.encode_frames_device
+    )
+    data = encode(frames, max_i_interval=args.max_i_interval)
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"encoded {len(frames)} frames -> {args.output} "
@@ -217,6 +220,9 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--max-i-interval", type=int, default=24)
+    p.add_argument("--no-device", action="store_true",
+                   help="use the NumPy reference transform instead of the "
+                        "device FDCT path (outputs are byte-identical)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("play", help="paced playback with stats")

@@ -260,7 +260,20 @@ class DecodePipeline:
                 if stop is not None and stop():
                     return
         finally:
+            # Unblock the producer if the consumer abandoned the generator
+            # mid-stream: it may be parked on a full queue.  Drain, give it a
+            # moment to observe the flag, then drain again (it re-checks
+            # stop_flag before every put, so at most one more item arrives).
             stop_flag.set()
+            for _ in range(2):
+                while True:
+                    try:
+                        parse_q.get_nowait()
+                    except queue.Empty:
+                        break
+                t.join(timeout=1.0)
+                if not t.is_alive():
+                    break
 
     def _drain(self, item) -> DecodedWindow:
         s, c, frames = item

@@ -41,9 +41,9 @@ class DecodeConfig:
     parse_workers: int = 0             # 0 = os.cpu_count()
     use_native_entropy: bool = True
 
-    # Mesh (single-host multi-chip)
-    mesh_data: int = 0                 # 0 = all devices on the data axis
-    mesh_block: int = 1
+    # Multi-chip execution is explicit, not config-driven: batch callers use
+    # parallel.decode_stream_sharded(data, mesh); streaming playback runs
+    # per-device (shard streams across chips via runtime.serve.StreamPool).
 
     @property
     def frame_period_us(self) -> float:

@@ -88,3 +88,19 @@ def test_pipeline_surfaces_corrupt_stream(stream):
     pipe = DecodePipeline(DecodeConfig(use_pallas=False))
     with pytest.raises(Exception):
         pipe.decode_array(bad)
+
+
+def test_pipeline_early_stop_reaps_producer(stream):
+    import threading
+    import time as _time
+
+    data, _ = stream
+    base = threading.active_count()
+    pipe = DecodePipeline(
+        DecodeConfig(use_pallas=False, frames_per_batch=2, prefetch_batches=1)
+    )
+    gen = pipe.decode(data)
+    next(gen)       # consume one window
+    gen.close()     # abandon mid-stream: producer must not stay parked
+    _time.sleep(0.2)
+    assert threading.active_count() <= base + 1  # thread pool may linger briefly
