@@ -218,6 +218,166 @@ def decode_window_fused(
     ), new_carry
 
 
+def pack_amps_i8(amps):
+    """Host-side compressed packing: (3, W, B, 64) int16 -> (dc, ac8) or None.
+
+    dc: (3, W, B) int16 (DC needs the full range — the I-frame cumsum wraps
+    int16); ac8: (3, W, B, 64) int8 with position 0 zeroed.  Returns None
+    when any AC amplitude exceeds int8 (the caller uses the int16 kernel —
+    VLI amplitudes reach +/-2047, but quantized AC of real content rarely
+    leaves int8).  Input HBM traffic drops 128 -> 66 bytes per block.
+    """
+    import numpy as np
+
+    ac = amps[..., 1:]
+    if ac.max(initial=0) > 127 or ac.min(initial=0) < -128:
+        return None
+    dc = np.ascontiguousarray(amps[..., 0])
+    ac8 = amps.astype(np.int8)
+    ac8[..., 0] = 0
+    return dc, ac8
+
+
+def _make_kernel_i8(w_frames: int):
+    def kernel(seg_ref, quants_ref, dc_ref, ac_ref, carry_ref, out_ref,
+               carry_out_ref, state):
+        """int8-AC variant of the fused window kernel (same math, the AC
+        amplitudes widen in VMEM; DC merges into lane 0 via a select)."""
+        for p in range(3):
+            state[p] = carry_ref[p, 0]
+
+        def frame_body(f, _):
+            is_i = seg_ref[f, 0] != 0
+            planes = []
+            for p in range(3):
+                ac = ac_ref[p, f, 0].astype(_I32)          # (bw, 64)
+                dc = dc_ref[p, f, 0].astype(_I32)          # (bw, 1)
+                lane = jax.lax.broadcasted_iota(_I32, ac.shape, 1)
+                amp = jnp.where(lane == 0, dc, ac)
+                delta = (
+                    amp * quants_ref[min(p, 1)].astype(_I32)
+                ).astype(jnp.int16)
+                st = jnp.where(
+                    is_i, delta, (state[p] + delta).astype(jnp.int16)
+                )
+                state[p] = st
+                planes.append(_idct_cm(st.T))
+            y, cb, cr = planes
+            cb = cb - _I32(128)
+            cr = cr - _I32(128)
+            yy = jax.lax.shift_left(y, _I32(T.COLOR_SHIFT))
+            r = _normalize_rgb(yy + _I32(T.C_CR_R) * cr)
+            g = _normalize_rgb(yy - _I32(T.C_CB_G) * cb - _I32(T.C_CR_G) * cr)
+            b = _normalize_rgb(yy + _I32(T.C_CB_B) * cb)
+            packed = (
+                b
+                | jax.lax.shift_left(g, _I32(8))
+                | jax.lax.shift_left(r, _I32(16))
+            ).astype(jnp.uint32)
+            out_ref[f, :, 0] = packed
+            return 0
+
+        jax.lax.fori_loop(0, w_frames, frame_body, 0)
+        for p in range(3):
+            carry_out_ref[p, 0] = state[p]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_h", "blocks_w", "interpret", "raster"),
+)
+def decode_window_fused_i8(
+    dc: jnp.ndarray,
+    ac8: jnp.ndarray,
+    seg: jnp.ndarray,
+    carry: jnp.ndarray,
+    *,
+    blocks_h: int,
+    blocks_w: int,
+    interpret: bool | None = None,
+    raster: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Compressed-input fused decode: see pack_amps_i8 for the format.
+
+    Bit-identical to decode_window_fused on inputs that pack losslessly.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, w_frames, b = dc.shape
+    assert b == blocks_h * blocks_w, (b, blocks_h, blocks_w)
+    quants = jnp.stack([
+        jnp.asarray(T.YQUANT64, dtype=jnp.int16),
+        jnp.asarray(T.CQUANT64, dtype=jnp.int16),
+    ])
+    seg_i = seg.astype(jnp.int32).reshape(w_frames, 1)
+    dc4 = dc.reshape(3, w_frames, blocks_h, blocks_w, 1)
+    ac5 = ac8.reshape(3, w_frames, blocks_h, blocks_w, 64)
+    carry4 = carry.reshape(3, blocks_h, blocks_w, 64)
+
+    frames, new_carry = pl.pallas_call(
+        _make_kernel_i8(w_frames),
+        grid=(blocks_h,),
+        in_specs=[
+            pl.BlockSpec(
+                (w_frames, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (2, 64), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, w_frames, 1, blocks_w, 1),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, w_frames, 1, blocks_w, 64),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, blocks_w, 64),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (w_frames, 8, 1, 8, blocks_w),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, blocks_w, 64),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (w_frames, 8, blocks_h, 8, blocks_w), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct((3, blocks_h, blocks_w, 64), jnp.int16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, blocks_w, 64), jnp.int16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2600 * 3 * w_frames * b,
+            bytes_accessed=ac8.size + dc.size * 2 + w_frames * b * 64 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg_i, quants, dc4, ac5, carry4)
+    new_carry = new_carry.reshape(3, b, 64)
+    if not raster:
+        return frames, new_carry
+    return frames.transpose(0, 2, 3, 4, 1).reshape(
+        w_frames, blocks_h * 8, blocks_w * 8
+    ), new_carry
+
+
 def blocked_to_raster_host(blocked: "np.ndarray"):  # noqa: F821
     """Host-side raster conversion of the kernel's blocked output.
 

@@ -67,3 +67,33 @@ def test_fused_windowed_carry_chain(stream):
         outs.append(np.asarray(frames))
     got = np.concatenate(outs, axis=0)
     np.testing.assert_array_equal(got, want)
+
+
+def test_i8_packed_kernel_matches_int16(stream):
+    coefs, want = stream
+    amps = _amps3(coefs)
+    seg = coefs.frame_types == 0
+    packed = transform_fused.pack_amps_i8(amps)
+    assert packed is not None, "test stream should fit int8 AC"
+    dc, ac8 = packed
+    carry = np.zeros((3, amps.shape[2], 64), dtype=np.int16)
+    frames, nc = transform_fused.decode_window_fused_i8(
+        dc, ac8, seg, carry,
+        blocks_h=coefs.height // 8, blocks_w=coefs.width // 8,
+    )
+    np.testing.assert_array_equal(np.asarray(frames), want)
+    # Carry matches the int16 kernel's carry too.
+    _, nc16 = transform_fused.decode_window_fused(
+        amps, seg, carry, blocks_h=coefs.height // 8,
+        blocks_w=coefs.width // 8,
+    )
+    np.testing.assert_array_equal(np.asarray(nc), np.asarray(nc16))
+
+
+def test_pack_amps_i8_rejects_wide_ac():
+    amps = np.zeros((3, 1, 4, 64), np.int16)
+    amps[0, 0, 0, 5] = 200  # AC beyond int8
+    assert transform_fused.pack_amps_i8(amps) is None
+    amps[0, 0, 0, 5] = 0
+    amps[0, 0, 0, 0] = 30000  # DC may use the full int16 range
+    assert transform_fused.pack_amps_i8(amps) is not None
