@@ -237,7 +237,7 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument(
         "--path",
-        choices=("fused", "blocked", "pallas", "xla", "all", "none"),
+        choices=("fused", "blocked", "i8", "pallas", "xla", "all", "none"),
         default="fused",
     )
     ap.add_argument("--parse", action="store_true",
@@ -318,6 +318,27 @@ def main():
     paths = {}
     if cli.path in ("fused", "all"):
         paths["fused"] = make_fused_chain
+    if cli.path == "i8":
+        from mjpeg423_tpu.ops.transform_fused import pack_amps_i8
+
+        packed = pack_amps_i8(amps)
+        assert packed is not None, "synthetic amps must fit int8 AC"
+        d_dc = jax.device_put(jnp.asarray(packed[0]))
+        d_ac = jax.device_put(jnp.asarray(packed[1]))
+
+        def make_i8_chain(iters):
+            @jax.jit
+            def run(dc, ac, s, c):
+                def body(i, cc):
+                    _, nc = transform_fused.decode_window_fused_i8(
+                        dc, ac, s, cc, blocks_h=bh, blocks_w=bw
+                    )
+                    return nc
+                final = jax.lax.fori_loop(0, iters, body, c)
+                return jnp.sum(final.astype(jnp.int32))
+            return lambda: run(d_dc, d_ac, d_seg, d_carry)
+
+        paths["fused_i8"] = make_i8_chain
     if cli.path == "blocked" or cli.blocked:
         # Device-resident consumers: blocked output layout, no raster
         # transpose pass (the serving configuration for model-input feeds).

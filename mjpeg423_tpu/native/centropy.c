@@ -170,6 +170,94 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
 }
 
 /*
+ * Packed-format decode: one plane into int16 DC (dc[num_blocks]) + int8 AC
+ * (ac[num_blocks*64], position 0 zeroed) — the compressed device input
+ * format (ops/transform_fused.py decode_window_fused_i8: 66 B/block of HBM
+ * traffic instead of 128).  Returns 0 on success, -1 on corrupt stream,
+ * +1 when any AC amplitude exceeds int8 (caller falls back to the int16
+ * decoder; VLI amplitudes reach +/-2047 but quantized AC of real content
+ * rarely does).
+ */
+static int decode_plane_i8(const uint8_t* bits, size_t bits_len,
+                           int num_blocks, int is_p,
+                           int16_t* dc_out, int8_t* ac_out) {
+  BitReader br;
+  br_init(&br, bits, bits_len);
+  memset(ac_out, 0, (size_t)num_blocks * 64);
+  int16_t cur = 0;
+
+  for (int b = 0; b < num_blocks; b++) {
+    int8_t* row = ac_out + (size_t)b * 64;
+    br_refill(&br);
+    {
+      int size = (int)br_get(&br, 4);
+      int32_t amp = 0;
+      if (size) amp = huff_extend(br_get(&br, size), size);
+      if (is_p) {
+        dc_out[b] = (int16_t)amp;
+      } else {
+        cur = (int16_t)(cur + (int16_t)amp);
+        dc_out[b] = cur;
+      }
+    }
+    int index = 1;
+    for (;;) {
+      br_refill(&br);
+      uint32_t rs = br_get(&br, 8);
+      int run = (int)(rs >> 4);
+      int size = (int)(rs & 15);
+      if (size == 0) {
+        if (run == 15) {
+          index += 16;
+          if (index > 64) return -1;
+          continue;
+        }
+        break;
+      }
+      int32_t amp = huff_extend(br_get(&br, size), size);
+      if (amp > 127 || amp < -128) return 1; /* does not fit the packed format */
+      index += run;
+      if (index > 63) return -1;
+      row[ZZ[index]] = (int8_t)amp;
+      if (index >= 63) break;
+      index++;
+    }
+  }
+  return 0;
+}
+
+/*
+ * Batched packed decode.  Returns 0 (all packed), -(1+i) (item i corrupt),
+ * or +1 (some item overflowed int8 — caller re-decodes with the int16
+ * batch; outputs are undefined in that case).
+ */
+MJ_EXPORT int mj423_decode_batch_i8(const uint8_t* data,
+                                    const uint64_t* offsets,
+                                    const uint64_t* lengths,
+                                    const uint8_t* is_p, int n_items,
+                                    int num_blocks, int16_t* dc_out,
+                                    int8_t* ac_out) {
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int i = 0; i < n_items; i++) {
+    int rc = decode_plane_i8(data + offsets[i], (size_t)lengths[i],
+                             num_blocks, is_p[i],
+                             dc_out + (size_t)i * num_blocks,
+                             ac_out + (size_t)i * num_blocks * 64);
+    if (rc != 0) {
+      int code = (rc < 0) ? -(1 + i) : 1;
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      { if (err >= 0 || code < 0) err = (err < 0) ? err : code; }
+    }
+  }
+  return err;
+}
+
+/*
  * Container frame indexing: chain frame_size fields to fill per-frame
  * type + per-plane (offset, length) tables (the cheap index pass that
  * unlocks parallel entropy decode; reference: mjpeg423_decoder.c:94-98).

@@ -79,6 +79,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.mj423_decode_batch_i8.restype = ctypes.c_int
+        lib.mj423_decode_batch_i8.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int8),
+        ]
         lib.mj423_index_frames.restype = ctypes.c_int
         lib.mj423_index_frames.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_int,
@@ -155,6 +163,47 @@ def decode_batch(
     if rc != 0:
         raise ValueError(f"corrupt MJPEG423 plane bitstream (item {-rc - 1})")
     return out
+
+
+def decode_batch_i8(
+    data: bytes | np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    is_p: np.ndarray,
+    num_blocks: int,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Packed-format batch decode: (dc (N, B) int16, ac (N, B, 64) int8).
+
+    Returns None when the native codec is unavailable OR any AC amplitude
+    exceeds int8 (caller falls back to decode_batch); raises on corrupt
+    streams.  This is the zero-extra-cost producer for the compressed fused
+    kernel (decode_window_fused_i8).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(offsets.shape[0])
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
+    is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    dc = np.empty((n, num_blocks), dtype=np.int16)
+    ac = np.empty((n, num_blocks, 64), dtype=np.int8)
+    rc = lib.mj423_decode_batch_i8(
+        data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, num_blocks,
+        dc.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+    )
+    if rc < 0:
+        raise ValueError(f"corrupt MJPEG423 plane bitstream (item {-rc - 1})")
+    if rc > 0:
+        return None  # overflowed the packed format
+    return dc, ac
 
 
 def index_frames(

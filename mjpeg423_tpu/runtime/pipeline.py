@@ -64,6 +64,13 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
 
     if use_pallas:
         def fused_step(amps, seg, carry):
+            """amps: (3, W, B, 64) int16 OR packed (dc, ac8) tuple."""
+            if isinstance(amps, tuple):
+                dc, ac8 = amps
+                return transform_fused.decode_window_fused_i8(
+                    dc, ac8, seg, carry, blocks_h=blocks_h,
+                    blocks_w=blocks_w, interpret=interpret,
+                )
             return transform_fused.decode_window_fused(
                 amps, seg, carry, blocks_h=blocks_h, blocks_w=blocks_w,
                 interpret=interpret,
@@ -128,9 +135,18 @@ class DecodePipeline:
         return entropy_ref.decode_plane
 
     def parse_window(
-        self, data: bytes, index: fmt.FrameIndex, start: int, count: int
-    ) -> np.ndarray:
-        """Entropy-decode frames [start, start+count) -> (3, count, B, 64) int16."""
+        self, data: bytes, index: fmt.FrameIndex, start: int, count: int,
+        want_packed: bool = False,
+    ):
+        """Entropy-decode frames [start, start+count).
+
+        Returns (3, count, B, 64) int16 amplitudes, or — when want_packed
+        and every AC amplitude fits int8 — the compressed
+        (dc (3, count, B) int16, ac (3, count, B, 64) int8) pair consumed by
+        the i8 fused kernel (half the host->device bytes and HBM input
+        traffic; the native decoder emits it directly at no extra parse
+        cost and signals fallback when a stream needs the full range).
+        """
         nb = index.header.blocks_per_plane
         with self.profiler.time("parse/window"):
             if self._decode_plane_fn() is None:
@@ -141,6 +157,17 @@ class DecodePipeline:
                 is_p = np.broadcast_to(
                     index.frame_type[sl] != 0, (3, count)
                 ).reshape(-1)
+                if want_packed:
+                    packed = centropy.decode_batch_i8(
+                        data, offs, lens, is_p, nb
+                    )
+                    if packed is not None:
+                        dc, ac = packed
+                        self.profiler.probe("parse/i8_windows").add(1)
+                        return (
+                            dc.reshape(3, count, nb),
+                            ac.reshape(3, count, nb, 64),
+                        )
                 out = centropy.decode_batch(data, offs, lens, is_p, nb)
                 return out.reshape(3, count, nb, 64)
             out = np.empty((3, count, nb, 64), dtype=np.int16)
@@ -210,13 +237,16 @@ class DecodePipeline:
         parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
         stop_flag = threading.Event()
 
+        want_packed = cfg.use_pallas and cfg.pack_i8
+
         def producer():
             try:
                 with ThreadPoolExecutor(max_workers=workers) as ex:
                     futs = []
                     for s, c in windows:
                         futs.append((s, c, ex.submit(
-                            self.parse_window, data, index, s, c
+                            self.parse_window, data, index, s, c,
+                            want_packed,
                         )))
                     for s, c, fut in futs:
                         if stop_flag.is_set():
@@ -238,15 +268,26 @@ class DecodePipeline:
                 if item is None:
                     break
                 s, c, amps = item
-                if c < w:  # pad the tail window (zero deltas repeat last frame)
-                    pad = np.zeros((3, w, nb, 64), dtype=np.int16)
-                    pad[:, :c] = amps
-                    amps = pad
+                if isinstance(amps, tuple):  # packed (dc, ac8)
+                    dc, ac = amps
+                    if c < w:  # pad tail (zero deltas repeat last frame)
+                        pdc = np.zeros((3, w, nb), dtype=np.int16)
+                        pac = np.zeros((3, w, nb, 64), dtype=np.int8)
+                        pdc[:, :c] = dc
+                        pac[:, :c] = ac
+                        dc, ac = pdc, pac
+                    dev_amps = (jnp.asarray(dc), jnp.asarray(ac))
+                else:
+                    if c < w:
+                        pad = np.zeros((3, w, nb, 64), dtype=np.int16)
+                        pad[:, :c] = amps
+                        amps = pad
+                    dev_amps = jnp.asarray(amps)
                 seg = np.zeros(w, dtype=bool)
                 seg[: min(c, w)] = index.is_iframe[s:s + c]
                 with self.profiler.time("device/dispatch"):
                     frames, carry = step(
-                        jnp.asarray(amps), jnp.asarray(seg), carry
+                        dev_amps, jnp.asarray(seg), carry
                     )
                 pending.append((s, c, frames))
                 # Keep prefetch_batches windows in flight; drain the oldest.

@@ -33,6 +33,8 @@ class DecodeConfig:
 
     # Device execution
     use_pallas: bool = True
+    pack_i8: bool = True               # compressed int8-AC device input when
+                                       # amplitudes fit (auto int16 fallback)
     pallas_tile: int = 512
     frames_per_batch: int = 24        # device batch (typically one GOP)
     prefetch_batches: int = 2          # host->device in-flight batches
