@@ -290,8 +290,11 @@ class DecodePipeline:
                         dev_amps, jnp.asarray(seg), carry
                     )
                 pending.append((s, c, frames))
-                # Keep prefetch_batches windows in flight; drain the oldest.
-                while len(pending) > cfg.prefetch_batches:
+                # The output ring: up to num_output_buffers decoded windows
+                # stay device-resident in flight (the N-deep framebuffer
+                # ring, ece423_vid_ctl.c:96-116); drain the oldest beyond it.
+                ring = max(1, cfg.num_output_buffers)
+                while len(pending) > ring:
                     yield self._drain(pending.pop(0))
                     if stop is not None and stop():
                         stop_flag.set()

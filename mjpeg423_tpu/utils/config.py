@@ -33,8 +33,15 @@ class DecodeConfig:
 
     # Device execution
     use_pallas: bool = True
-    pack_i8: bool = True               # compressed int8-AC device input when
-                                       # amplitudes fit (auto int16 fallback)
+    pack_i8: bool = False              # compressed int8-AC device input when
+                                       # amplitudes fit (auto int16 fallback).
+                                       # Off by default: on v5e the int8
+                                       # widening costs more than the saved
+                                       # bandwidth (4.30 vs 1.87 ms/batch at
+                                       # 1080p); it halves host->device bytes,
+                                       # so enable when the interconnect is
+                                       # the bottleneck or on chips with fast
+                                       # sub-word vector unpack
     pallas_tile: int = 512
     frames_per_batch: int = 24        # device batch (typically one GOP)
     prefetch_batches: int = 2          # host->device in-flight batches
