@@ -237,7 +237,8 @@ def main():
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument(
         "--path",
-        choices=("fused", "blocked", "i8", "pallas", "xla", "all", "none"),
+        choices=("fused", "cm", "blocked", "i8", "pallas", "xla", "all",
+                 "none"),
         default="fused",
     )
     ap.add_argument("--parse", action="store_true",
@@ -318,6 +319,24 @@ def main():
     paths = {}
     if cli.path in ("fused", "all"):
         paths["fused"] = make_fused_chain
+    if cli.path == "cm":
+        f_cm = amps.reshape(3, f, bh, bw, 64).transpose(0, 1, 2, 4, 3)
+        d_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(f_cm)))
+        d_carry_cm = jax.device_put(jnp.zeros((3, bh, 64, bw), jnp.int16))
+
+        def make_cm_chain(iters):
+            @jax.jit
+            def run(a, s, c):
+                def body(i, cc):
+                    _, nc = transform_fused.decode_window_fused_cm(
+                        a, s, cc, blocks_h=bh, blocks_w=bw
+                    )
+                    return nc
+                final = jax.lax.fori_loop(0, iters, body, c)
+                return jnp.sum(final.astype(jnp.int32))
+            return lambda: run(d_cm, d_seg, d_carry_cm)
+
+        paths["fused_cm"] = make_cm_chain
     if cli.path == "i8":
         from mjpeg423_tpu.ops.transform_fused import pack_amps_i8
 

@@ -170,6 +170,101 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
 }
 
 /*
+ * Coefficient-major decode: one plane into out[64][num_blocks] int16 —
+ * coefficient index major, block index minor.  This is the fused TPU
+ * kernel's natural layout (ops/transform_fused.py: butterflies want
+ * (coef-sublane, block-lane) tiles), so emitting it here removes the
+ * per-frame in-VMEM transposes from the kernel at zero parse cost (the
+ * scatter stride changes, nothing else).
+ */
+static int decode_plane_cm(const uint8_t* bits, size_t bits_len,
+                           int num_blocks, int row_blocks, int is_p,
+                           int16_t* out) {
+  BitReader br;
+  br_init(&br, bits, bits_len);
+  memset(out, 0, (size_t)num_blocks * 64 * sizeof(int16_t));
+  int16_t cur = 0;
+  const size_t stride = (size_t)row_blocks; /* coef stride within a row */
+  size_t base = 0; /* (by * 64 + 0) * row_blocks + bx for current block */
+  int bx = 0;
+
+  for (int b = 0; b < num_blocks; b++) {
+    br_refill(&br);
+    {
+      int size = (int)br_get(&br, 4);
+      int32_t amp = 0;
+      if (size) amp = huff_extend(br_get(&br, size), size);
+      if (is_p) {
+        out[base] = (int16_t)amp;
+      } else {
+        cur = (int16_t)(cur + (int16_t)amp);
+        out[base] = cur;
+      }
+    }
+    int index = 1;
+    for (;;) {
+      br_refill(&br);
+      uint32_t rs = br_get(&br, 8);
+      int run = (int)(rs >> 4);
+      int size = (int)(rs & 15);
+      if (size == 0) {
+        if (run == 15) {
+          index += 16;
+          if (index > 64) return -1;
+          continue;
+        }
+        break;
+      }
+      int32_t amp = huff_extend(br_get(&br, size), size);
+      index += run;
+      if (index > 63) return -1;
+      out[base + (size_t)ZZ[index] * stride] = (int16_t)amp;
+      if (index >= 63) break;
+      index++;
+    }
+    /* advance to the next block: bx minor, block-rows jump 64*row_blocks */
+    bx++;
+    base++;
+    if (bx == row_blocks) {
+      bx = 0;
+      base += (size_t)63 * stride;
+    }
+  }
+  return 0;
+}
+
+/*
+ * Batched coefficient-major decode: per item the layout is
+ * (num_blocks/row_blocks, 64, row_blocks) int16 — block-row major,
+ * coefficient middle, block-in-row minor.  num_blocks must divide by
+ * row_blocks.  Returns 0, or -(1+i) if item i failed.
+ */
+MJ_EXPORT int mj423_decode_batch_cm(const uint8_t* data,
+                                    const uint64_t* offsets,
+                                    const uint64_t* lengths,
+                                    const uint8_t* is_p, int n_items,
+                                    int num_blocks, int row_blocks,
+                                    int16_t* out) {
+  if (row_blocks <= 0 || num_blocks % row_blocks) return -1000000;
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int i = 0; i < n_items; i++) {
+    int rc = decode_plane_cm(data + offsets[i], (size_t)lengths[i],
+                             num_blocks, row_blocks, is_p[i],
+                             out + (size_t)i * num_blocks * 64);
+    if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp atomic write
+#endif
+      err = -(1 + i);
+    }
+  }
+  return err;
+}
+
+/*
  * Packed-format decode: one plane into int16 DC (dc[num_blocks]) + int8 AC
  * (ac[num_blocks*64], position 0 zeroed) — the compressed device input
  * format (ops/transform_fused.py decode_window_fused_i8: 66 B/block of HBM

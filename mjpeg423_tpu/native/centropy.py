@@ -79,6 +79,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.mj423_decode_batch_cm.restype = ctypes.c_int
+        lib.mj423_decode_batch_cm.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int16),
+        ]
         lib.mj423_decode_batch_i8.restype = ctypes.c_int
         lib.mj423_decode_batch_i8.argtypes = [
             ctypes.c_char_p,
@@ -162,6 +170,44 @@ def decode_batch(
     )
     if rc != 0:
         raise ValueError(f"corrupt MJPEG423 plane bitstream (item {-rc - 1})")
+    return out
+
+
+def decode_batch_cm(
+    data: bytes | np.ndarray,
+    offsets: np.ndarray,
+    lengths: np.ndarray,
+    is_p: np.ndarray,
+    num_blocks: int,
+    row_blocks: int,
+) -> np.ndarray | None:
+    """Coefficient-major batch decode: (N, bh, 64, bw) int16.
+
+    The fused kernel's native layout (no in-VMEM transposes); None when the
+    native codec is unavailable (callers fall back to block-major + the
+    transposing kernel).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = int(offsets.shape[0])
+    offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
+    lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
+    is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
+    if isinstance(data, np.ndarray):
+        data = data.tobytes()
+    bh = num_blocks // row_blocks
+    out = np.empty((n, bh, 64, row_blocks), dtype=np.int16)
+    rc = lib.mj423_decode_batch_cm(
+        data,
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, num_blocks, row_blocks,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise ValueError(f"corrupt MJPEG423 plane bitstream (code {rc})")
     return out
 
 

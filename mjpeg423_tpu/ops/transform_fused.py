@@ -218,6 +218,140 @@ def decode_window_fused(
     ), new_carry
 
 
+def _make_kernel_cm(w_frames: int):
+    def kernel(seg_ref, quants_ref, amps_ref, carry_ref, out_ref,
+               carry_out_ref, state):
+        """Coefficient-major variant: amps arrive as (.., 64, bw) tiles so
+        neither the state nor the IDCT input needs an in-VMEM transpose
+        (the kernel is VPU-bound, not bandwidth-bound — transposes were
+        measurable).  State scratch is (3, 64, bw) coefficient-major."""
+        for p in range(3):
+            state[p] = carry_ref[p, 0]
+
+        def frame_body(f, _):
+            is_i = seg_ref[f, 0] != 0
+            planes = []
+            for p in range(3):
+                amp = amps_ref[p, f, 0]                 # (64, bw) int16
+                # Widen before the (64,) -> (64, 1) reshape: Mosaic only
+                # supports non-no-op minor-dim insertion on 32-bit types.
+                q = quants_ref[min(p, 1)].astype(_I32).reshape(64, 1)
+                delta = (amp.astype(_I32) * q).astype(jnp.int16)
+                st = jnp.where(
+                    is_i, delta, (state[p] + delta).astype(jnp.int16)
+                )
+                state[p] = st
+                planes.append(_idct_cm(st))             # no transpose
+            y, cb, cr = planes
+            cb = cb - _I32(128)
+            cr = cr - _I32(128)
+            yy = jax.lax.shift_left(y, _I32(T.COLOR_SHIFT))
+            r = _normalize_rgb(yy + _I32(T.C_CR_R) * cr)
+            g = _normalize_rgb(yy - _I32(T.C_CB_G) * cb - _I32(T.C_CR_G) * cr)
+            b = _normalize_rgb(yy + _I32(T.C_CB_B) * cb)
+            packed = (
+                b
+                | jax.lax.shift_left(g, _I32(8))
+                | jax.lax.shift_left(r, _I32(16))
+            ).astype(jnp.uint32)
+            out_ref[f, :, 0] = packed
+            return 0
+
+        jax.lax.fori_loop(0, w_frames, frame_body, 0)
+        for p in range(3):
+            carry_out_ref[p, 0] = state[p]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("blocks_h", "blocks_w", "interpret", "raster"),
+)
+def decode_window_fused_cm(
+    amps_cm: jnp.ndarray,
+    seg: jnp.ndarray,
+    carry_cm: jnp.ndarray,
+    *,
+    blocks_h: int,
+    blocks_w: int,
+    interpret: bool | None = None,
+    raster: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Coefficient-major fused decode.
+
+    amps_cm:  (3, W, bh, 64, bw) int16 — the native parser's
+              decode_batch_cm layout (centropy.c decode_plane_cm).
+    carry_cm: (3, bh, 64, bw) int16 state in the same layout.
+    Output identical to decode_window_fused.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    _, w_frames, bh, _, bw = amps_cm.shape
+    assert (bh, bw) == (blocks_h, blocks_w), (bh, bw, blocks_h, blocks_w)
+    quants = jnp.stack([
+        jnp.asarray(T.YQUANT64, dtype=jnp.int16),
+        jnp.asarray(T.CQUANT64, dtype=jnp.int16),
+    ])
+    seg_i = seg.astype(jnp.int32).reshape(w_frames, 1)
+
+    frames, new_carry = pl.pallas_call(
+        _make_kernel_cm(w_frames),
+        grid=(blocks_h,),
+        in_specs=[
+            pl.BlockSpec(
+                (w_frames, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (2, 64), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (3, w_frames, 1, 64, blocks_w),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, 64, blocks_w),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (w_frames, 8, 1, 8, blocks_w),
+                lambda i: (0, 0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 1, 64, blocks_w),
+                lambda i: (0, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(
+                (w_frames, 8, blocks_h, 8, blocks_w), jnp.uint32
+            ),
+            jax.ShapeDtypeStruct((3, blocks_h, 64, blocks_w), jnp.int16),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, 64, blocks_w), jnp.int16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2600 * 3 * w_frames * blocks_h * blocks_w,
+            bytes_accessed=amps_cm.size * 2
+            + w_frames * blocks_h * blocks_w * 64 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(seg_i, quants, amps_cm, carry_cm)
+    if not raster:
+        return frames, new_carry
+    return frames.transpose(0, 2, 3, 4, 1).reshape(
+        w_frames, blocks_h * 8, blocks_w * 8
+    ), new_carry
+
+
 def pack_amps_i8(amps):
     """Host-side compressed packing: (3, W, B, 64) int16 -> (dc, ac8) or None.
 

@@ -64,9 +64,18 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
 
     if use_pallas:
         def fused_step(amps, seg, carry):
-            """amps: (3, W, B, 64) int16 OR packed (dc, ac8) tuple."""
+            """Dispatch on the parse output format:
+            ("cm", a)   — coefficient-major (3, W, bh, 64, bw) int16
+            ("i8", dc, ac8) — compressed int16 DC + int8 AC
+            plain array — block-major (3, W, B, 64) int16
+            """
+            if isinstance(amps, tuple) and amps[0] == "cm":
+                return transform_fused.decode_window_fused_cm(
+                    amps[1], seg, carry, blocks_h=blocks_h,
+                    blocks_w=blocks_w, interpret=interpret,
+                )
             if isinstance(amps, tuple):
-                dc, ac8 = amps
+                _, dc, ac8 = amps
                 return transform_fused.decode_window_fused_i8(
                     dc, ac8, seg, carry, blocks_h=blocks_h,
                     blocks_w=blocks_w, interpret=interpret,
@@ -137,6 +146,7 @@ class DecodePipeline:
     def parse_window(
         self, data: bytes, index: fmt.FrameIndex, start: int, count: int,
         want_packed: bool = False,
+        want_cm: bool = False,
     ):
         """Entropy-decode frames [start, start+count).
 
@@ -157,6 +167,15 @@ class DecodePipeline:
                 is_p = np.broadcast_to(
                     index.frame_type[sl] != 0, (3, count)
                 ).reshape(-1)
+                if want_cm:
+                    bh = index.header.blocks_h
+                    bw = index.header.blocks_w
+                    cm = centropy.decode_batch_cm(
+                        data, offs, lens, is_p, nb, bw
+                    )
+                    if cm is not None:
+                        self.profiler.probe("parse/cm_windows").add(1)
+                        return ("cm", cm.reshape(3, count, bh, 64, bw))
                 if want_packed:
                     packed = centropy.decode_batch_i8(
                         data, offs, lens, is_p, nb
@@ -165,6 +184,7 @@ class DecodePipeline:
                         dc, ac = packed
                         self.profiler.probe("parse/i8_windows").add(1)
                         return (
+                            "i8",
                             dc.reshape(3, count, nb),
                             ac.reshape(3, count, nb, 64),
                         )
@@ -238,6 +258,10 @@ class DecodePipeline:
         stop_flag = threading.Event()
 
         want_packed = cfg.use_pallas and cfg.pack_i8
+        want_cm = (
+            cfg.use_pallas and cfg.coef_major and not want_packed
+            and centropy.native_available()
+        )
 
         def producer():
             try:
@@ -246,7 +270,7 @@ class DecodePipeline:
                     for s, c in windows:
                         futs.append((s, c, ex.submit(
                             self.parse_window, data, index, s, c,
-                            want_packed,
+                            want_packed, want_cm,
                         )))
                     for s, c, fut in futs:
                         if stop_flag.is_set():
@@ -260,7 +284,10 @@ class DecodePipeline:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
+        if want_cm:
+            carry = jnp.zeros((3, hdr.blocks_h, 64, hdr.blocks_w), jnp.int16)
+        else:
+            carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
         pending: list[tuple[int, int, object]] = []
         try:
             while True:
@@ -268,15 +295,24 @@ class DecodePipeline:
                 if item is None:
                     break
                 s, c, amps = item
-                if isinstance(amps, tuple):  # packed (dc, ac8)
-                    dc, ac = amps
+                if isinstance(amps, tuple) and amps[0] == "cm":
+                    cm = amps[1]
                     if c < w:  # pad tail (zero deltas repeat last frame)
+                        pcm = np.zeros(
+                            (3, w) + cm.shape[2:], dtype=np.int16
+                        )
+                        pcm[:, :c] = cm
+                        cm = pcm
+                    dev_amps = ("cm", jnp.asarray(cm))
+                elif isinstance(amps, tuple):  # packed ("i8", dc, ac8)
+                    _, dc, ac = amps
+                    if c < w:
                         pdc = np.zeros((3, w, nb), dtype=np.int16)
                         pac = np.zeros((3, w, nb, 64), dtype=np.int8)
                         pdc[:, :c] = dc
                         pac[:, :c] = ac
                         dc, ac = pdc, pac
-                    dev_amps = (jnp.asarray(dc), jnp.asarray(ac))
+                    dev_amps = ("i8", jnp.asarray(dc), jnp.asarray(ac))
                 else:
                     if c < w:
                         pad = np.zeros((3, w, nb, 64), dtype=np.int16)

@@ -33,6 +33,11 @@ class DecodeConfig:
 
     # Device execution
     use_pallas: bool = True
+    coef_major: bool = True            # native parser emits coefficient-major
+                                       # tensors so the fused kernel skips its
+                                       # in-VMEM transposes (kernel is
+                                       # VPU-bound); ignored without the
+                                       # native codec or with pack_i8
     pack_i8: bool = False              # compressed int8-AC device input when
                                        # amplitudes fit (auto int16 fallback).
                                        # Off by default: on v5e the int8
