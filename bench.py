@@ -239,7 +239,7 @@ def main():
         "--path",
         choices=("fused", "cm", "blocked", "i8", "pallas", "xla", "all",
                  "none"),
-        default="fused",
+        default="cm",
     )
     ap.add_argument("--parse", action="store_true",
                     help="also measure host entropy-parse throughput")
