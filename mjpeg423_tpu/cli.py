@@ -117,20 +117,34 @@ def cmd_encode(args) -> int:
 
 
 def cmd_play(args) -> int:
+    """Playback of one or more videos in sequence (the reference's
+    Play/NextVideo buttons — main.c:54-127 cycles .MPG files; --loop wraps
+    at the playlist end like core1's directory browse, main.c:166-219)."""
     from .runtime import Player
     from .utils.config import DecodeConfig
 
-    data = _load_stream(args.input)
     cfg = DecodeConfig(fps=args.fps, use_pallas=not args.no_pallas)
-    player = Player(data, cfg)
-    if args.start_s:
-        player.seek_to_iframe(int(args.start_s * args.fps))
-    stats = player.play(paced=not args.no_pace)
-    print(
-        f"played {stats.frames_delivered} frames in {stats.wall_s:.3f}s "
-        f"({stats.fps:.2f} fps, {stats.frames_late} late)",
-        file=sys.stderr,
-    )
+    playlist = list(args.inputs)
+    total = 0
+    rounds = 0
+    while True:
+        for path in playlist:
+            player = Player(_load_stream(path), cfg)
+            if args.start_s:
+                player.seek_to_iframe(int(args.start_s * args.fps))
+            stats = player.play(paced=not args.no_pace)
+            total += stats.frames_delivered
+            print(
+                f"{path}: {stats.frames_delivered} frames in "
+                f"{stats.wall_s:.3f}s ({stats.fps:.2f} fps, "
+                f"{stats.frames_late} late)",
+                file=sys.stderr,
+            )
+        rounds += 1
+        if not args.loop or rounds >= args.loop:
+            break
+    if len(playlist) > 1 or args.loop:
+        print(f"playlist total: {total} frames", file=sys.stderr)
     return 0
 
 
@@ -225,12 +239,14 @@ def main(argv=None) -> int:
                         "device FDCT path (outputs are byte-identical)")
     p.set_defaults(fn=cmd_encode)
 
-    p = sub.add_parser("play", help="paced playback with stats")
-    p.add_argument("input")
+    p = sub.add_parser("play", help="paced playback with stats (playlist ok)")
+    p.add_argument("inputs", nargs="+")
     p.add_argument("--fps", type=float, default=24.0)
     p.add_argument("--no-pace", action="store_true")
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--start-s", type=float, default=0.0)
+    p.add_argument("--loop", type=int, default=0,
+                   help="repeat the playlist N times (0 = once)")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("selftest", help="encode/decode round-trip self-check")

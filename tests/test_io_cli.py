@@ -150,3 +150,16 @@ def test_serve_retry_commits_once(stream):
     pool.pipeline.decode = flaky
     stats = pool.decode_all([data], retries=1)
     assert stats.frames == 10  # counted once despite the retry
+
+
+def test_cli_play_playlist(tmp_path, stream, capsys):
+    data, _ = stream
+    paths = []
+    for k in range(2):
+        p = str(tmp_path / f"pl{k}.mpg")
+        with open(p, "wb") as f:
+            f.write(data)
+        paths.append(p)
+    assert cli.main(["play", *paths, "--no-pace", "--no-pallas"]) == 0
+    err = capsys.readouterr().err
+    assert "playlist total: 20 frames" in err
