@@ -58,7 +58,7 @@ def cmd_decode(args) -> int:
 
     data = _load_stream(args.input)
     cfg = DecodeConfig(
-        use_pallas=not args.no_pallas,
+        use_pallas=False if args.no_pallas else None,
         frames_per_batch=args.batch,
     )
     profiler = Profiler()
@@ -123,7 +123,7 @@ def cmd_play(args) -> int:
     from .runtime import Player
     from .utils.config import DecodeConfig
 
-    cfg = DecodeConfig(fps=args.fps, use_pallas=not args.no_pallas)
+    cfg = DecodeConfig(fps=args.fps, use_pallas=False if args.no_pallas else None)
     playlist = list(args.inputs)
     total = 0
     rounds = 0
@@ -169,7 +169,7 @@ def cmd_selftest(args) -> int:
         frames.append(f)
     data = encoder.encode_frames_device(frames, max_i_interval=4)
     want = decoder.decode_stream_array(data)
-    pipe = DecodePipeline(DecodeConfig(use_pallas=not args.no_pallas,
+    pipe = DecodePipeline(DecodeConfig(use_pallas=False if args.no_pallas else None,
                                        frames_per_batch=3))
     got = pipe.decode_array(data)
     ok = np.array_equal(got, want)
@@ -189,7 +189,7 @@ def cmd_serve(args) -> int:
     from .utils.config import DecodeConfig
 
     streams = [_load_stream(p) for p in args.inputs]
-    cfg = DecodeConfig(use_pallas=not args.no_pallas)
+    cfg = DecodeConfig(use_pallas=False if args.no_pallas else None)
     pool = StreamPool(cfg)
     stats = pool.decode_all(streams, max_concurrent=args.concurrent)
     print(

@@ -204,18 +204,25 @@ class DecodePipeline:
 
     # ----- Stage B: device step ----------------------------------------
 
+    def _use_pallas(self) -> bool:
+        """Resolve the use_pallas=None auto default: fused kernel on TPU,
+        XLA elsewhere.  Forcing True off-TPU runs the Pallas interpreter —
+        orders of magnitude slower than XLA-on-CPU; tests only."""
+        if self.config.use_pallas is None:
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.config.use_pallas
+
     def _get_step(self, blocks_h: int, blocks_w: int):
-        key = (blocks_h, blocks_w, self.config.use_pallas)
+        use_pallas = self._use_pallas()
+        key = (blocks_h, blocks_w, use_pallas)
         if key not in self._step_cache:
             import jax
 
             on_tpu = jax.default_backend() == "tpu"
-            # Off-TPU the fused kernel still works via the interpreter, but
-            # it is orders of magnitude slower than XLA-on-CPU; only use it
-            # when explicitly forced (config.use_pallas on a CPU backend is
-            # honored for testing).
             self._step_cache[key] = _device_step_factory(
-                blocks_h, blocks_w, self.config.use_pallas,
+                blocks_h, blocks_w, use_pallas,
                 self.config.pallas_tile, None if on_tpu else True,
             )
         return self._step_cache[key]
@@ -257,9 +264,10 @@ class DecodePipeline:
         parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
         stop_flag = threading.Event()
 
-        want_packed = cfg.use_pallas and cfg.pack_i8
+        use_pallas = self._use_pallas()
+        want_packed = use_pallas and cfg.pack_i8
         want_cm = (
-            cfg.use_pallas and cfg.coef_major and not want_packed
+            use_pallas and cfg.coef_major and not want_packed
             and centropy.native_available()
         )
 

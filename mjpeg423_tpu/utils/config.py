@@ -32,7 +32,10 @@ class DecodeConfig:
     max_i_interval: int = 24
 
     # Device execution
-    use_pallas: bool = True
+    use_pallas: bool | None = None     # None = auto: fused Pallas kernel on
+                                       # TPU, XLA path elsewhere (forcing
+                                       # True off-TPU runs the slow Pallas
+                                       # interpreter — tests only)
     coef_major: bool = True            # native parser emits coefficient-major
                                        # tensors so the fused kernel skips its
                                        # in-VMEM transposes (kernel is
