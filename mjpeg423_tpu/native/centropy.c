@@ -19,6 +19,7 @@
  */
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 #define MJ_EXPORT __attribute__((visibility("default")))
@@ -167,6 +168,275 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
     }
   }
   return err;
+}
+
+/* ------------------------------------------------------------------ */
+/* Speculative intra-plane parallel decode (two-phase).
+ *
+ * The VLI/RLE bitstream has no sync markers, so block boundaries are only
+ * discoverable by parsing — the one inherently serial stage.  Like GPU
+ * JPEG decoders (see PAPERS.md: "Accelerating JPEG Decompression on
+ * GPUs"), we exploit self-synchronization: a parse started at an arbitrary
+ * byte offset locks onto true codeword boundaries within a few blocks.
+ *
+ * Phase 1 (parallel): each worker SCANS (parses symbol structure, stores
+ * nothing) from its segment's byte offset, recording (a) its block-start
+ * bit positions inside the first MARGIN bytes of the NEXT segment (the
+ * handoff window), and (b) its block count up to its first handoff-window
+ * position.  Phase stitch (serial, tiny): worker i's chain is
+ * authoritative once a position in worker i's handoff window EQUALS one in
+ * worker i+1's start window — equal bit position implies an identical
+ * deterministic continuation, so the match is exact, not probabilistic.
+ * Phase 2 (parallel): each worker re-decodes from its authoritative start
+ * position straight into the output at its absolute block offset.
+ *
+ * I-frame DC: workers store raw diffs and their segment's diff sum; a
+ * serial prefix over segments then a vectorizable per-segment offset add
+ * reproduces the reference's running accumulator exactly (int16 wrap;
+ * lossless_decode.c:210-224).  Any anomaly falls back to the serial
+ * decoder.
+ */
+
+enum { SPEC_MARGIN_BYTES = 4096, SPEC_MAX_WIN = 2048, SPEC_MAX_SEG = 16 };
+
+typedef struct {
+  /* scan-chain positions in the worker's own start window
+   * [seg_begin, seg_begin+MARGIN); ordinal of v_pos[k] is k. */
+  uint64_t v_pos[SPEC_MAX_WIN];
+  int v_n;
+  /* scan-chain positions in the handoff window
+   * [next_seg, next_seg+MARGIN); ordinal of h_pos[k] is h_ord0 + k. */
+  uint64_t h_pos[SPEC_MAX_WIN];
+  int h_n;
+  int h_ord0;           /* blocks scanned before the first handoff entry */
+  int anomaly;
+  /* resolved by the stitch: */
+  uint64_t auth_start;  /* authoritative start bit position */
+  int sync_ord;         /* scan ordinal of auth_start */
+  int abs_index;        /* absolute block index at auth_start */
+  int n_blocks;         /* blocks this worker decodes in phase 2 */
+} SpecWork;
+
+/* Skip one block's symbols; returns 0 ok, -1 corrupt. */
+static inline int spec_skip_block(BitReader* br) {
+  br_refill(br);
+  {
+    int size = (int)br_get(br, 4);
+    if (size) (void)br_get(br, size);
+  }
+  int index = 1;
+  for (;;) {
+    br_refill(br);
+    uint32_t rs = br_get(br, 8);
+    int run = (int)(rs >> 4);
+    int size = (int)(rs & 15);
+    if (size == 0) {
+      if (run == 15) {
+        index += 16;
+        if (index > 64) return -1;
+        continue;
+      }
+      return 0;
+    }
+    (void)br_get(br, size);
+    index += run;
+    if (index > 63) return -1;
+    if (index >= 63) return 0;
+    index++;
+  }
+}
+
+/* Phase 1: scan from seg_begin, recording start-window and handoff-window
+ * block-start positions with ordinals. */
+static void spec_scan(const uint8_t* bits, size_t bits_len, uint64_t seg_begin,
+                      uint64_t win_lo, uint64_t win_hi, SpecWork* w) {
+  BitReader br;
+  br_init(&br, bits, bits_len);
+  br.pos = (size_t)(seg_begin >> 3);
+  uint64_t v_hi = seg_begin + SPEC_MARGIN_BYTES * 8ULL;
+  w->v_n = 0;
+  w->h_n = 0;
+  w->h_ord0 = 0;
+  w->anomaly = 0;
+  int ord = 0;
+  for (;;) {
+    uint64_t bit_pos = ((uint64_t)br.pos << 3) - (uint64_t)br.navail;
+    if (bit_pos >= win_hi || (bit_pos >> 3) >= bits_len) return;
+    if (bit_pos < v_hi && w->v_n < SPEC_MAX_WIN) {
+      w->v_pos[w->v_n++] = bit_pos;
+    }
+    if (bit_pos >= win_lo) {
+      if (w->h_n == 0) w->h_ord0 = ord;
+      if (w->h_n >= SPEC_MAX_WIN) return;
+      w->h_pos[w->h_n++] = bit_pos;
+    }
+    if (spec_skip_block(&br) != 0) {
+      /* Misaligned speculative parse detected (zig-zag overrun): restart
+       * the chain one byte later — misparse detection ACCELERATES phase
+       * search; the discarded prefix belonged to a dead chain. */
+      uint64_t restart = (bit_pos >> 3) + 1;
+      if (restart >= bits_len) return;
+      br_init(&br, bits, bits_len);
+      br.pos = (size_t)restart;
+      w->v_n = 0;
+      w->h_n = 0;
+      w->h_ord0 = 0;
+      ord = 0;
+      continue;
+    }
+    ord++;
+  }
+}
+
+/* Phase 2: decode n_blocks from auth_start into out rows (raw DC diffs). */
+static void spec_decode_range(const uint8_t* bits, size_t bits_len,
+                              SpecWork* w, int16_t* out) {
+  BitReader br;
+  br_init(&br, bits, bits_len);
+  br.pos = (size_t)(w->auth_start >> 3);
+  int pre_bits = (int)(w->auth_start & 7u);
+  if (pre_bits) { /* bit-align inside the first byte */
+    br_refill(&br);
+    (void)br_get(&br, pre_bits);
+  }
+  for (int b = 0; b < w->n_blocks; b++) {
+    int16_t* row = out + ((size_t)w->abs_index + b) * 64;
+    memset(row, 0, 64 * sizeof(int16_t));
+    br_refill(&br);
+    {
+      int size = (int)br_get(&br, 4);
+      int32_t amp = 0;
+      if (size) amp = huff_extend(br_get(&br, size), size);
+      row[0] = (int16_t)amp;
+    }
+    int index = 1;
+    for (;;) {
+      br_refill(&br);
+      uint32_t rs = br_get(&br, 8);
+      int run = (int)(rs >> 4);
+      int size = (int)(rs & 15);
+      if (size == 0) {
+        if (run == 15) {
+          index += 16;
+          if (index > 64) { w->anomaly = 1; return; }
+          continue;
+        }
+        break;
+      }
+      int32_t amp = huff_extend(br_get(&br, size), size);
+      index += run;
+      if (index > 63) { w->anomaly = 1; return; }
+      row[ZZ[index]] = (int16_t)amp;
+      if (index >= 63) break;
+      index++;
+    }
+  }
+}
+
+static int g_spec_last_ok = -1; /* 1 = stitched, 0 = fell back (debug) */
+static int g_spec_dbg[4];       /* boundary, h_n, v_n, reason */
+MJ_EXPORT int mj423_spec_last_ok(void) { return g_spec_last_ok; }
+MJ_EXPORT int mj423_spec_dbg(int k) { return g_spec_dbg[k & 3]; }
+
+MJ_EXPORT int mj423_decode_plane_spec(const uint8_t* bits, size_t bits_len,
+                                      int num_blocks, int is_p,
+                                      int n_segments, int16_t* out) {
+  if (n_segments < 1) n_segments = 1;
+  if (n_segments > SPEC_MAX_SEG) n_segments = SPEC_MAX_SEG;
+  if (n_segments == 1 ||
+      bits_len < (size_t)n_segments * (SPEC_MARGIN_BYTES * 4)) {
+    return mj423_decode_plane(bits, bits_len, num_blocks, is_p, out);
+  }
+
+  const int S = n_segments;
+  uint64_t seg_start[SPEC_MAX_SEG + 1];
+  for (int i = 0; i <= S; i++) {
+    seg_start[i] = ((uint64_t)bits_len * (uint64_t)i / (uint64_t)S) << 3;
+  }
+  SpecWork w[SPEC_MAX_SEG];
+
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+  for (int i = 0; i < S; i++) {
+    uint64_t win_lo, win_hi;
+    if (i + 1 < S) {
+      win_lo = seg_start[i + 1];
+      win_hi = seg_start[i + 1] + SPEC_MARGIN_BYTES * 8ULL;
+    } else { /* last worker: no handoff window, scan only its start window */
+      win_lo = win_hi = seg_start[i] + SPEC_MARGIN_BYTES * 8ULL;
+    }
+    spec_scan(bits, bits_len, seg_start[i], win_lo, win_hi, &w[i]);
+  }
+
+  /* Stitch: worker 0's scan chain is authoritative from bit 0.  For each
+   * boundary, intersect worker i's handoff-window positions (authoritative
+   * once ordinal >= sync_ord) with worker i+1's start-window positions —
+   * an equal bit position proves worker i+1's scan chain joined the true
+   * chain there (identical bits parse identically). */
+  int ok = 1;
+  w[0].auth_start = 0;
+  w[0].sync_ord = 0;
+  w[0].abs_index = 0;
+  for (int i = 0; i < S; i++) {
+    if (w[i].anomaly) { g_spec_dbg[0] = i; g_spec_dbg[3] = 2; ok = 0; break; }
+    if (i + 1 < S) {
+      int a = 0, b = 0, found = -1, fb = -1;
+      while (a < w[i].h_n && b < w[i + 1].v_n) {
+        uint64_t pa = w[i].h_pos[a];
+        uint64_t pb = w[i + 1].v_pos[b];
+        if (pa == pb) {
+          if (w[i].h_ord0 + a >= w[i].sync_ord) { found = a; fb = b; }
+          break;
+        }
+        if (pa < pb) a++;
+        else b++;
+      }
+      if (found < 0) {
+        g_spec_dbg[0] = i;
+        g_spec_dbg[1] = w[i].h_n;
+        g_spec_dbg[2] = w[i + 1].v_n;
+        g_spec_dbg[3] = 1;
+        ok = 0;
+        break;
+      }
+      int ord_a = w[i].h_ord0 + found;          /* worker i scan ordinal  */
+      w[i].n_blocks = ord_a - w[i].sync_ord;
+      w[i + 1].auth_start = w[i].h_pos[found];
+      w[i + 1].sync_ord = fb;
+      w[i + 1].abs_index = w[i].abs_index + w[i].n_blocks;
+      if (w[i + 1].abs_index > num_blocks) { ok = 0; break; }
+    } else {
+      w[i].n_blocks = num_blocks - w[i].abs_index;
+      if (w[i].n_blocks < 0) ok = 0;
+    }
+  }
+
+  if (ok) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static, 1)
+#endif
+    for (int i = 0; i < S; i++) {
+      if (w[i].n_blocks > 0) spec_decode_range(bits, bits_len, &w[i], out);
+    }
+    for (int i = 0; i < S; i++) {
+      if (w[i].anomaly) { ok = 0; break; }
+    }
+  }
+  g_spec_last_ok = ok;
+  if (!ok) {
+    return mj423_decode_plane(bits, bits_len, num_blocks, is_p, out);
+  }
+
+  if (!is_p) {
+    /* DC cumsum over the stitched raw diffs (exact int16 wrap). */
+    int16_t cur = 0;
+    for (int b = 0; b < num_blocks; b++) {
+      cur = (int16_t)(cur + out[(size_t)b * 64]);
+      out[(size_t)b * 64] = cur;
+    }
+  }
+  return 0;
 }
 
 /*

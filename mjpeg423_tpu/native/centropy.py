@@ -79,6 +79,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.mj423_decode_plane_spec.restype = ctypes.c_int
+        lib.mj423_decode_plane_spec.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int16),
+        ]
         lib.mj423_decode_batch_cm.restype = ctypes.c_int
         lib.mj423_decode_batch_cm.argtypes = [
             ctypes.c_char_p,
@@ -294,3 +299,27 @@ def encode_plane(coeffs: np.ndarray) -> bytes:
     if n < 0:
         raise ValueError("entropy encode overflow")
     return out[:n].tobytes()
+
+
+def decode_plane_spec(
+    bits: bytes, num_blocks: int, is_p: bool, segments: int
+) -> np.ndarray:
+    """Speculatively-parallel single-plane decode (intra-plane parallelism).
+
+    Output identical to decode_plane; `segments` workers decode from evenly
+    spaced byte offsets and stitch at exactly-matching block-start bit
+    positions (see centropy.c mj423_decode_plane_spec — the GPU-JPEG
+    self-synchronization technique).  Use when concurrent plane count is
+    below the core count (single-stream latency).
+    """
+    lib = _load()
+    if lib is None:
+        return entropy_ref.decode_plane(bits, num_blocks, is_p)
+    out = np.empty((num_blocks, 64), dtype=np.int16)
+    rc = lib.mj423_decode_plane_spec(
+        bits, len(bits), num_blocks, int(is_p), int(segments),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    if rc != 0:
+        raise ValueError("corrupt MJPEG423 plane bitstream")
+    return out

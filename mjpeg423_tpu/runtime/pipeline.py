@@ -158,7 +158,23 @@ class DecodePipeline:
         cost and signals fallback when a stream needs the full range).
         """
         nb = index.header.blocks_per_plane
+        spec = self.config.spec_segments
         with self.profiler.time("parse/window"):
+            if spec > 1 and centropy.native_available():
+                # Latency mode: speculative intra-plane parallelism (each
+                # plane split across `spec` workers; see centropy.c).
+                out = np.empty((3, count, nb, 64), dtype=np.int16)
+                for p in range(3):
+                    for i in range(count):
+                        fi = start + i
+                        o = int(index.plane_off[p, fi])
+                        l = int(index.plane_len[p, fi])
+                        out[p, i] = centropy.decode_plane_spec(
+                            data[o:o + l], nb,
+                            bool(index.frame_type[fi]), spec,
+                        )
+                self.profiler.probe("parse/spec_windows").add(1)
+                return out
             if self._decode_plane_fn() is None:
                 # One native call over all count*3 plane bitstreams.
                 sl = slice(start, start + count)

@@ -57,6 +57,12 @@ class DecodeConfig:
     # Host entropy decode
     parse_workers: int = 0             # 0 = os.cpu_count()
     use_native_entropy: bool = True
+    spec_segments: int = 0             # >0: speculative intra-plane parallel
+                                       # parse with this many segments per
+                                       # plane (single-stream latency mode;
+                                       # ~S/2 speedup when concurrent plane
+                                       # count is below the core count;
+                                       # disables the coef-major fast layout)
 
     # Multi-chip execution is explicit, not config-driven: batch callers use
     # parallel.decode_stream_sharded(data, mesh); streaming playback runs
