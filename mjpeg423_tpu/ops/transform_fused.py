@@ -266,7 +266,9 @@ def _make_kernel_cm(w_frames: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("blocks_h", "blocks_w", "interpret", "raster"),
+    static_argnames=(
+        "blocks_h", "blocks_w", "interpret", "raster", "rows_per_step"
+    ),
 )
 def decode_window_fused_cm(
     amps_cm: jnp.ndarray,
@@ -277,18 +279,30 @@ def decode_window_fused_cm(
     blocks_w: int,
     interpret: bool | None = None,
     raster: bool = True,
+    rows_per_step: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Coefficient-major fused decode.
 
-    amps_cm:  (3, W, bh, 64, bw) int16 — the native parser's
-              decode_batch_cm layout (centropy.c decode_plane_cm).
-    carry_cm: (3, bh, 64, bw) int16 state in the same layout.
+    amps_cm:  (3, W, bh/k, 64, k*bw) int16 with k = rows_per_step — the
+              native parser's decode_batch_cm layout with row_blocks=k*bw
+              (centropy.c decode_plane_cm: k block-rows fold into one lane
+              tile; pass rows_per_step > 1 when bw alone underfills the
+              128-lane vregs, e.g. VGA's bw=80).
+    carry_cm: (3, bh/k, 64, k*bw) int16 state in the same layout.
     Output identical to decode_window_fused.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    _, w_frames, bh, _, bw = amps_cm.shape
-    assert (bh, bw) == (blocks_h, blocks_w), (bh, bw, blocks_h, blocks_w)
+    k = rows_per_step
+    if blocks_h % k:
+        raise ValueError(
+            f"blocks_h {blocks_h} not divisible by rows_per_step {k}"
+        )
+    groups = blocks_h // k
+    bw_eff = k * blocks_w
+    _, w_frames, g_in, _, bw_in = amps_cm.shape
+    assert (g_in, bw_in) == (groups, bw_eff), (g_in, bw_in, groups, bw_eff)
+    bh, bw = groups, bw_eff  # the kernel operates on the folded geometry
     quants = jnp.stack([
         jnp.asarray(T.YQUANT64, dtype=jnp.int16),
         jnp.asarray(T.CQUANT64, dtype=jnp.int16),
@@ -297,7 +311,7 @@ def decode_window_fused_cm(
 
     frames, new_carry = pl.pallas_call(
         _make_kernel_cm(w_frames),
-        grid=(blocks_h,),
+        grid=(bh,),
         in_specs=[
             pl.BlockSpec(
                 (w_frames, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
@@ -306,48 +320,47 @@ def decode_window_fused_cm(
                 (2, 64), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (3, w_frames, 1, 64, blocks_w),
+                (3, w_frames, 1, 64, bw),
                 lambda i: (0, 0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, 64, blocks_w),
+                (3, 1, 64, bw),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
-                (w_frames, 8, 1, 8, blocks_w),
+                (w_frames, 8, 1, 8, bw),
                 lambda i: (0, 0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3, 1, 64, blocks_w),
+                (3, 1, 64, bw),
                 lambda i: (0, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(
-                (w_frames, 8, blocks_h, 8, blocks_w), jnp.uint32
-            ),
-            jax.ShapeDtypeStruct((3, blocks_h, 64, blocks_w), jnp.int16),
+            jax.ShapeDtypeStruct((w_frames, 8, bh, 8, bw), jnp.uint32),
+            jax.ShapeDtypeStruct((3, bh, 64, bw), jnp.int16),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, 64, blocks_w), jnp.int16),
+            pltpu.VMEM((3, 64, bw), jnp.int16),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2600 * 3 * w_frames * blocks_h * blocks_w,
-            bytes_accessed=amps_cm.size * 2
-            + w_frames * blocks_h * blocks_w * 64 * 4,
+            flops=2600 * 3 * w_frames * bh * bw,
+            bytes_accessed=amps_cm.size * 2 + w_frames * bh * bw * 64 * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(seg_i, quants, amps_cm, carry_cm)
     if not raster:
         return frames, new_carry
-    return frames.transpose(0, 2, 3, 4, 1).reshape(
+    # [W, outcol, g, row, k, bw] -> [W, g, k, row, bw, outcol] -> raster
+    x = frames.reshape(w_frames, 8, groups, 8, k, blocks_w)
+    return x.transpose(0, 2, 4, 3, 5, 1).reshape(
         w_frames, blocks_h * 8, blocks_w * 8
     ), new_carry
 

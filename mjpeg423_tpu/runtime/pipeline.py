@@ -40,6 +40,21 @@ from ..utils.profile import Profiler, default_profiler
 PLANE_COUNT = 3
 
 
+def auto_rows_per_step(blocks_h: int, blocks_w: int) -> int:
+    """Pick the fused kernel's block-row fold so lane tiles fill the
+    128-wide vregs: the largest divisor k of blocks_h with k*bw <= 384
+    (e.g. VGA bw=80 -> k=4 -> 320 lanes vs 80; 1080p bw=240 stays k=1 —
+    wider tiles measured VMEM-tight at the default window size)."""
+    best = 1
+    for k in range(1, blocks_h + 1):
+        if blocks_h % k:
+            continue
+        if k * blocks_w > 384:
+            break
+        best = k
+    return best
+
+
 @dataclasses.dataclass
 class DecodedWindow:
     """A batch of decoded frames: [start, start + count) of the stream."""
@@ -63,9 +78,11 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
     from ..ops import transform_fused, transform_jax
 
     if use_pallas:
+        rows_k = auto_rows_per_step(blocks_h, blocks_w)
+
         def fused_step(amps, seg, carry):
             """Dispatch on the parse output format:
-            ("cm", a)   — coefficient-major (3, W, bh, 64, bw) int16
+            ("cm", a)   — coefficient-major (3, W, bh/k, 64, k*bw) int16
             ("i8", dc, ac8) — compressed int16 DC + int8 AC
             plain array — block-major (3, W, B, 64) int16
             """
@@ -73,6 +90,7 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
                 return transform_fused.decode_window_fused_cm(
                     amps[1], seg, carry, blocks_h=blocks_h,
                     blocks_w=blocks_w, interpret=interpret,
+                    rows_per_step=rows_k,
                 )
             if isinstance(amps, tuple):
                 _, dc, ac8 = amps
@@ -186,12 +204,16 @@ class DecodePipeline:
                 if want_cm:
                     bh = index.header.blocks_h
                     bw = index.header.blocks_w
+                    k = auto_rows_per_step(bh, bw)
                     cm = centropy.decode_batch_cm(
-                        data, offs, lens, is_p, nb, bw
+                        data, offs, lens, is_p, nb, k * bw
                     )
                     if cm is not None:
                         self.profiler.probe("parse/cm_windows").add(1)
-                        return ("cm", cm.reshape(3, count, bh, 64, bw))
+                        return (
+                            "cm",
+                            cm.reshape(3, count, bh // k, 64, k * bw),
+                        )
                 if want_packed:
                     packed = centropy.decode_batch_i8(
                         data, offs, lens, is_p, nb
@@ -309,7 +331,10 @@ class DecodePipeline:
         t.start()
 
         if want_cm:
-            carry = jnp.zeros((3, hdr.blocks_h, 64, hdr.blocks_w), jnp.int16)
+            kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w)
+            carry = jnp.zeros(
+                (3, hdr.blocks_h // kk, 64, kk * hdr.blocks_w), jnp.int16
+            )
         else:
             carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
         pending: list[tuple[int, int, object]] = []
