@@ -241,7 +241,12 @@ def index_frames(data: bytes) -> FrameIndex:
         from ..native import centropy
 
         native = centropy.index_frames(data, FILE_HEADER_BYTES, nf)
-    except Exception:  # pragma: no cover — fall back on any native issue
+    except ValueError:
+        # Corrupt frame chain detected by the native walk: propagate — the
+        # unchecked Python fallback would only re-derive garbage from the
+        # same bytes.
+        raise
+    except Exception:  # pragma: no cover — native codec unavailable/broken
         native = None
     if native is not None:
         ftype, off, length = native
@@ -253,9 +258,20 @@ def index_frames(data: bytes) -> FrameIndex:
     length = np.empty((3, nf), dtype=np.uint64)
     pos = FILE_HEADER_BYTES
     for fi in range(nf):
+        if pos + FRAME_HEADER_BYTES > len(data):
+            raise ValueError(f"corrupt frame chain at frame {fi}")
         frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(data, pos)
         body = pos + FRAME_HEADER_BYTES
         cr_size = frame_size - FRAME_HEADER_BYTES - y_size - cb_size
+        # Same bounds checks as the native chain walk (centropy.c
+        # mj423_index_frames): the planes must fit inside the frame and the
+        # frame inside the buffer.
+        if (
+            frame_size < FRAME_HEADER_BYTES
+            or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
+            or pos + frame_size > len(data)
+        ):
+            raise ValueError(f"corrupt frame chain at frame {fi}")
         ftype[fi] = frame_type
         off[0, fi], length[0, fi] = body, y_size
         off[1, fi], length[1, fi] = body + y_size, cb_size

@@ -210,6 +210,7 @@ typedef struct {
   int h_n;
   int h_ord0;           /* blocks scanned before the first handoff entry */
   int anomaly;
+  int restarted;        /* scan chain restarted after a detected misparse */
   /* resolved by the stitch: */
   uint64_t auth_start;  /* authoritative start bit position */
   int sync_ord;         /* scan ordinal of auth_start */
@@ -258,6 +259,7 @@ static void spec_scan(const uint8_t* bits, size_t bits_len, uint64_t seg_begin,
   w->h_n = 0;
   w->h_ord0 = 0;
   w->anomaly = 0;
+  w->restarted = 0;
   int ord = 0;
   for (;;) {
     uint64_t bit_pos = ((uint64_t)br.pos << 3) - (uint64_t)br.navail;
@@ -281,6 +283,7 @@ static void spec_scan(const uint8_t* bits, size_t bits_len, uint64_t seg_begin,
       w->v_n = 0;
       w->h_n = 0;
       w->h_ord0 = 0;
+      w->restarted = 1;
       ord = 0;
       continue;
     }
@@ -378,7 +381,13 @@ MJ_EXPORT int mj423_decode_plane_spec(const uint8_t* bits, size_t bits_len,
   w[0].auth_start = 0;
   w[0].sync_ord = 0;
   w[0].abs_index = 0;
-  for (int i = 0; i < S; i++) {
+  /* Worker 0's chain from bit 0 IS the true chain: a misparse restart there
+   * means the stream itself is corrupt (an aligned valid stream never trips
+   * spec_skip_block), so its post-restart ordinals must never be stitched as
+   * authoritative — hard-fall back to the serial decoder, which reports the
+   * corruption properly. */
+  if (w[0].restarted) { g_spec_dbg[0] = 0; g_spec_dbg[3] = 3; ok = 0; }
+  for (int i = 0; ok && i < S; i++) {
     if (w[i].anomaly) { g_spec_dbg[0] = i; g_spec_dbg[3] = 2; ok = 0; break; }
     if (i + 1 < S) {
       int a = 0, b = 0, found = -1, fb = -1;

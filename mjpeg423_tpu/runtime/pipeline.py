@@ -55,6 +55,17 @@ def auto_rows_per_step(blocks_h: int, blocks_w: int) -> int:
     return best
 
 
+class _StageError:
+    """Producer-thread exception carried across the stage queue.
+
+    The reference at least spins loudly on a failed read
+    (assert_persistent, core1/main.c:154); a silent truncated decode would
+    be worse, so parse failures re-raise in the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 @dataclasses.dataclass
 class DecodedWindow:
     """A batch of decoded frames: [start, start + count) of the stream."""
@@ -304,46 +315,100 @@ class DecodePipeline:
 
         use_pallas = self._use_pallas()
         want_packed = use_pallas and cfg.pack_i8
+        # Mirror parse_window's actual fast-path conditions (spec_segments
+        # and the pure-Python fallback both emit block-major) so the carry
+        # layout below starts out right.
         want_cm = (
             use_pallas and cfg.coef_major and not want_packed
+            and cfg.spec_segments <= 1 and cfg.use_native_entropy
             and centropy.native_available()
         )
 
         def producer():
+            err: BaseException | None = None
             try:
                 with ThreadPoolExecutor(max_workers=workers) as ex:
-                    futs = []
-                    for s, c in windows:
+                    # Bounded look-ahead: at most max_inflight windows are
+                    # parsed ahead of the consumer (completed futures hold
+                    # int16 amplitude tensors ~1.5x raw video size, so
+                    # submitting everything upfront would buffer the whole
+                    # container in host RAM).
+                    max_inflight = max(cfg.prefetch_batches, 1) + 2
+                    win_iter = iter(windows)
+                    futs: list = []
+
+                    def submit_next() -> None:
+                        try:
+                            s, c = next(win_iter)
+                        except StopIteration:
+                            return
                         futs.append((s, c, ex.submit(
                             self.parse_window, data, index, s, c,
                             want_packed, want_cm,
                         )))
-                    for s, c, fut in futs:
+
+                    for _ in range(max_inflight):
+                        submit_next()
+                    while futs:
                         if stop_flag.is_set():
                             for _, _, f2 in futs:
                                 f2.cancel()
                             break
-                        parse_q.put((s, c, fut.result()))
+                        s, c, fut = futs.pop(0)
+                        res = fut.result()
+                        submit_next()
+                        parse_q.put((s, c, res))
+            except BaseException as e:
+                err = e
             finally:
-                parse_q.put(None)
+                parse_q.put(_StageError(err) if err is not None else None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
+        kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w)
+
+        def carry_to_cm(cbm):
+            # block-major (3, B, 64) -> coefficient-major
+            # (3, bh/k, 64, k*bw): fold k block-rows, transpose in-tile.
+            return jnp.swapaxes(
+                cbm.reshape(3, hdr.blocks_h // kk, kk * hdr.blocks_w, 64),
+                -1, -2,
+            )
+
+        def carry_to_bm(ccm):
+            return jnp.swapaxes(ccm, -1, -2).reshape(3, nb, 64)
+
         if want_cm:
-            kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w)
             carry = jnp.zeros(
                 (3, hdr.blocks_h // kk, 64, kk * hdr.blocks_w), jnp.int16
             )
         else:
             carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
+        carry_layout = "cm" if want_cm else "bm"
         pending: list[tuple[int, int, object]] = []
         try:
             while True:
                 item = parse_q.get()
                 if item is None:
                     break
+                if isinstance(item, _StageError):
+                    raise item.exc
                 s, c, amps = item
+                # parse_window may fall back to a different layout than
+                # planned (e.g. decode_batch_cm signalling unsupported
+                # geometry): convert the carry so resumed state stays exact.
+                fmt_tag = (
+                    "cm"
+                    if isinstance(amps, tuple) and amps[0] == "cm"
+                    else "bm"
+                )
+                if fmt_tag != carry_layout:
+                    carry = (
+                        carry_to_cm(carry) if fmt_tag == "cm"
+                        else carry_to_bm(carry)
+                    )
+                    carry_layout = fmt_tag
                 if isinstance(amps, tuple) and amps[0] == "cm":
                     cm = amps[1]
                     if c < w:  # pad tail (zero deltas repeat last frame)

@@ -16,21 +16,29 @@ import time
 
 @dataclasses.dataclass
 class Probe:
-    """Aggregate of one timed/sized quantity (profile.h:44-60 analog)."""
+    """Aggregate of one timed/sized quantity (profile.h:44-60 analog).
+
+    Thread-safe: probes are shared across the pipeline's parse workers and
+    StreamPool's per-stream threads, so updates take a per-probe lock.
+    """
 
     name: str
     total: float = 0.0
     count: int = 0
     max: float = 0.0
     min: float = float("inf")
+    _lock: threading.Lock = dataclasses.field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def add(self, value: float) -> None:
-        self.total += value
-        self.count += 1
-        if value > self.max:
-            self.max = value
-        if value < self.min:
-            self.min = value
+        with self._lock:
+            self.total += value
+            self.count += 1
+            if value > self.max:
+                self.max = value
+            if value < self.min:
+                self.min = value
 
     @property
     def mean(self) -> float:

@@ -90,6 +90,57 @@ def test_pipeline_surfaces_corrupt_stream(stream):
         pipe.decode_array(bad)
 
 
+def test_pipeline_raises_on_midstream_corrupt_plane(stream):
+    """A corrupt plane bitstream mid-stream must RAISE, not silently truncate
+    the decoded output (the parse failure happens in a producer thread; the
+    exception must propagate to the consumer)."""
+    data, want = stream
+    import mjpeg423_tpu.core.format as fmt
+
+    index = fmt.index_frames(data)
+    nf = index.num_frames
+    fi = nf - 3  # frame in the final window
+    o = int(index.plane_off[0, fi])
+    ln = int(index.plane_len[0, fi])
+    bad = bytearray(data)
+    bad[o:o + ln] = b"\xff" * ln  # run-15/size-15 symbols: zig-zag overrun
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=5, use_pallas=False)
+    )
+    with pytest.raises(ValueError):
+        pipe.decode_array(bytes(bad))
+
+
+def test_pipeline_bounded_lookahead():
+    """The producer must not parse the whole container ahead of the consumer:
+    look-ahead is bounded by prefetch + queue + the output ring, regardless
+    of stream length."""
+    from mjpeg423_tpu.codec import encoder
+
+    rng = np.random.default_rng(11)
+    frames = make_test_frames(rng, num_frames=60, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=6)
+    cfg = DecodeConfig(
+        frames_per_batch=2, prefetch_batches=1, num_output_buffers=1,
+        use_pallas=False,
+    )
+    pipe = DecodePipeline(cfg)
+    seen = []
+    orig = pipe.parse_window
+
+    def counting(data_, index_, s, c, *a, **kw):
+        seen.append(s)
+        return orig(data_, index_, s, c, *a, **kw)
+
+    pipe.parse_window = counting
+    gen = pipe.decode(data)
+    next(gen)  # one window consumed
+    # 30 windows total; in flight: 3 submitted + 1 queued + ring(2) + slack.
+    assert len(seen) <= 10
+    total = 2 + sum(w.frames.shape[0] for w in gen)
+    assert total == 60
+
+
 def test_pipeline_early_stop_reaps_producer(stream):
     import threading
     import time as _time
