@@ -116,20 +116,82 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def _stdin_key_loop(control: dict) -> None:
+    """Map stdin keys to player commands (the pushbutton ISR analog,
+    key_controls.c:15-34): space/p = pause/resume, f = FF +5 s, r = RW -5 s,
+    n = next video, q = quit.  Uses cbreak single-char reads on a TTY and
+    plain char reads otherwise (pipes in tests)."""
+    stdin = sys.stdin
+
+    def _noop():
+        return None
+
+    restore = _noop
+    try:
+        import termios
+        import tty
+
+        fd = stdin.fileno()
+        old = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+
+        def restore():
+            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    except Exception:
+        pass
+    try:
+        while not control["quit"]:
+            ch = stdin.read(1)
+            if ch == "":
+                return  # EOF
+            player = control.get("player")
+            if player is None:
+                continue
+            ch = ch.lower()
+            if ch in (" ", "p"):
+                player.toggle_pause()
+            elif ch == "f":
+                player.request_fast_forward()
+            elif ch == "r":
+                player.request_rewind()
+            elif ch == "n":
+                player.request_stop()
+            elif ch == "q":
+                control["quit"] = True
+                player.resume()
+                player.request_stop()
+    finally:
+        restore()
+
+
 def cmd_play(args) -> int:
     """Playback of one or more videos in sequence (the reference's
     Play/NextVideo buttons — main.c:54-127 cycles .MPG files; --loop wraps
-    at the playlist end like core1's directory browse, main.c:166-219)."""
+    at the playlist end like core1's directory browse, main.c:166-219).
+    --interactive adds mid-play key control: pause/resume, FF, RW at any
+    frame boundary (main.c:54-127 handles buttons DURING playback)."""
+    import threading
+
     from .runtime import Player
     from .utils.config import DecodeConfig
 
     cfg = DecodeConfig(fps=args.fps, use_pallas=False if args.no_pallas else None)
     playlist = list(args.inputs)
+    control: dict = {"player": None, "quit": False}
+    if args.interactive:
+        threading.Thread(
+            target=_stdin_key_loop, args=(control,), daemon=True
+        ).start()
+        print("keys: [space/p] pause  [f] +5s  [r] -5s  [n] next  [q] quit",
+              file=sys.stderr)
     total = 0
     rounds = 0
     while True:
         for path in playlist:
+            if control["quit"]:
+                break
             player = Player(_load_stream(path), cfg)
+            control["player"] = player
             if args.start_s:
                 player.seek_to_iframe(int(args.start_s * args.fps))
             stats = player.play(paced=not args.no_pace)
@@ -141,8 +203,9 @@ def cmd_play(args) -> int:
                 file=sys.stderr,
             )
         rounds += 1
-        if not args.loop or rounds >= args.loop:
+        if control["quit"] or not args.loop or rounds >= args.loop:
             break
+    control["quit"] = True
     if len(playlist) > 1 or args.loop:
         print(f"playlist total: {total} frames", file=sys.stderr)
     return 0
@@ -247,6 +310,9 @@ def main(argv=None) -> int:
     p.add_argument("--start-s", type=float, default=0.0)
     p.add_argument("--loop", type=int, default=0,
                    help="repeat the playlist N times (0 = once)")
+    p.add_argument("--interactive", action="store_true",
+                   help="stdin key control: space/p pause, f FF, r RW, "
+                        "n next, q quit")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("selftest", help="encode/decode round-trip self-check")

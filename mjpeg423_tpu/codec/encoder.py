@@ -26,6 +26,24 @@ from ..core import tables as T
 from ..core.format import Frame, serialize_file
 from ..ops import encode_ref, entropy_ref
 from ..ops.transform_ref import raster_to_blocks
+from ..utils.config import EncodeConfig
+
+
+def _resolve_entropy_encode(
+    entropy_encode: Callable[[np.ndarray], bytes] | None,
+    config: EncodeConfig | None,
+) -> Callable[[np.ndarray], bytes]:
+    """Default bit-packer: the native C encoder (which itself falls back to
+    the Python oracle when the shared library is unavailable) — the
+    reference compiles its encoder into every app (core0 Makefile:145-164),
+    so the fast path is the default here too."""
+    if entropy_encode is not None:
+        return entropy_encode
+    if (config or EncodeConfig()).use_native_entropy:
+        from ..native import centropy
+
+        return centropy.encode_plane
+    return entropy_ref.encode_plane
 
 
 def _encode_plane_candidates(
@@ -43,19 +61,23 @@ def _encode_plane_candidates(
 
 def encode_frames(
     frames_rgb: Sequence[np.ndarray],
-    max_i_interval: int = 24,
+    max_i_interval: int | None = None,
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
+    config: EncodeConfig | None = None,
 ) -> bytes:
     """Encode RGB frames into an .MPG container byte string.
 
     frames_rgb: sequence of (H, W, 3) uint8 arrays (R, G, B channel order).
     max_i_interval: force an I-frame at least this often
-    (reference: mjpeg423_encoder.c:154-157 selection rule).
-    entropy_encode: plane bit-packer; defaults to the Python oracle
-    (the native C codec is injected by callers that have it built).
+    (reference: mjpeg423_encoder.c:154-157 selection rule); defaults from
+    config (24, the reference's MAX_IFRAME_OFFSET).
+    entropy_encode: plane bit-packer override; the default is the native C
+    encoder (byte-identical to the Python oracle).
     """
-    if entropy_encode is None:
-        entropy_encode = entropy_ref.encode_plane
+    config = config or EncodeConfig()
+    if max_i_interval is None:
+        max_i_interval = config.max_i_interval
+    entropy_encode = _resolve_entropy_encode(entropy_encode, config)
     first = np.asarray(frames_rgb[0])
     h, w = first.shape[:2]
     if h % 8 or w % 8:
@@ -115,9 +137,10 @@ def encode_frames(
 
 def encode_frames_device(
     frames_rgb: Sequence[np.ndarray],
-    max_i_interval: int = 24,
+    max_i_interval: int | None = None,
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
     parallel_entropy: bool = True,
+    config: EncodeConfig | None = None,
 ) -> bytes:
     """Byte-identical to encode_frames, with the transform on the device.
 
@@ -132,8 +155,10 @@ def encode_frames_device(
 
     from ..ops import encode_jax
 
-    if entropy_encode is None:
-        entropy_encode = entropy_ref.encode_plane
+    config = config or EncodeConfig()
+    if max_i_interval is None:
+        max_i_interval = config.max_i_interval
+    entropy_encode = _resolve_entropy_encode(entropy_encode, config)
     first = np.asarray(frames_rgb[0])
     h, w = first.shape[:2]
     if h % 8 or w % 8:

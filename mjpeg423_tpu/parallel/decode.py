@@ -53,7 +53,7 @@ def decode_transform_sharded(
     blocks_h: int,
     blocks_w: int,
     gop_aligned: bool = False,
-    use_pallas: bool = False,
+    use_pallas: bool | None = None,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Sharded decode: (F, B, 64) int16 amplitudes x3 -> (F, H, W) uint32.
@@ -62,6 +62,10 @@ def decode_transform_sharded(
     data-axis size and B by the block-axis size.  gop_aligned=True asserts
     every data-shard starts with an I-frame (skips the carry exchange);
     callers that shard by GOP boundaries should pass it for zero collectives.
+
+    use_pallas=None resolves to the auto default: the fused Pallas kernel on
+    TPU, the XLA path elsewhere (forcing True off-TPU runs the slow Pallas
+    interpreter — tests only).
 
     The block->raster reassembly needs whole block-rows per device, so inside
     each shard the frame is built from the local block range; the output
@@ -77,6 +81,8 @@ def decode_transform_sharded(
         raise ValueError(
             f"blocks_h {blocks_h} must divide by block-axis size {n_block}"
         )
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     yq, cq = transform_jax.quant_tensors()
 
@@ -124,49 +130,96 @@ def decode_stream_sharded(
     data: bytes,
     mesh: Mesh,
     *,
-    use_pallas: bool = False,
+    gop_aligned: bool | None = None,
+    use_pallas: bool | None = None,
     interpret: bool | None = None,
     decode_plane=None,
 ) -> "jnp.ndarray":
     """Whole-container sharded decode: bytes -> (F, H, W) uint32 frames.
 
-    Host-parses every frame (native batch decoder), pads the frame axis to
-    the data-axis size, and runs the mesh decode (frames over "data" with
-    the cross-device temporal carry, blocks over "block").  Convenience
-    wrapper for the single-call batch-decode use case; streaming callers use
-    runtime.DecodePipeline.
-    """
-    from ..codec.decoder import parse_coefficient_deltas
-    from ..core.format import parse_file
+    Host-parses every frame (native batch decoder) and runs the mesh decode
+    (frames over "data", blocks over "block").  Partitioning is GOP-aligned
+    by default whenever the stream has at least one GOP per data shard:
+    each shard's frame range starts at an I-frame (multihost.partition_gops,
+    balanced by frame count, padded with zero-delta frames to the widest
+    shard), so the temporal scan is shard-local and the fused Pallas kernel
+    runs with zero collectives — the whole-pipeline analog of the
+    reference's architecture (playback.c:80-134).  gop_aligned=False forces
+    equal frame splits with the cross-device carry all-gather instead.
 
-    mpg = parse_file(data)
-    coefs = parse_coefficient_deltas(mpg, decode_plane)
-    f = coefs.num_frames
-    n_data = mesh.shape[DATA_AXIS]
-    pad = (-f) % n_data
+    Convenience wrapper for the single-call batch-decode use case (the
+    whole container's amplitudes are materialized on the host); streaming
+    callers use runtime.DecodePipeline(mesh=...).
+    """
     import numpy as np
 
-    def padf(x):
-        if pad:
-            x = np.concatenate(
-                [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
-            )
-        return x
+    from ..core.format import index_frames
+    from .multihost import partition_gops
 
-    seg = padf((coefs.frame_types == 0).astype(bool))
-    args = shard_inputs(
-        mesh, padf(coefs.y), padf(coefs.cb), padf(coefs.cr), seg
+    n_data = mesh.shape[DATA_AXIS]
+    index = index_frames(data)
+    nf = index.header.num_frames
+    gop_starts = index.gop_starts()
+    if gop_aligned is None:
+        gop_aligned = len(gop_starts) >= n_data > 1
+    blocks_h = index.header.blocks_h
+    blocks_w = index.header.blocks_w
+
+    from ..runtime.pipeline import DecodePipeline
+    from ..utils.config import DecodeConfig
+
+    pipe = DecodePipeline(DecodeConfig(coef_major=False))
+
+    def parse_range(lo: int, hi: int) -> np.ndarray:
+        if hi <= lo:
+            return np.zeros(
+                (3, 0, index.header.blocks_per_plane, 64), np.int16
+            )
+        return pipe.parse_window(data, index, lo, hi - lo)
+
+    if not gop_aligned:
+        amps = parse_range(0, nf)
+        pad = (-nf) % n_data
+        if pad:
+            amps = np.concatenate(
+                [amps, np.zeros((3, pad) + amps.shape[2:], np.int16)], axis=1
+            )
+        seg = np.zeros(amps.shape[1], dtype=bool)
+        seg[:nf] = index.is_iframe
+        args = shard_inputs(mesh, amps[0], amps[1], amps[2], seg)
+        frames = decode_transform_sharded(
+            *args, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
+            gop_aligned=False, use_pallas=use_pallas, interpret=interpret,
+        )
+        return frames[:nf]
+
+    # GOP-aligned: shard d decodes frames [part.frame_lo, part.frame_hi),
+    # padded to the widest shard with zero-delta frames (seg False: they
+    # repeat the last real frame and are dropped on output).
+    parts = partition_gops(gop_starts, nf, n_data)
+    fmax = max(p.num_frames for p in parts)
+    nb = index.header.blocks_per_plane
+    amps = np.zeros((3, n_data * fmax, nb, 64), dtype=np.int16)
+    seg = np.zeros(n_data * fmax, dtype=bool)
+    for p in parts:
+        local = parse_range(p.frame_lo, p.frame_hi)
+        amps[:, p.host * fmax:p.host * fmax + p.num_frames] = local
+        seg[p.host * fmax:p.host * fmax + p.num_frames] = (
+            index.is_iframe[p.frame_lo:p.frame_hi]
+        )
+    args = shard_inputs(mesh, amps[0], amps[1], amps[2], seg)
+    padded = decode_transform_sharded(
+        *args, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
+        gop_aligned=True, use_pallas=use_pallas, interpret=interpret,
     )
-    frames = decode_transform_sharded(
-        *args,
-        mesh=mesh,
-        blocks_h=coefs.height // 8,
-        blocks_w=coefs.width // 8,
-        gop_aligned=False,
-        use_pallas=use_pallas,
-        interpret=interpret,
-    )
-    return frames[:f]
+    h, w = blocks_h * 8, blocks_w * 8
+    out = np.empty((nf, h, w), dtype=np.uint32)
+    host = np.asarray(padded)
+    for p in parts:
+        out[p.frame_lo:p.frame_hi] = host[
+            p.host * fmax:p.host * fmax + p.num_frames
+        ]
+    return jnp.asarray(out)
 
 
 def shard_inputs(

@@ -153,15 +153,28 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
 
 
 class DecodePipeline:
-    """End-to-end streaming decoder for one MJPEG423 container."""
+    """End-to-end streaming decoder for one MJPEG423 container.
+
+    With mesh=None (default) the pipeline runs single-device.  Passing a
+    jax.sharding.Mesh shards the stream's GOPs across the mesh's "data"
+    axis: each device streams its own GOP-aligned frame partition through
+    the SAME jit step (shard_map over per-device windows with per-device
+    coefficient carry), so the flagship fused kernel runs on every chip
+    with zero collectives — the reference's whole architecture (core1
+    streaming + core0 consuming, core1/main.c:227-335) at pod scale.
+    Windows parse per partition on demand; nothing whole-stream is ever
+    materialized.
+    """
 
     def __init__(
         self,
         config: DecodeConfig | None = None,
         profiler: Profiler | None = None,
+        mesh=None,
     ):
         self.config = config or DecodeConfig()
         self.profiler = profiler or default_profiler
+        self.mesh = mesh
         self._executor: ThreadPoolExecutor | None = None
         self._step_cache: dict = {}
 
@@ -288,7 +301,14 @@ class DecodePipeline:
 
         start_frame must be an I-frame index (seek targets come from the
         trailer, like the reference — playback.c:136-152).
+
+        Note: with mesh=..., windows are yielded in per-step order across
+        device partitions, NOT in global frame order; consumers key on
+        DecodedWindow.start_frame (decode_array reassembles by index).
         """
+        if self.mesh is not None:
+            yield from self._decode_mesh(data, start_frame, stop)
+            return
         import jax
         import jax.numpy as jnp
 
@@ -469,6 +489,241 @@ class DecodePipeline:
                 if not t.is_alive():
                     break
 
+    # ----- Mesh-sharded streaming (multi-chip pipeline) ------------------
+
+    def _mesh_fmt(self) -> str:
+        """Device input layout for the mesh path: coefficient-major when the
+        native parser can emit it for the fused kernel, else block-major.
+        pack_i8 is single-device-only (the sharded step standardizes on one
+        array format)."""
+        cfg = self.config
+        if (
+            self._use_pallas() and cfg.coef_major
+            and cfg.spec_segments <= 1 and cfg.use_native_entropy
+            and centropy.native_available()
+        ):
+            return "cm"
+        return "bm"
+
+    def _get_mesh_step(self, blocks_h: int, blocks_w: int, fmt: str):
+        use_pallas = self._use_pallas()
+        key = ("mesh", blocks_h, blocks_w, fmt, use_pallas)
+        if key in self._step_cache:
+            return self._step_cache[key]
+        import jax
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        on_tpu = jax.default_backend() == "tpu"
+        base = _device_step_factory(
+            blocks_h, blocks_w, use_pallas,
+            self.config.pallas_tile, None if on_tpu else True,
+        )
+
+        def body(amps, seg, carry):
+            # Leading device axis is 1 inside the shard.
+            arg = ("cm", amps[0]) if fmt == "cm" else amps[0]
+            frames, new_carry = base(arg, seg[0], carry[0])
+            return frames[None], new_carry[None]
+
+        spec = P(DATA_AXIS)
+        sm = jax.shard_map(
+            body,
+            mesh=self.mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=(spec, spec),
+            # pallas_call out_shapes carry no varying-mesh-axis info
+            # (see parallel/decode.py).
+            check_vma=False,
+        )
+        step = jax.jit(sm)
+        self._step_cache[key] = step
+        return step
+
+    def _decode_mesh(
+        self,
+        data: bytes,
+        start_frame: int = 0,
+        stop: Callable[[], bool] | None = None,
+    ) -> Iterator[DecodedWindow]:
+        """Sharded streaming decode over the mesh's "data" axis.
+
+        Each device owns a contiguous GOP-aligned frame partition
+        (multihost.partition_gops balanced by frame count) and advances
+        through it window by window with its own device-resident carry —
+        the same step for all devices, one jit dispatch per super-window.
+        """
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import BLOCK_AXIS, DATA_AXIS
+        from ..parallel.multihost import partition_gops
+
+        mesh = self.mesh
+        if DATA_AXIS not in mesh.axis_names:
+            raise ValueError(f'mesh must have a "{DATA_AXIS}" axis')
+        if BLOCK_AXIS in mesh.axis_names and mesh.shape[BLOCK_AXIS] > 1:
+            raise ValueError(
+                "streaming decode shards GOPs over the data axis only; "
+                "use parallel.decode_stream_sharded for block-axis sharding"
+            )
+        n_dev = mesh.shape[DATA_AXIS]
+
+        cfg = self.config
+        index = fmt.index_frames(data)
+        hdr = index.header
+        bh, bw = hdr.blocks_h, hdr.blocks_w
+        nb = hdr.blocks_per_plane
+        w = cfg.frames_per_batch
+        if start_frame and not index.is_iframe[start_frame]:
+            raise ValueError(f"start_frame {start_frame} is not an I-frame")
+        nf = hdr.num_frames
+        gop_starts = [g for g in index.gop_starts() if g >= start_frame]
+        if not gop_starts or gop_starts[0] != start_frame:
+            gop_starts = [start_frame] + gop_starts
+        parts = partition_gops(gop_starts, nf, n_dev)
+        n_steps = max(
+            (p.num_frames + w - 1) // w for p in parts
+        ) if any(p.num_frames for p in parts) else 0
+
+        fmt_tag = self._mesh_fmt()
+        kk = auto_rows_per_step(bh, bw) if fmt_tag == "cm" else 1
+        groups, bw_eff = bh // kk, kk * bw
+        step = self._get_mesh_step(bh, bw, fmt_tag)
+
+        def to_fmt(amps, c):
+            """Normalize one parse result to the stream format, padded to w
+            frames (zero deltas repeat the last frame; dropped on yield)."""
+            if fmt_tag == "cm":
+                if isinstance(amps, tuple) and amps[0] == "cm":
+                    a = amps[1]
+                else:  # native cm fallback: host-side relayout
+                    a = np.swapaxes(
+                        amps.reshape(3, c, groups, bw_eff, 64), -2, -1
+                    )
+                out = np.zeros((3, w, groups, 64, bw_eff), np.int16)
+            else:
+                a = amps
+                out = np.zeros((3, w, nb, 64), np.int16)
+            out[:, :c] = a
+            return out
+
+        def parse_super(t: int):
+            """Parse step t's window of every partition -> stacked arrays."""
+            if fmt_tag == "cm":
+                amps = np.zeros((n_dev, 3, w, groups, 64, bw_eff), np.int16)
+            else:
+                amps = np.zeros((n_dev, 3, w, nb, 64), np.int16)
+            seg = np.zeros((n_dev, w), dtype=bool)
+            spans = []
+            for p in parts:
+                lo = p.frame_lo + t * w
+                cnt = max(0, min(w, p.frame_hi - lo))
+                spans.append((lo, cnt))
+                if cnt == 0:
+                    continue
+                raw = self.parse_window(
+                    data, index, lo, cnt, False, fmt_tag == "cm"
+                )
+                amps[p.host] = to_fmt(raw, cnt)
+                seg[p.host, :cnt] = index.is_iframe[lo:lo + cnt]
+            return amps, seg, spans
+
+        # Stage A: bounded producer over super-windows.
+        parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
+        stop_flag = threading.Event()
+
+        def producer():
+            err: BaseException | None = None
+            try:
+                with ThreadPoolExecutor(max_workers=cfg.parse_workers or None) as ex:
+                    max_inflight = max(cfg.prefetch_batches, 1) + 1
+                    futs: list = []
+                    nxt = 0
+
+                    def submit_next():
+                        nonlocal nxt
+                        if nxt < n_steps:
+                            futs.append((nxt, ex.submit(parse_super, nxt)))
+                            nxt += 1
+
+                    for _ in range(max_inflight):
+                        submit_next()
+                    while futs:
+                        if stop_flag.is_set():
+                            for _, f2 in futs:
+                                f2.cancel()
+                            break
+                        t_, fut = futs.pop(0)
+                        res = fut.result()
+                        submit_next()
+                        parse_q.put(res)
+            except BaseException as e:
+                err = e
+            finally:
+                parse_q.put(_StageError(err) if err is not None else None)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+
+        dev_sharding = NamedSharding(mesh, P(DATA_AXIS))
+        if fmt_tag == "cm":
+            carry = jnp.zeros((n_dev, 3, groups, 64, bw_eff), jnp.int16)
+        else:
+            carry = jnp.zeros((n_dev, 3, nb, 64), jnp.int16)
+        carry = jax.device_put(carry, dev_sharding)
+
+        pending: list[tuple[list, object]] = []
+
+        def drain(item) -> list[DecodedWindow]:
+            spans, frames = item
+            with self.profiler.time("output/transfer"):
+                host = np.asarray(frames)  # gathers all shards
+            return [
+                DecodedWindow(lo, cnt, host[d, :cnt])
+                for d, (lo, cnt) in enumerate(spans)
+                if cnt > 0
+            ]
+
+        try:
+            while True:
+                item = parse_q.get()
+                if item is None:
+                    break
+                if isinstance(item, _StageError):
+                    raise item.exc
+                amps, seg, spans = item
+                dev_amps = jax.device_put(amps, dev_sharding)
+                dev_seg = jax.device_put(seg, dev_sharding)
+                with self.profiler.time("device/dispatch"):
+                    frames, carry = step(dev_amps, dev_seg, carry)
+                pending.append((spans, frames))
+                ring = max(1, cfg.num_output_buffers)
+                while len(pending) > ring:
+                    for win in drain(pending.pop(0)):
+                        yield win
+                    if stop is not None and stop():
+                        stop_flag.set()
+                        return
+            while pending:
+                for win in drain(pending.pop(0)):
+                    yield win
+                if stop is not None and stop():
+                    return
+        finally:
+            stop_flag.set()
+            for _ in range(2):
+                while True:
+                    try:
+                        parse_q.get_nowait()
+                    except queue.Empty:
+                        break
+                th.join(timeout=1.0)
+                if not th.is_alive():
+                    break
+
     def _drain(self, item) -> DecodedWindow:
         s, c, frames = item
         with self.profiler.time("output/transfer"):
@@ -476,8 +731,20 @@ class DecodePipeline:
         return DecodedWindow(s, c, host[:c])
 
     def decode_array(self, data: bytes, **kw) -> np.ndarray:
-        """Decode fully into one (F, H, W) uint32 array."""
-        out = []
-        for win in self.decode(data, **kw):
-            out.append(win.frames)
-        return np.concatenate(out, axis=0)
+        """Decode fully into one (F, H, W) uint32 array.
+
+        Windows may arrive out of global frame order (mesh mode yields one
+        window per device partition per step); reassembly is by
+        start_frame index.
+        """
+        wins = list(self.decode(data, **kw))
+        if not wins:
+            return np.zeros((0, 0, 0), dtype=np.uint32)
+        lo = min(w.start_frame for w in wins)
+        hi = max(w.start_frame + w.count for w in wins)
+        out = np.empty(
+            (hi - lo,) + wins[0].frames.shape[1:], wins[0].frames.dtype
+        )
+        for w in wins:
+            out[w.start_frame - lo:w.start_frame - lo + w.count] = w.frames
+        return out

@@ -18,6 +18,8 @@ pipeline:
 from __future__ import annotations
 
 import dataclasses
+import queue as _queue
+import threading
 import time
 from typing import Callable
 
@@ -57,6 +59,12 @@ class Player:
         self.index = fmt.index_frames(data)
         self.current_frame = 0
         self.playing = False
+        # Interactive control plane (the pushbutton IRQ latch analog,
+        # key_controls.c:15-34): commands queue from any thread and are
+        # processed at the next frame boundary, exactly where the reference
+        # polls buttons mid-play (main.c:54-127).
+        self._cmds: _queue.Queue = _queue.Queue()
+        self._pause_evt = threading.Event()
 
     @property
     def num_frames(self) -> int:
@@ -100,6 +108,82 @@ class Player:
         self.current_frame = best
         return best
 
+    # ----- Interactive control (main.c:54-127: Play/Pause, FF, RW) ------
+
+    def pause(self) -> None:
+        """Freeze delivery at the next frame boundary (Play/Pause bit0)."""
+        self._pause_evt.set()
+
+    def resume(self) -> None:
+        self._pause_evt.clear()
+
+    def toggle_pause(self) -> None:
+        if self._pause_evt.is_set():
+            self.resume()
+        else:
+            self.pause()
+
+    @property
+    def paused(self) -> bool:
+        return self._pause_evt.is_set()
+
+    def request_fast_forward(self) -> None:
+        """Queue a +5 s jump, honored mid-play at the next frame boundary
+        (FF bit2; the decode stream restarts at the target I-frame)."""
+        self._cmds.put(("ff", None))
+
+    def request_rewind(self) -> None:
+        self._cmds.put(("rw", None))
+
+    def request_seek(self, frame: int) -> None:
+        """Queue an absolute seek (snaps to the target's GOP I-frame)."""
+        self._cmds.put(("seek", frame))
+
+    def request_stop(self) -> None:
+        self._cmds.put(("stop", None))
+
+    def _process_control(
+        self, stop: Callable[[], bool] | None, bypass_pause: bool
+    ) -> tuple[object, bool]:
+        """Handle queued commands + the pause gate at a frame boundary.
+
+        Returns (action, was_paused): action is None (deliver the frame),
+        "stop", or an int restart frame.  While paused, blocks here —
+        pipeline backpressure holds upstream stages — still honoring
+        commands and the stop predicate, like the reference's paused loop
+        (main.c:63-85).  bypass_pause delivers one frame even when paused
+        (the just-sought frame is displayed, playback.c:245 `process` once).
+        """
+        was_paused = False
+        while True:
+            try:
+                cmd, arg = self._cmds.get_nowait()
+            except _queue.Empty:
+                cmd = None
+            if cmd == "stop":
+                return "stop", was_paused
+            if cmd == "ff":
+                pre = self.current_frame
+                new = self.fast_forward()
+                if new != pre:  # no I-frame >= target: FF is a no-op
+                    return new, was_paused
+                continue
+            if cmd == "rw":
+                pre = self.current_frame
+                new = self.rewind()
+                if new != pre:
+                    return new, was_paused
+                continue
+            if cmd == "seek":
+                return self.seek_to_iframe(int(arg)), was_paused
+            if self._pause_evt.is_set() and not bypass_pause:
+                if stop is not None and stop():
+                    return "stop", was_paused
+                was_paused = True
+                time.sleep(0.002)
+                continue
+            return None, was_paused
+
     # ----- Checkpoint / resume (SURVEY.md §5.4) -------------------------
 
     def get_state(self) -> dict:
@@ -132,33 +216,65 @@ class Player:
             paced = cfg.force_periodic
         stats = PlaybackStats()
         period = 1.0 / cfg.fps
-        start_frame = self.seek_to_iframe(self.current_frame)
+        start_frame: int | None = self.seek_to_iframe(self.current_frame)
         self.playing = True
         t0 = time.perf_counter()
-        next_deadline = t0 + period
         delivered = 0
+        bypass_pause = False  # deliver the first frame after a seek even
+        #                       when paused (the reference shows the sought
+        #                       frame, playback.c:245)
         try:
-            for win in self.pipeline.decode(self.data, start_frame, stop=stop):
-                for i in range(win.count):
-                    if stop is not None and stop():
-                        return stats
-                    if max_frames is not None and delivered >= max_frames:
-                        return stats
-                    fi = win.start_frame + i
-                    frame = win.frames[i]
-                    if paced:
-                        now = time.perf_counter()
-                        if now > next_deadline:
-                            stats.frames_late += 1
-                        else:
-                            time.sleep(next_deadline - now)
-                        next_deadline += period
-                    if sink is not None:
-                        sink(fi, frame)
-                    self.current_frame = fi
-                    delivered += 1
-                    stats.frames_delivered = delivered
-                    stats.wall_s = time.perf_counter() - t0
+            # Outer loop: each iteration is one decode run; FF/RW/seek
+            # commands tear the generator down and restart at the target
+            # I-frame (the reference re-enters `process` after seekFrame,
+            # playback.c:136-152).
+            while start_frame is not None:
+                restart: int | None = None
+                next_deadline = time.perf_counter() + period
+                gen = self.pipeline.decode(self.data, start_frame, stop=stop)
+                try:
+                    for win in gen:
+                        for i in range(win.count):
+                            if stop is not None and stop():
+                                return stats
+                            if (
+                                max_frames is not None
+                                and delivered >= max_frames
+                            ):
+                                return stats
+                            action, was_paused = self._process_control(
+                                stop, bypass_pause
+                            )
+                            bypass_pause = False
+                            if action == "stop":
+                                return stats
+                            if isinstance(action, int):
+                                restart = action
+                                bypass_pause = self.paused
+                                break
+                            if was_paused:
+                                # Pacing grid restarts after a pause.
+                                next_deadline = time.perf_counter() + period
+                            fi = win.start_frame + i
+                            frame = win.frames[i]
+                            if paced:
+                                now = time.perf_counter()
+                                if now > next_deadline:
+                                    stats.frames_late += 1
+                                else:
+                                    time.sleep(next_deadline - now)
+                                next_deadline += period
+                            if sink is not None:
+                                sink(fi, frame)
+                            self.current_frame = fi
+                            delivered += 1
+                            stats.frames_delivered = delivered
+                            stats.wall_s = time.perf_counter() - t0
+                        if restart is not None:
+                            break
+                finally:
+                    gen.close()
+                start_frame = restart
             return stats
         finally:
             self.playing = False

@@ -55,3 +55,27 @@ def test_encode_frames_device_serial_entropy(rng):
         frames, max_i_interval=24, parallel_entropy=False
     )
     assert got == want
+
+
+def test_encoder_native_default_byte_identical():
+    """The default bit-packer is the native C encoder and its containers are
+    byte-identical to the Python oracle's; EncodeConfig is honored."""
+    import numpy as np
+
+    from mjpeg423_tpu.codec import encoder
+    from mjpeg423_tpu.ops import entropy_ref
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    rng = np.random.default_rng(2)
+    frames = [
+        rng.integers(0, 256, (24, 32, 3)).astype(np.uint8) for _ in range(5)
+    ]
+    a = encoder.encode_frames(frames, max_i_interval=3)
+    b = encoder.encode_frames(
+        frames, max_i_interval=3, entropy_encode=entropy_ref.encode_plane
+    )
+    c = encoder.encode_frames(
+        frames, max_i_interval=3, config=EncodeConfig(use_native_entropy=False)
+    )
+    d = encoder.encode_frames(frames, config=EncodeConfig(max_i_interval=3))
+    assert a == b == c == d

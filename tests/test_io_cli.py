@@ -163,3 +163,19 @@ def test_cli_play_playlist(tmp_path, stream, capsys):
     assert cli.main(["play", *paths, "--no-pace", "--no-pallas"]) == 0
     err = capsys.readouterr().err
     assert "playlist total: 20 frames" in err
+
+
+def test_cli_play_interactive_keys(tmp_path, stream, monkeypatch):
+    """Piped key input drives the interactive player: pause toggles twice,
+    FF, then quit — exits cleanly."""
+    import io
+
+    from mjpeg423_tpu import cli
+
+    data, _ = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    monkeypatch.setattr("sys.stdin", io.StringIO("p p f q"))
+    assert cli.main(
+        ["play", mpg, "--no-pace", "--no-pallas", "--interactive"]
+    ) == 0

@@ -1,0 +1,110 @@
+"""Mesh-sharded streaming pipeline + GOP-aligned sharded batch decode.
+
+All on the 8-device virtual CPU mesh (conftest).  Bit-exactness target is
+the NumPy oracle decoder; the fused Pallas kernel runs in interpret mode.
+"""
+import numpy as np
+import pytest
+
+from mjpeg423_tpu.codec import decoder, encoder
+from mjpeg423_tpu.parallel import decode_stream_sharded, make_mesh
+from mjpeg423_tpu.runtime import DecodePipeline
+from mjpeg423_tpu.utils.config import DecodeConfig
+
+from conftest import make_test_frames
+
+
+@pytest.fixture(scope="module")
+def stream():
+    rng = np.random.default_rng(77)
+    # 37 frames, GOP<=5: >= 8 GOPs so every device partition gets one.
+    frames = make_test_frames(rng, num_frames=37, h=32, w=48)
+    data = encoder.encode_frames(frames, max_i_interval=5)
+    want = decoder.decode_stream_array(data)
+    return data, want
+
+
+def test_mesh_pipeline_xla_bit_exact(stream):
+    data, want = stream
+    mesh = make_mesh(n_data=8, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=3, use_pallas=False), mesh=mesh
+    )
+    got = pipe.decode_array(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_pipeline_fused_interpret_bit_exact(stream):
+    data, want = stream
+    mesh = make_mesh(n_data=4, n_block=1)
+    # use_pallas=True on CPU -> interpret mode: the FUSED kernel itself runs
+    # under shard_map on every device of the mesh.
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=4, use_pallas=True), mesh=mesh
+    )
+    got = pipe.decode_array(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_pipeline_seek(stream):
+    data, want = stream
+    import mjpeg423_tpu.core.format as fmt
+
+    mesh = make_mesh(n_data=4, n_block=1)
+    starts = fmt.index_frames(data).gop_starts()
+    s = starts[2]
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=3, use_pallas=False), mesh=mesh
+    )
+    got = pipe.decode_array(data, start_frame=s)
+    np.testing.assert_array_equal(got, want[s:])
+
+
+def test_mesh_pipeline_more_devices_than_gops():
+    rng = np.random.default_rng(8)
+    frames = make_test_frames(rng, num_frames=9, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)  # 3 GOPs < 8 dev
+    want = decoder.decode_stream_array(data)
+    mesh = make_mesh(n_data=8, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=2, use_pallas=False), mesh=mesh
+    )
+    got = pipe.decode_array(data)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_pipeline_rejects_block_axis(stream):
+    data, _ = stream
+    mesh = make_mesh(n_data=4, n_block=2)
+    pipe = DecodePipeline(DecodeConfig(use_pallas=False), mesh=mesh)
+    with pytest.raises(ValueError):
+        list(pipe.decode(data))
+
+
+def test_sharded_batch_gop_aligned_auto(stream):
+    """decode_stream_sharded auto-selects the GOP-aligned partitioning and
+    stays bit-exact (XLA path)."""
+    data, want = stream
+    mesh = make_mesh(n_data=8, n_block=1)
+    got = np.asarray(decode_stream_sharded(data, mesh))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_batch_gop_aligned_fused(stream):
+    """The fused kernel under shard_map via the GOP-aligned batch driver."""
+    data, want = stream
+    mesh = make_mesh(n_data=4, n_block=1)
+    got = np.asarray(
+        decode_stream_sharded(data, mesh, use_pallas=True, interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_batch_carry_path_still_works(stream):
+    """Forcing gop_aligned=False exercises the cross-device carry."""
+    data, want = stream
+    mesh = make_mesh(n_data=4, n_block=2)
+    got = np.asarray(
+        decode_stream_sharded(data, mesh, gop_aligned=False)
+    )
+    np.testing.assert_array_equal(got, want)

@@ -90,6 +90,66 @@ def test_pipeline_surfaces_corrupt_stream(stream):
         pipe.decode_array(bad)
 
 
+def test_player_interactive_pause_ff_rw_stop():
+    """Scripted mid-play control: pause/resume, FF +5 s, RW, stop — frame
+    indices follow the trailer math (main.c:54-127 / playback.c:136-227)."""
+    import threading
+    import time as _time
+
+    rng = np.random.default_rng(9)
+    frames = make_test_frames(rng, num_frames=48, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=6)
+    want = decoder.decode_stream_array(data)
+
+    player = Player(data, DecodeConfig(
+        fps=24.0, use_pallas=False, frames_per_batch=4
+    ))
+    player.SKIP_SECONDS = 0.5  # skip = 12 frames @ 24 fps
+    starts = player.index.gop_starts()
+    skip = 12
+
+    seen: list[int] = []
+    stamps: list[float] = []
+    events = {}
+
+    def sink(fi, frame):
+        seen.append(fi)
+        stamps.append(_time.perf_counter())
+        np.testing.assert_array_equal(frame, want[fi])
+        if fi == 2 and "ff" not in events:
+            events["ff"] = fi
+            player.request_fast_forward()
+        elif "ff" in events and "pause" not in events and len(seen) >= 6:
+            events["pause"] = fi
+            player.pause()
+            threading.Timer(0.15, player.resume).start()
+        elif "pause" in events and "rw" not in events and fi >= 30:
+            events["rw"] = fi
+            player.request_rewind()
+        elif "rw" in events and "stop" not in events and len(seen) > 14:
+            events["stop"] = fi
+            player.request_stop()
+
+    stats = player.play(sink=sink, paced=False)
+
+    # FF from frame 2: next delivered is the first I-frame >= 2 + 12.
+    i_ff = seen.index(events["ff"])
+    expect_ff = min(s for s in starts if s >= events["ff"] + skip)
+    assert seen[i_ff + 1] == expect_ff
+    # Pause: >= 100 ms gap between the paused frame and the next.
+    i_p = seen.index(events["pause"])
+    assert stamps[i_p + 1] - stamps[i_p] >= 0.1
+    # RW from frame r: next delivered is the last I-frame <= r - 12.
+    i_rw = seen.index(events["rw"])
+    expect_rw = max(
+        [s for s in starts if s <= events["rw"] - skip], default=0
+    )
+    assert seen[i_rw + 1] == expect_rw
+    # Stop: the stop frame is the last delivered.
+    assert seen[-1] == events["stop"]
+    assert stats.frames_delivered == len(seen)
+
+
 def test_pipeline_raises_on_midstream_corrupt_plane(stream):
     """A corrupt plane bitstream mid-stream must RAISE, not silently truncate
     the decoded output (the parse failure happens in a producer thread; the
