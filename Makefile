@@ -1,0 +1,28 @@
+# Developer entry points (the reference ships complete generated makefiles;
+# SURVEY.md §2.18).  `make test` and `make bench` are the two paths the
+# round driver and CI use.
+
+PY ?= python
+
+.PHONY: install test bench selftest native clean
+
+install:
+	$(PY) -m pip install -e . --no-build-isolation
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+bench:
+	$(PY) bench.py
+
+selftest:
+	$(PY) -m mjpeg423_tpu.cli selftest
+
+# Force a rebuild of the native entropy codec (normally on-demand at import).
+native:
+	$(PY) -c "from mjpeg423_tpu.native import centropy; centropy._load(force=True) if 'force' in centropy._load.__code__.co_varnames else centropy._load(); print('native codec:', centropy.native_available())"
+
+clean:
+	rm -rf build dist *.egg-info .oracle_build
+	find . -name __pycache__ -type d -prune -exec rm -rf {} \;
+	rm -f mjpeg423_tpu/native/*.so

@@ -104,7 +104,7 @@ def cmd_encode(args) -> int:
             else:  # (F, H, W) packed
                 frames.extend(bmp.packed_to_rgb(f) for f in arr)
         else:
-            frames.append(bmp.read_bmp(p))
+            frames.append(bmp.read_image(p))  # BMP (incl. paletted/RLE) or PPM
     encode = (
         encoder.encode_frames if args.no_device else encoder.encode_frames_device
     )

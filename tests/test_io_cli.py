@@ -179,3 +179,124 @@ def test_cli_play_interactive_keys(tmp_path, stream, monkeypatch):
     assert cli.main(
         ["play", mpg, "--no-pace", "--no-pallas", "--interactive"]
     ) == 0
+
+
+def _bmp_file(path, w, h, bpp, compression, palette=None, pixel_bytes=b"",
+              masks=None):
+    """Hand-assemble a BMP for reader tests."""
+    import struct
+
+    pal = b""
+    if palette is not None:
+        for r, g, b in palette:
+            pal += bytes([b, g, r, 0])
+    mask_bytes = b""
+    if masks is not None:
+        mask_bytes = struct.pack("<III", *masks)
+    offset = 14 + 40 + len(mask_bytes) + len(pal)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, compression,
+        len(pixel_bytes), 2835, 2835,
+        len(palette) if palette else 0, 0,
+    )
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(pixel_bytes), 0, 0, offset)
+    with open(path, "wb") as f:
+        f.write(hdr + info + mask_bytes + pal + pixel_bytes)
+
+
+def test_bmp_paletted_8bit(tmp_path):
+    # 4x2 8-bpp paletted, bottom-up, rows padded to 4 bytes.
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    rows = bytes([2, 3, 0, 1]) + bytes([0, 1, 2, 3])  # bottom row first
+    p = str(tmp_path / "p8.bmp")
+    _bmp_file(p, 4, 2, 8, 0, palette, rows)
+    img = bmp.read_bmp(p)
+    want = np.array([
+        [palette[0], palette[1], palette[2], palette[3]],
+        [palette[2], palette[3], palette[0], palette[1]],
+    ], dtype=np.uint8)
+    np.testing.assert_array_equal(img, want)
+
+
+def test_bmp_paletted_4bit_and_1bit(tmp_path):
+    palette4 = [(i * 16, 255 - i * 16, i) for i in range(16)]
+    # 3x1 4-bpp: indices 5, 9, 2 -> bytes 0x59, 0x20, pad to 4 bytes
+    p = str(tmp_path / "p4.bmp")
+    _bmp_file(p, 3, 1, 4, 0, palette4, bytes([0x59, 0x20, 0, 0]))
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(
+        img[0], np.array([palette4[5], palette4[9], palette4[2]], np.uint8)
+    )
+    # 10x1 1-bpp: bits 1100110011 -> bytes 0xCC, 0xC0, pad
+    p1 = str(tmp_path / "p1.bmp")
+    _bmp_file(p1, 10, 1, 1, 0, [(0, 0, 0), (255, 255, 255)],
+              bytes([0xCC, 0xC0, 0, 0]))
+    img1 = bmp.read_bmp(p1)
+    bits = [1, 1, 0, 0, 1, 1, 0, 0, 1, 1]
+    np.testing.assert_array_equal(img1[0, :, 0], np.array(bits) * 255)
+
+
+def test_bmp_rle8(tmp_path):
+    palette = [(i, i, i) for i in range(256)]
+    # 6x2 RLE8 (bottom-up): row0(bottom): run 3x7, abs run 3 (1,2,3), EOL;
+    # row1(top): run 6x9, EOB.
+    rle = bytes([3, 7, 0, 3, 1, 2, 3, 0, 0, 0, 6, 9, 0, 1])
+    p = str(tmp_path / "r8.bmp")
+    _bmp_file(p, 6, 2, 8, 1, palette, rle)
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(img[1, :, 0], [7, 7, 7, 1, 2, 3])
+    np.testing.assert_array_equal(img[0, :, 0], [9, 9, 9, 9, 9, 9])
+
+
+def test_bmp_rle4(tmp_path):
+    palette = [(i * 17, 0, 0) for i in range(16)]
+    # 5x1 RLE4: encoded run 5 pixels alternating 0xA,0xB -> A B A B A; EOB.
+    rle = bytes([5, 0xAB, 0, 1])
+    p = str(tmp_path / "r4.bmp")
+    _bmp_file(p, 5, 1, 4, 2, palette, rle)
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(
+        img[0, :, 0], [17 * v for v in (0xA, 0xB, 0xA, 0xB, 0xA)]
+    )
+
+
+def test_bmp_16bpp_555_and_bitfields(tmp_path):
+    import struct
+
+    # 2x1 16-bpp 555: (31,0,0)->0x7C00, (0,0,31)->0x001F
+    px = struct.pack("<HH", 0x7C00, 0x001F)
+    p = str(tmp_path / "b16.bmp")
+    _bmp_file(p, 2, 1, 16, 0, None, px)
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(img[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(img[0, 1], [0, 0, 255])
+    # 565 BITFIELDS: green max = 0x07E0
+    px = struct.pack("<HH", 0x07E0, 0xF800)
+    p2 = str(tmp_path / "b565.bmp")
+    _bmp_file(p2, 2, 1, 16, 3, None, px, masks=(0xF800, 0x07E0, 0x001F))
+    img2 = bmp.read_bmp(p2)
+    np.testing.assert_array_equal(img2[0, 0], [0, 255, 0])
+    np.testing.assert_array_equal(img2[0, 1], [255, 0, 0])
+
+
+def test_ppm_roundtrip_and_encode(tmp_path, rng):
+    rgb = rng.integers(0, 256, (16, 24, 3)).astype(np.uint8)
+    p = str(tmp_path / "f.ppm")
+    bmp.write_ppm(p, rgb)
+    back = bmp.read_ppm(p)
+    np.testing.assert_array_equal(back, rgb)
+    assert bmp.read_image(p).shape == (16, 24, 3)
+
+
+def test_cli_encode_from_ppm(tmp_path):
+    rng = np.random.default_rng(6)
+    paths = []
+    for t in range(3):
+        rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+        p = str(tmp_path / f"f{t}.ppm")
+        bmp.write_ppm(p, rgb)
+        paths.append(p)
+    out = str(tmp_path / "o.mpg")
+    assert cli.main(["encode", *paths, "-o", out, "--no-device"]) == 0
+    got = decoder.decode_stream_array(open(out, "rb").read())
+    assert got.shape == (3, 16, 16)

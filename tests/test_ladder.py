@@ -110,3 +110,30 @@ def test_ladder_5_concurrent_streams():
     for si, want in enumerate(oracles):
         for fi in range(want.shape[0]):
             np.testing.assert_array_equal(got[si][fi], want[fi])
+
+
+@needs_oracle
+def test_ladder_6_1080p_multi_gop_vs_oracle():
+    """A real (short) 1080p multi-GOP container, byte-compared against the
+    compiled reference C decoder through BOTH the single-device pipeline and
+    the GOP-aligned sharded path (VERDICT r1: the 1080p rung previously only
+    met transform_jax, never the oracle)."""
+    from mjpeg423_tpu.parallel import decode_stream_sharded
+
+    rng = np.random.default_rng(10)
+    w, h, nf = 1920, 1088, 6
+    frames = make_test_frames(rng, num_frames=nf, h=h, w=w)
+    data = encoder.encode_frames_device(frames, max_i_interval=3)
+    mpg = parse_file(data)
+    assert len(mpg.trailer) >= 2  # multi-GOP
+
+    ref = Oracle().decode(data, nf, w, h).astype(np.uint32)
+
+    got = DecodePipeline(
+        DecodeConfig(use_pallas=False, frames_per_batch=4)
+    ).decode_array(data)
+    np.testing.assert_array_equal(got, ref)
+
+    mesh = make_mesh(n_data=2, n_block=1)
+    got_sharded = np.asarray(decode_stream_sharded(data, mesh))
+    np.testing.assert_array_equal(got_sharded, ref)
