@@ -97,7 +97,7 @@ def bench_parse(rng, f, b, h, w):
 
     if not centropy.native_available():
         _log("parse: native codec unavailable, skipping")
-        return
+        return None
     amps, _ = make_amps(rng, f, b)
     blobs = []
     for p in range(3):
@@ -121,6 +121,11 @@ def bench_parse(rng, f, b, h, w):
         f"{fps:.1f} frames/s host-parse ({len(data) / dt / 1e6:.0f} MB/s, "
         f"{out.shape[0] * b / dt:.3e} blocks/s)"
     )
+    return {
+        "frames_per_s": round(fps, 1),
+        "mb_per_s": round(len(data) / dt / 1e6, 1),
+        "geometry": f"{w}x{h}",
+    }
 
 
 def bench_encode(rng, f, b, h, w):
@@ -143,6 +148,7 @@ def bench_encode(rng, f, b, h, w):
         f"stage=encode: {f} frames @ {w}x{h} -> {len(data) / 1e6:.1f} MB in "
         f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode"
     )
+    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
 
 
 def bench_e2e(rng, f, b, h, w, use_pallas):
@@ -184,15 +190,19 @@ def bench_e2e(rng, f, b, h, w, use_pallas):
         f"stage=e2e: {len(data) / 1e6:.1f} MB container -> {out.shape} in "
         f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s end-to-end (1 stream)"
     )
+    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
 
 
-def bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu):
-    """Mesh-sharded decode over all local devices; scaling efficiency vs 1.
+def bench_sharded(amps, bh, bw, f, on_tpu):
+    """GOP-aligned mesh-sharded decode with the FUSED kernel in the path.
 
-    With one device this degenerates to the single-chip number (the driver's
-    multi-chip environment exercises the real scaling).  I-frames in the
-    synthetic stream land every 24 frames, so data shards are NOT
-    GOP-aligned — the cross-device temporal carry collective is in the path.
+    Measures the flagship multi-chip configuration: every data shard starts
+    at an I-frame, the fused Pallas window kernel runs per shard under
+    shard_map with zero collectives (parallel/decode.py).  Reports per-chip
+    frames/s at n_data=1 and n_data=all-devices plus scaling efficiency —
+    with one local device the 1-vs-1 "efficiency" is the sharding overhead
+    vs the direct kernel (the driver's multi-chip dryrun exercises real
+    n>1 meshes on the virtual CPU mesh).
     """
     import jax
     import jax.numpy as jnp
@@ -202,12 +212,18 @@ def bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu):
     )
 
     n = len(jax.devices())
+    use_pallas = on_tpu
     times = {}
     for n_data in sorted({1, n}):
         if f % n_data:
             continue
         mesh = make_mesh(n_data=n_data, n_block=1)
-        args = shard_inputs(mesh, d_amps[0], d_amps[1], d_amps[2], d_seg)
+        # GOP-aligned: every shard's first frame is an I-frame.
+        seg = np.zeros(f, dtype=bool)
+        seg[:: f // n_data] = True
+        args = shard_inputs(
+            mesh, amps[0], amps[1], amps[2], jnp.asarray(seg)
+        )
 
         @jax.jit
         def run(ay, acb, acr, s, mesh=mesh):
@@ -215,6 +231,7 @@ def bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu):
                 out = decode_transform_sharded(
                     ay + tok, acb, acr, s, mesh=mesh,
                     blocks_h=bh, blocks_w=bw,
+                    gop_aligned=True, use_pallas=use_pallas,
                 )
                 return jnp.sum(out[0, 0, :64].astype(jnp.int32)).astype(jnp.int16)
             return jax.lax.fori_loop(0, 32, body, jnp.int16(0)).astype(jnp.int32)
@@ -224,17 +241,62 @@ def bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu):
         float(run(*args))
         dt = (time.perf_counter() - t0) / 32
         times[n_data] = dt
-        _log(f"sharded n_data={n_data}: {dt * 1e3:.2f} ms/batch, "
+        _log(f"sharded n_data={n_data} (gop-aligned, "
+             f"{'fused' if use_pallas else 'xla'}): {dt * 1e3:.2f} ms/batch, "
              f"{f / dt:.1f} frames/s")
+    if not times:
+        return None
+    result = {
+        "frames_per_s": round(f / times[max(times)], 1),
+        "n_devices": max(times),
+        "kernel": "fused" if use_pallas else "xla",
+    }
     if len(times) == 2:
         eff = times[1] / (times[n] * n)
         _log(f"scaling efficiency @ {n} devices: {eff * 100:.1f}%")
+        result["scaling_efficiency"] = round(eff, 3)
+    return result
+
+
+def _run_stage_subprocess(stage: str, timeout_s: float, extra: list) -> dict | None:
+    """Run one stage in a child process with a hard timeout.
+
+    Remote TPU compiles can hang for minutes; a stuck stage must not stop
+    the headline JSON line from being printed (the driver's artifact)."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage] + extra
+    try:
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+        sys.stderr.write(r.stderr)
+        for line in reversed(r.stdout.strip().splitlines()):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    except subprocess.TimeoutExpired:
+        _log(f"stage {stage}: timed out after {timeout_s:.0f}s, skipped")
+    except Exception as e:  # noqa: BLE001
+        _log(f"stage {stage}: {type(e).__name__}: {e}")
+    return None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--stage", choices=("parse", "encode", "e2e", "sharded"),
+                    default=None,
+                    help="run ONE stage and print its JSON (used by the "
+                         "parent bench via subprocess)")
+    ap.add_argument("--no-stages", action="store_true",
+                    help="headline kernel number only, skip stage benches")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (JAX_PLATFORMS env is NOT "
+                         "honored in the axon environment; this uses "
+                         "jax.config, which is)")
     ap.add_argument(
         "--path",
         choices=("fused", "cm", "blocked", "i8", "pallas", "xla", "all",
@@ -260,6 +322,9 @@ def main():
     cli = ap.parse_args()
 
     import jax
+
+    if cli.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from mjpeg423_tpu.ops import transform_fused, transform_jax, transform_pallas
@@ -277,6 +342,18 @@ def main():
     b = bh * bw
 
     rng = np.random.default_rng(423)
+    if cli.stage is not None:
+        if cli.stage == "parse":
+            res = bench_parse(rng, f, b, h, w)
+        elif cli.stage == "encode":
+            res = bench_encode(rng, min(f, 8), b, h, w)
+        elif cli.stage == "e2e":
+            res = bench_e2e(rng, f, b, h, w, use_pallas=on_tpu)
+        else:
+            amps, _ = make_amps(rng, f, b)
+            res = bench_sharded(amps, bh, bw, f, on_tpu)
+        print(json.dumps(res if res is not None else {}))
+        return 0
     if cli.parse:
         bench_parse(rng, f, b, h, w)
     if cli.e2e:
@@ -378,7 +455,7 @@ def main():
         )
 
     if cli.sharded:
-        bench_sharded(d_amps, d_seg, bh, bw, f, on_tpu)
+        bench_sharded(amps, bh, bw, f, on_tpu)
 
     results = {}
     for name, mk in paths.items():
@@ -434,6 +511,37 @@ def main():
         "unit": "frames/s",
         "vs_baseline": round(pix_per_s / REF_PIX_PER_S, 1),
     }
+    if not cli.no_stages:
+        # Flush the headline line NOW: if the harness kills the process
+        # mid-stages, this is still the last complete JSON line on stdout.
+        print(json.dumps(out), flush=True)
+
+    if not cli.no_stages:
+        # Stage benches in child processes (hard timeouts: a hung remote
+        # compile must not eat the headline line).  Budget is wall-clock
+        # from here; stages that do not fit are skipped, earlier = higher
+        # priority.
+        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "1200"))
+        per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "420"))
+        extra = []
+        if cli.small:
+            extra.append("--small")
+        if cli.cpu:
+            extra.append("--cpu")
+        if cli.frames:
+            extra += ["--frames", str(cli.frames)]
+        t_start = time.perf_counter()
+        stages = {}
+        for stage in ("parse", "sharded", "e2e", "encode"):
+            remaining = budget - (time.perf_counter() - t_start)
+            if remaining < 30:
+                _log(f"stage budget exhausted, skipping {stage}+")
+                break
+            stages[stage] = _run_stage_subprocess(
+                stage, min(remaining, per_stage_cap), extra
+            )
+        out["stages"] = stages
+
     print(json.dumps(out))
     return 0
 

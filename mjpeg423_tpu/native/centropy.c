@@ -54,14 +54,20 @@ static inline void br_init(BitReader* br, const uint8_t* data, size_t len) {
 }
 
 static inline void br_refill(BitReader* br) {
-  if (br->navail > 32) return;
-  if (br->pos + 4 <= br->len) {
-    uint32_t w;
-    memcpy(&w, br->data + br->pos, 4); /* single bswap beats 4 shift/ors */
-    w = __builtin_bswap32(w);
-    br->acc = (br->acc << 32) | w;
-    br->pos += 4;
-    br->navail += 32;
+  /* Callers consume at most 23 bits between refills (8-bit run/size plus
+   * a VLI whose 4-bit size nibble can claim 15 on CORRUPT input — valid
+   * streams cap it at 11); the 23-bit early-out threshold makes the body
+   * run roughly every other symbol while a single 8-byte load + bswap64
+   * tops the accumulator back up to >= 54 bits. */
+  if (br->navail >= 23) return;
+  if (br->pos + 8 <= br->len) {
+    uint64_t w;
+    memcpy(&w, br->data + br->pos, 8);
+    w = __builtin_bswap64(w);
+    int take = (56 - br->navail) & ~7; /* whole bytes: 40..56 */
+    br->acc = (br->acc << take) | (w >> (64 - take));
+    br->pos += (size_t)(take >> 3);
+    br->navail += take;
   } else {
     while (br->navail <= 56) {
       uint8_t b = (br->pos < br->len) ? br->data[br->pos] : 0;

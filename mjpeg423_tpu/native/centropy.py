@@ -38,21 +38,29 @@ def _build() -> pathlib.Path | None:
         return None
     so = _BUILD / "libcentropy.so"
     stamp = _BUILD / "stamp"
-    want = f"{_SRC.stat().st_mtime}:{cc}"
+    want = f"{_SRC.stat().st_mtime}:{cc}:v2-march-native"
     if so.exists() and stamp.exists() and stamp.read_text() == want:
         return so
     _BUILD.mkdir(exist_ok=True)
     base = [cc, "-O3", "-std=c11", "-fwrapv", "-fPIC", "-shared",
             "-o", str(so), str(_SRC)]
-    # OpenMP parallelizes the batch decode across frame-plane items; fall
-    # back to a serial build when the toolchain lacks it.
-    try:
-        subprocess.run(base + ["-fopenmp"], check=True, capture_output=True)
-    except subprocess.CalledProcessError:
+    # Build ladder: native ISA + OpenMP -> OpenMP -> plain.  -march=native
+    # is safe here because the library is always compiled on the machine
+    # that runs it (on-demand build); OpenMP parallelizes the batch decode
+    # across frame-plane items.
+    attempts = (
+        base + ["-march=native", "-fopenmp"],
+        base + ["-fopenmp"],
+        base,
+    )
+    for cmd in attempts:
         try:
-            subprocess.run(base, check=True, capture_output=True)
+            subprocess.run(cmd, check=True, capture_output=True)
+            break
         except subprocess.CalledProcessError:
-            return None
+            continue
+    else:
+        return None
     stamp.write_text(want)
     return so
 
