@@ -60,17 +60,36 @@ class StreamPool:
     ) -> ServeStats:
         """Decode every stream; returns aggregate stats.
 
-        sink(stream_idx, window) is called for each DecodedWindow if given.
-        max_concurrent bounds the number of streams in flight (each holds
-        prefetch_batches windows of device memory).  A failed stream is
-        retried from its start up to `retries` times — the GOP-restart
-        elasticity unit (SURVEY.md §5.3: a failed shard re-decodes its GOP;
-        decode is stateless per stream so a clean restart is always valid).
+        sink(stream_idx, window) is called for each DecodedWindow if given;
+        a sink accepting a third parameter is called as
+        sink(stream_idx, window, attempt) so non-idempotent consumers (file
+        append, network) can de-duplicate replays — on retry the stream's
+        windows are delivered again from the start with attempt > 0.
+        Dict-style sinks keyed by (stream_idx, window.start_frame) need no
+        change.  max_concurrent bounds the number of streams in flight
+        (each holds prefetch_batches windows of device memory).  A failed
+        stream is retried from its start up to `retries` times — the
+        GOP-restart elasticity unit (SURVEY.md §5.3: a failed shard
+        re-decodes its GOP; decode is stateless per stream so a clean
+        restart is always valid).
         """
         stats = ServeStats(streams=len(streams))
         lock = threading.Lock()
         sem = threading.Semaphore(max_concurrent)
         errors: list[Exception] = []
+        deliver = None
+        if sink is not None:
+            import inspect
+
+            try:
+                n_params = len(inspect.signature(sink).parameters)
+            except (TypeError, ValueError):
+                n_params = 2
+            if n_params >= 3:
+                deliver = sink
+            else:
+                def deliver(si, win, attempt, _sink=sink):
+                    _sink(si, win)
 
         def worker(si: int, data: bytes):
             for attempt in range(retries + 1):
@@ -78,12 +97,8 @@ class StreamPool:
                 try:
                     with sem:
                         for win in self.pipeline.decode(data):
-                            if sink is not None:
-                                # On retry the sink sees the stream's windows
-                                # again from the start; windows are keyed by
-                                # start_frame so replay is idempotent for
-                                # dict-style sinks.
-                                sink(si, win)
+                            if deliver is not None:
+                                deliver(si, win, attempt)
                             h, w = win.frames.shape[1:3]
                             frames += win.count
                             pixels += win.count * h * w

@@ -34,3 +34,41 @@ def test_pool_decodes_concurrent_streams_bit_exact():
         assert len(got[si]) == want.shape[0]
         for fi, fr in got[si].items():
             np.testing.assert_array_equal(fr, want[fi])
+
+
+def test_pool_retry_surfaces_attempt_to_sink():
+    """A mid-decode failure retries the stream and redelivers with
+    attempt > 0 so non-idempotent sinks can de-duplicate (VERDICT r1
+    weak-6)."""
+    rng = np.random.default_rng(22)
+    frames = make_test_frames(rng, num_frames=8, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)
+    want = decoder.decode_stream_array(data)
+
+    deliveries = []
+    fail_once = {"done": False}
+
+    def sink(si, win, attempt):
+        deliveries.append((si, win.start_frame, attempt))
+        if not fail_once["done"]:
+            fail_once["done"] = True
+            raise RuntimeError("transient sink failure")
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    stats = pool.decode_all([data], sink=sink, retries=1)
+    assert stats.frames == want.shape[0]
+    attempts = {a for _, _, a in deliveries}
+    assert attempts == {0, 1}
+    # the retry redelivered the failed window
+    firsts = [(s, a) for (si, s, a) in deliveries]
+    assert (0, 0) in firsts and (0, 1) in firsts
+
+
+def test_pool_two_arg_sink_still_works():
+    rng = np.random.default_rng(23)
+    frames = make_test_frames(rng, num_frames=5, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=3)
+    seen = []
+    pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
+    stats = pool.decode_all([data], sink=lambda si, w: seen.append(w.count))
+    assert sum(seen) == stats.frames == 5
