@@ -253,7 +253,12 @@ def cmd_serve(args) -> int:
 
     streams = [_load_stream(p) for p in args.inputs]
     cfg = DecodeConfig(use_pallas=False if args.no_pallas else None)
-    pool = StreamPool(cfg)
+    devices = None
+    if args.all_devices:
+        import jax
+
+        devices = jax.devices()
+    pool = StreamPool(cfg, devices=devices)
     stats = pool.decode_all(streams, max_concurrent=args.concurrent)
     print(
         f"decoded {stats.streams} streams / {stats.frames} frames in "
@@ -324,6 +329,9 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+")
     p.add_argument("--concurrent", type=int, default=4)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--all-devices", action="store_true",
+                   help="spread streams over every local chip (one pinned "
+                        "pipeline per device)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

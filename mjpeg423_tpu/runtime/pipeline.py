@@ -171,12 +171,26 @@ class DecodePipeline:
         config: DecodeConfig | None = None,
         profiler: Profiler | None = None,
         mesh=None,
+        device=None,
     ):
         self.config = config or DecodeConfig()
         self.profiler = profiler or default_profiler
         self.mesh = mesh
+        # Pin this pipeline's device work to one chip (stream-level data
+        # parallelism: runtime.serve.StreamPool runs one pinned pipeline
+        # per device).  None = the process default device.
+        self.device = device
         self._executor: ThreadPoolExecutor | None = None
         self._step_cache: dict = {}
+
+    def _put(self, x):
+        """Host array -> device (the mSGDMA feed analog), honoring the pin."""
+        import jax
+        import jax.numpy as jnp
+
+        if self.device is not None:
+            return jax.device_put(x, self.device)
+        return jnp.asarray(x)
 
     # ----- Stage A: host entropy parse ---------------------------------
 
@@ -400,11 +414,11 @@ class DecodePipeline:
             return jnp.swapaxes(ccm, -1, -2).reshape(3, nb, 64)
 
         if want_cm:
-            carry = jnp.zeros(
-                (3, hdr.blocks_h // kk, 64, kk * hdr.blocks_w), jnp.int16
-            )
+            carry = self._put(np.zeros(
+                (3, hdr.blocks_h // kk, 64, kk * hdr.blocks_w), np.int16
+            ))
         else:
-            carry = jnp.zeros((3, nb, 64), dtype=jnp.int16)
+            carry = self._put(np.zeros((3, nb, 64), dtype=np.int16))
         carry_layout = "cm" if want_cm else "bm"
         pending: list[tuple[int, int, object]] = []
         try:
@@ -437,7 +451,7 @@ class DecodePipeline:
                         )
                         pcm[:, :c] = cm
                         cm = pcm
-                    dev_amps = ("cm", jnp.asarray(cm))
+                    dev_amps = ("cm", self._put(cm))
                 elif isinstance(amps, tuple):  # packed ("i8", dc, ac8)
                     _, dc, ac = amps
                     if c < w:
@@ -446,18 +460,18 @@ class DecodePipeline:
                         pdc[:, :c] = dc
                         pac[:, :c] = ac
                         dc, ac = pdc, pac
-                    dev_amps = ("i8", jnp.asarray(dc), jnp.asarray(ac))
+                    dev_amps = ("i8", self._put(dc), self._put(ac))
                 else:
                     if c < w:
                         pad = np.zeros((3, w, nb, 64), dtype=np.int16)
                         pad[:, :c] = amps
                         amps = pad
-                    dev_amps = jnp.asarray(amps)
+                    dev_amps = self._put(amps)
                 seg = np.zeros(w, dtype=bool)
                 seg[: min(c, w)] = index.is_iframe[s:s + c]
                 with self.profiler.time("device/dispatch"):
                     frames, carry = step(
-                        dev_amps, jnp.asarray(seg), carry
+                        dev_amps, self._put(seg), carry
                     )
                 pending.append((s, c, frames))
                 # The output ring: up to num_output_buffers decoded windows

@@ -46,10 +46,23 @@ class StreamPool:
     """
 
     def __init__(self, config: DecodeConfig | None = None,
-                 profiler: Profiler | None = None):
+                 profiler: Profiler | None = None,
+                 devices: list | None = None):
+        """devices: spread streams round-robin over these chips, one pinned
+        pipeline per device (stream-level data parallelism — the serving
+        counterpart of GOP sharding: whole independent streams are the
+        coarsest parallel axis and need zero collectives).  None = one
+        pipeline on the default device."""
         self.config = config or DecodeConfig()
         self.profiler = profiler or default_profiler
-        self.pipeline = DecodePipeline(self.config, self.profiler)
+        if devices:
+            self.pipelines = [
+                DecodePipeline(self.config, self.profiler, device=d)
+                for d in devices
+            ]
+        else:
+            self.pipelines = [DecodePipeline(self.config, self.profiler)]
+        self.pipeline = self.pipelines[0]  # back-compat alias
 
     def decode_all(
         self,
@@ -92,11 +105,12 @@ class StreamPool:
                     _sink(si, win)
 
         def worker(si: int, data: bytes):
+            pipe = self.pipelines[si % len(self.pipelines)]
             for attempt in range(retries + 1):
                 frames = pixels = 0
                 try:
                     with sem:
-                        for win in self.pipeline.decode(data):
+                        for win in pipe.decode(data):
                             if deliver is not None:
                                 deliver(si, win, attempt)
                             h, w = win.frames.shape[1:3]

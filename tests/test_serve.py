@@ -72,3 +72,35 @@ def test_pool_two_arg_sink_still_works():
     pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
     stats = pool.decode_all([data], sink=lambda si, w: seen.append(w.count))
     assert sum(seen) == stats.frames == 5
+
+
+def test_pool_spreads_streams_over_devices():
+    """devices=... pins one pipeline per chip; streams round-robin across
+    them and every stream stays bit-exact (stream-level DP on the virtual
+    8-device mesh)."""
+    import jax
+
+    rng = np.random.default_rng(24)
+    streams, oracles = [], []
+    for k in range(8):
+        frames = make_test_frames(rng, num_frames=4 + (k % 3), h=16, w=16)
+        data = encoder.encode_frames(frames, max_i_interval=3)
+        streams.append(data)
+        oracles.append(decoder.decode_stream_array(data))
+
+    got = {i: {} for i in range(len(streams))}
+
+    def sink(si, win):
+        for j in range(win.count):
+            got[si][win.start_frame + j] = win.frames[j]
+
+    pool = StreamPool(
+        DecodeConfig(frames_per_batch=3, use_pallas=False),
+        devices=jax.devices(),
+    )
+    assert len(pool.pipelines) == len(jax.devices())
+    stats = pool.decode_all(streams, sink=sink, max_concurrent=8)
+    assert stats.frames == sum(o.shape[0] for o in oracles)
+    for si, want in enumerate(oracles):
+        for fi, fr in got[si].items():
+            np.testing.assert_array_equal(fr, want[fi])
