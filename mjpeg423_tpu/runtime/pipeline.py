@@ -305,6 +305,66 @@ class DecodePipeline:
 
     # ----- Full pipeline ------------------------------------------------
 
+    def warmup(self, width: int, height: int) -> None:
+        """Pre-compile the device step for a geometry before streams arrive
+        (serving cold-start: first-compile on a TPU takes tens of seconds
+        to minutes; the reference's equivalent is all-at-load init,
+        main.c:141-171).  Runs one zero-delta window through the step in
+        the stream format decode() will use, then discards it.
+        """
+        import jax
+        import numpy as np
+
+        bh, bw = height // 8, width // 8
+        nb = bh * bw
+        w = self.config.frames_per_batch
+        seg = np.zeros(w, dtype=bool)
+        seg[0] = True
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            n_dev = self.mesh.shape[DATA_AXIS]
+            fmt_tag = self._mesh_fmt()
+            kk = auto_rows_per_step(bh, bw) if fmt_tag == "cm" else 1
+            if fmt_tag == "cm":
+                amps = np.zeros(
+                    (n_dev, 3, w, bh // kk, 64, kk * bw), np.int16
+                )
+                carry = np.zeros((n_dev, 3, bh // kk, 64, kk * bw), np.int16)
+            else:
+                amps = np.zeros((n_dev, 3, w, nb, 64), np.int16)
+                carry = np.zeros((n_dev, 3, nb, 64), np.int16)
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            step = self._get_mesh_step(bh, bw, fmt_tag)
+            segs = np.broadcast_to(seg, (n_dev, w)).copy()
+            frames, _ = step(
+                jax.device_put(amps, sh), jax.device_put(segs, sh),
+                jax.device_put(carry, sh),
+            )
+            frames.block_until_ready()
+            return
+        step = self._get_step(bh, bw)
+        use_pallas = self._use_pallas()
+        want_cm = (
+            use_pallas and self.config.coef_major
+            and not (use_pallas and self.config.pack_i8)
+            and self.config.spec_segments <= 1
+            and self.config.use_native_entropy and centropy.native_available()
+        )
+        if want_cm:
+            kk = auto_rows_per_step(bh, bw)
+            amps = ("cm", self._put(
+                np.zeros((3, w, bh // kk, 64, kk * bw), np.int16)
+            ))
+            carry = self._put(np.zeros((3, bh // kk, 64, kk * bw), np.int16))
+        else:
+            amps = self._put(np.zeros((3, w, nb, 64), np.int16))
+            carry = self._put(np.zeros((3, nb, 64), np.int16))
+        frames, _ = step(amps, self._put(seg), carry)
+        frames.block_until_ready()
+
     def decode(
         self,
         data: bytes,

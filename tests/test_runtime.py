@@ -215,3 +215,34 @@ def test_pipeline_early_stop_reaps_producer(stream):
     gen.close()     # abandon mid-stream: producer must not stay parked
     _time.sleep(0.2)
     assert threading.active_count() <= base + 1  # thread pool may linger briefly
+
+
+def test_pipeline_warmup_precompiles(stream):
+    """warmup() compiles the step for a geometry; decode then reuses the
+    cached step (no new cache entries)."""
+    data, want = stream
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=5, use_pallas=False))
+    pipe.warmup(64, 48)
+    n_cached = len(pipe._step_cache)
+    assert n_cached >= 1
+    got = pipe.decode_array(data)
+    assert len(pipe._step_cache) == n_cached
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_warmup_mesh():
+    from mjpeg423_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(12)
+    frames = make_test_frames(rng, num_frames=12, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)
+    want = decoder.decode_stream_array(data)
+    mesh = make_mesh(n_data=4, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=2, use_pallas=False), mesh=mesh
+    )
+    pipe.warmup(16, 16)
+    n_cached = len(pipe._step_cache)
+    got = pipe.decode_array(data)
+    assert len(pipe._step_cache) == n_cached
+    np.testing.assert_array_equal(got, want)
