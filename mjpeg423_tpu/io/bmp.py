@@ -88,6 +88,8 @@ def _decode_rle(data: bytes, offset: int, w: int, h: int, rle4: bool
             if rle4:
                 nb = (val + 1) // 2
                 chunk = data[i:i + nb]
+                if len(chunk) < nb:
+                    raise ValueError("truncated RLE4 absolute run")
                 i += nb + (nb & 1)  # word-aligned
                 for k in range(val):
                     if x < w:
@@ -95,8 +97,10 @@ def _decode_rle(data: bytes, offset: int, w: int, h: int, rle4: bool
                         out[y, x] = (b >> 4) & 0xF if k % 2 == 0 else b & 0xF
                         x += 1
             else:
-                end = min(x + val, w)
                 take = data[i:i + val]
+                if len(take) < val:
+                    raise ValueError("truncated RLE8 absolute run")
+                end = min(x + val, w)
                 out[y, x:end] = np.frombuffer(
                     take, dtype=np.uint8
                 )[: end - x]
@@ -123,6 +127,8 @@ def read_bmp(path: str) -> np.ndarray:
     """
     with open(path, "rb") as f:
         data = f.read()
+    if len(data) < _FILE_HDR.size + _INFO_HDR.size:
+        raise ValueError("truncated BMP header")
     magic, _size, _r1, _r2, offset = _FILE_HDR.unpack_from(data, 0)
     if magic != b"BM":
         raise ValueError("not a BMP file")
@@ -130,11 +136,15 @@ def read_bmp(path: str) -> np.ndarray:
      clr_used, _clr_imp) = _INFO_HDR.unpack_from(data, _FILE_HDR.size)
     if hdr_size < 40:
         raise ValueError(f"unsupported BMP header size {hdr_size}")
+    if w <= 0 or h == 0 or abs(h) > 1 << 20 or w > 1 << 20:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     flip = h > 0
     h = abs(h)
     pal_off = _FILE_HDR.size + hdr_size
     masks = None
     if compression == BI_BITFIELDS:
+        if len(data) < pal_off + 12:
+            raise ValueError("truncated BITFIELDS masks")
         if hdr_size == 40:  # masks follow the info header
             masks = struct.unpack_from("<III", data, pal_off)
             pal_off += 12
@@ -171,6 +181,8 @@ def read_bmp(path: str) -> np.ndarray:
             raise ValueError(
                 f"unsupported compression {compression} for {bpp}-bpp"
             )
+        if int(idx.max(initial=0)) >= n_colors:
+            raise ValueError("palette index out of range (corrupt BMP)")
         return np.ascontiguousarray(palette[idx])
 
     if bpp == 16:

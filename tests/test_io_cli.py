@@ -300,3 +300,35 @@ def test_cli_encode_from_ppm(tmp_path):
     assert cli.main(["encode", *paths, "-o", out, "--no-device"]) == 0
     got = decoder.decode_stream_array(open(out, "rb").read())
     assert got.shape == (3, 16, 16)
+
+
+def test_bmp_reader_fuzz_no_crashes(tmp_path):
+    """Random and truncated BMPs must raise ValueError (or decode), never
+    crash with IndexError/struct errors — the libnsbmp robustness bar."""
+    import struct
+
+    rng = np.random.default_rng(31)
+    p = str(tmp_path / "fz.bmp")
+    for trial in range(200):
+        kind = trial % 4
+        if kind == 0:        # pure random bytes after a BM magic
+            blob = b"BM" + rng.bytes(int(rng.integers(12, 200)))
+        else:                # structured header + random payload
+            bpp = int(rng.choice([1, 4, 8, 16, 24, 32]))
+            comp = int(rng.choice([0, 1, 2, 3]))
+            w = int(rng.integers(1, 16))
+            h = int(rng.integers(1, 16))
+            off = int(rng.integers(0, 200))
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, bpp, comp, 0, 0, 0,
+                int(rng.integers(0, 300)), 0,
+            )
+            payload = rng.bytes(int(rng.integers(0, 120)))
+            blob = struct.pack(
+                "<2sIHHI", b"BM", 54 + len(payload), 0, 0, off
+            ) + info + payload
+        open(p, "wb").write(blob)
+        try:
+            bmp.read_bmp(p)
+        except ValueError:
+            pass  # corrupt input correctly rejected
