@@ -370,18 +370,22 @@ class DecodePipeline:
         data: bytes,
         start_frame: int = 0,
         stop: Callable[[], bool] | None = None,
+        end_frame: int | None = None,
     ) -> Iterator[DecodedWindow]:
-        """Decode a container from `start_frame`, yielding frame windows.
+        """Decode frames [start_frame, end_frame) , yielding frame windows.
 
         start_frame must be an I-frame index (seek targets come from the
-        trailer, like the reference — playback.c:136-152).
+        trailer, like the reference — playback.c:136-152).  end_frame
+        (default: stream end) bounds the decode — the per-host GOP
+        partition case (multihost.local_partition) decodes exactly its
+        [frame_lo, frame_hi) range with no wasted tail work.
 
         Note: with mesh=..., windows are yielded in per-step order across
         device partitions, NOT in global frame order; consumers key on
         DecodedWindow.start_frame (decode_array reassembles by index).
         """
         if self.mesh is not None:
-            yield from self._decode_mesh(data, start_frame, stop)
+            yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
         import jax
         import jax.numpy as jnp
@@ -398,6 +402,8 @@ class DecodePipeline:
             raise ValueError(f"start_frame {start_frame} is not an I-frame")
 
         nf = hdr.num_frames
+        if end_frame is not None:
+            nf = min(nf, end_frame)
         windows = [
             (s, min(w, nf - s)) for s in range(start_frame, nf, w)
         ]
@@ -620,6 +626,7 @@ class DecodePipeline:
         data: bytes,
         start_frame: int = 0,
         stop: Callable[[], bool] | None = None,
+        end_frame: int | None = None,
     ) -> Iterator[DecodedWindow]:
         """Sharded streaming decode over the mesh's "data" axis.
 
@@ -654,7 +661,11 @@ class DecodePipeline:
         if start_frame and not index.is_iframe[start_frame]:
             raise ValueError(f"start_frame {start_frame} is not an I-frame")
         nf = hdr.num_frames
-        gop_starts = [g for g in index.gop_starts() if g >= start_frame]
+        if end_frame is not None:
+            nf = min(nf, end_frame)
+        gop_starts = [
+            g for g in index.gop_starts() if start_frame <= g < nf
+        ]
         if not gop_starts or gop_starts[0] != start_frame:
             gop_starts = [start_frame] + gop_starts
         parts = partition_gops(gop_starts, nf, n_dev)

@@ -246,3 +246,30 @@ def test_pipeline_warmup_mesh():
     got = pipe.decode_array(data)
     assert len(pipe._step_cache) == n_cached
     np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_end_frame_bound(stream):
+    data, want = stream
+    import mjpeg423_tpu.core.format as fmt
+
+    starts = fmt.index_frames(data).gop_starts()
+    lo, hi = starts[1], starts[2]
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    got = pipe.decode_array(data, start_frame=lo, end_frame=hi)
+    np.testing.assert_array_equal(got, want[lo:hi])
+
+
+def test_pipeline_end_frame_bound_mesh(stream):
+    from mjpeg423_tpu.parallel import make_mesh
+
+    data, want = stream
+    import mjpeg423_tpu.core.format as fmt
+
+    starts = fmt.index_frames(data).gop_starts()
+    lo, hi = starts[0], starts[2]
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=3, use_pallas=False),
+        mesh=make_mesh(n_data=2, n_block=1),
+    )
+    got = pipe.decode_array(data, start_frame=lo, end_frame=hi)
+    np.testing.assert_array_equal(got, want[lo:hi])
