@@ -1,11 +1,19 @@
 """End-to-end example: synthesize frames, encode, decode, seek, verify.
 
-Run: python examples/roundtrip.py  (CPU or TPU; ~seconds on CPU)
+Run: python examples/roundtrip.py          (CPU; ~seconds)
+     python examples/roundtrip.py --tpu    (real chip; first compile is slow)
 """
 import sys
 import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+if "--tpu" not in sys.argv:
+    # The JAX_PLATFORMS env var is not honored in every environment (e.g.
+    # axon tunnels); force the backend through the config API.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
