@@ -148,7 +148,14 @@ def bench_encode(rng, f, b, h, w):
         f"stage=encode: {f} frames @ {w}x{h} -> {len(data) / 1e6:.1f} MB in "
         f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode"
     )
-    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
+    res = {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
+    import jax
+
+    if jax.default_backend() == "tpu":
+        res["note"] = ("candidate coefficients cross the dev tunnel at "
+                       "~1 MB/s; host-only encode (see --cpu) is faster "
+                       "on this box")
+    return res
 
 
 def bench_e2e(rng, f, b, h, w, use_pallas):
@@ -190,7 +197,13 @@ def bench_e2e(rng, f, b, h, w, use_pallas):
         f"stage=e2e: {len(data) / 1e6:.1f} MB container -> {out.shape} in "
         f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s end-to-end (1 stream)"
     )
-    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
+    res = {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
+    import jax
+
+    if jax.default_backend() == "tpu":
+        res["note"] = ("includes dev-tunnel device->host egress ~1 MB/s; "
+                       "production PCIe is ~4 orders faster (DESIGN.md s4)")
+    return res
 
 
 def bench_sharded(amps, bh, bw, f, on_tpu):
@@ -320,6 +333,19 @@ def main():
                     help="run the mesh-sharded decode over all local devices "
                          "and report scaling efficiency vs one device")
     cli = ap.parse_args()
+
+    if cli.stage == "parse":
+        # Host-only stage: never initialize the device backend — the axon
+        # client's tunnel threads contend with OpenMP and were measured to
+        # slow the host parse ~25x.
+        rng = np.random.default_rng(423)
+        if cli.small or cli.cpu:
+            h, w, f = 272, 480, cli.frames or 8
+        else:
+            h, w, f = 1088, 1920, cli.frames or 16
+        res = bench_parse(rng, f, (h // 8) * (w // 8), h, w)
+        print(json.dumps(res if res is not None else {}))
+        return 0
 
     import jax
 
