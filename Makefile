@@ -20,9 +20,10 @@ selftest:
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:
-	$(PY) -c "from mjpeg423_tpu.native import centropy; centropy._load(force=True) if 'force' in centropy._load.__code__.co_varnames else centropy._load(); print('native codec:', centropy.native_available())"
+	rm -rf mjpeg423_tpu/native/_build
+	$(PY) -c "from mjpeg423_tpu.native import centropy; print('native codec:', centropy.native_available())"
 
 clean:
-	rm -rf build dist *.egg-info .oracle_build
+	rm -rf build dist *.egg-info .oracle_build .jax_cache
+	rm -rf mjpeg423_tpu/native/_build
 	find . -name __pycache__ -type d -prune -exec rm -rf {} \;
-	rm -f mjpeg423_tpu/native/*.so

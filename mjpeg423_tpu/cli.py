@@ -116,52 +116,59 @@ def cmd_encode(args) -> int:
     return 0
 
 
-def _stdin_key_loop(control: dict) -> None:
-    """Map stdin keys to player commands (the pushbutton ISR analog,
-    key_controls.c:15-34): space/p = pause/resume, f = FF +5 s, r = RW -5 s,
-    n = next video, q = quit.  Uses cbreak single-char reads on a TTY and
-    plain char reads otherwise (pipes in tests)."""
-    stdin = sys.stdin
-
-    def _noop():
-        return None
-
-    restore = _noop
+def _tty_cbreak() -> object | None:
+    """Put the controlling TTY in cbreak mode; returns the restore token
+    (or None off-TTY).  Called — and restored — from the MAIN thread: the
+    stdin-reader daemon may die blocked in read(1) at process exit without
+    running its finally, and raw tty state survives the process."""
     try:
         import termios
         import tty
 
-        fd = stdin.fileno()
+        fd = sys.stdin.fileno()
+        if not sys.stdin.isatty():
+            return None
         old = termios.tcgetattr(fd)
         tty.setcbreak(fd)
-
-        def restore():
-            termios.tcsetattr(fd, termios.TCSADRAIN, old)
+        return (fd, old)
     except Exception:
-        pass
-    try:
-        while not control["quit"]:
-            ch = stdin.read(1)
-            if ch == "":
-                return  # EOF
-            player = control.get("player")
-            if player is None:
-                continue
-            ch = ch.lower()
-            if ch in (" ", "p"):
-                player.toggle_pause()
-            elif ch == "f":
-                player.request_fast_forward()
-            elif ch == "r":
-                player.request_rewind()
-            elif ch == "n":
-                player.request_stop()
-            elif ch == "q":
-                control["quit"] = True
-                player.resume()
-                player.request_stop()
-    finally:
-        restore()
+        return None
+
+
+def _tty_restore(token) -> None:
+    if token is None:
+        return
+    import termios
+
+    fd, old = token
+    termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+
+def _stdin_key_loop(control: dict) -> None:
+    """Map stdin keys to player commands (the pushbutton ISR analog,
+    key_controls.c:15-34): space/p = pause/resume, f = FF +5 s, r = RW -5 s,
+    n = next video, q = quit.  The caller owns tty mode (_tty_cbreak)."""
+    stdin = sys.stdin
+    while not control["quit"]:
+        ch = stdin.read(1)
+        if ch == "":
+            return  # EOF
+        player = control.get("player")
+        if player is None:
+            continue
+        ch = ch.lower()
+        if ch in (" ", "p"):
+            player.toggle_pause()
+        elif ch == "f":
+            player.request_fast_forward()
+        elif ch == "r":
+            player.request_rewind()
+        elif ch == "n":
+            player.request_stop()
+        elif ch == "q":
+            control["quit"] = True
+            player.resume()
+            player.request_stop()
 
 
 def cmd_play(args) -> int:
@@ -178,7 +185,9 @@ def cmd_play(args) -> int:
     cfg = DecodeConfig(fps=args.fps, use_pallas=False if args.no_pallas else None)
     playlist = list(args.inputs)
     control: dict = {"player": None, "quit": False}
+    tty_token = None
     if args.interactive:
+        tty_token = _tty_cbreak()
         threading.Thread(
             target=_stdin_key_loop, args=(control,), daemon=True
         ).start()
@@ -186,26 +195,29 @@ def cmd_play(args) -> int:
               file=sys.stderr)
     total = 0
     rounds = 0
-    while True:
-        for path in playlist:
-            if control["quit"]:
+    try:
+        while True:
+            for path in playlist:
+                if control["quit"]:
+                    break
+                player = Player(_load_stream(path), cfg)
+                control["player"] = player
+                if args.start_s:
+                    player.seek_to_iframe(int(args.start_s * args.fps))
+                stats = player.play(paced=not args.no_pace)
+                total += stats.frames_delivered
+                print(
+                    f"{path}: {stats.frames_delivered} frames in "
+                    f"{stats.wall_s:.3f}s ({stats.fps:.2f} fps, "
+                    f"{stats.frames_late} late)",
+                    file=sys.stderr,
+                )
+            rounds += 1
+            if control["quit"] or not args.loop or rounds >= args.loop:
                 break
-            player = Player(_load_stream(path), cfg)
-            control["player"] = player
-            if args.start_s:
-                player.seek_to_iframe(int(args.start_s * args.fps))
-            stats = player.play(paced=not args.no_pace)
-            total += stats.frames_delivered
-            print(
-                f"{path}: {stats.frames_delivered} frames in "
-                f"{stats.wall_s:.3f}s ({stats.fps:.2f} fps, "
-                f"{stats.frames_late} late)",
-                file=sys.stderr,
-            )
-        rounds += 1
-        if control["quit"] or not args.loop or rounds >= args.loop:
-            break
-    control["quit"] = True
+    finally:
+        control["quit"] = True
+        _tty_restore(tty_token)
     if len(playlist) > 1 or args.loop:
         print(f"playlist total: {total} frames", file=sys.stderr)
     return 0

@@ -186,6 +186,10 @@ def read_bmp(path: str) -> np.ndarray:
         return np.ascontiguousarray(palette[idx])
 
     if bpp == 16:
+        if compression not in (BI_RGB, BI_BITFIELDS):
+            raise ValueError(
+                f"unsupported compression {compression} for 16-bpp"
+            )
         row_bytes = (w * 2 + 3) & ~3
         raw = np.frombuffer(
             data, dtype=np.uint8, count=row_bytes * h, offset=offset
@@ -207,6 +211,8 @@ def read_bmp(path: str) -> np.ndarray:
     if bpp in (24, 32):
         if compression not in (BI_RGB, BI_BITFIELDS):
             raise ValueError(f"unsupported BMP compression {compression}")
+        if compression == BI_BITFIELDS and bpp == 24:
+            raise ValueError("BI_BITFIELDS is only valid for 16/32 bpp")
         nch = bpp // 8
         row_bytes = (w * nch + 3) & ~3
         px = np.frombuffer(
@@ -215,6 +221,19 @@ def read_bmp(path: str) -> np.ndarray:
         px = px.reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
         if flip:
             px = px[::-1]
+        if bpp == 32 and masks is not None:
+            # Arbitrary channel order: extract by mask (e.g. RGBA-order
+            # files would otherwise come back with R/B swapped).
+            words = np.ascontiguousarray(px).reshape(h, w * 4)
+            words = words.view("<u4").reshape(h, w).astype(np.uint32)
+            out = np.empty((h, w, 3), dtype=np.uint8)
+            for c, m in enumerate(masks):
+                shift, width = _mask_shift(m)
+                v = (words >> shift) & ((1 << width) - 1)
+                if width and width < 8:
+                    v = (v * 255) // ((1 << width) - 1)
+                out[..., c] = v.astype(np.uint8)
+            return out
         # BGR(A) -> RGB
         return np.ascontiguousarray(px[..., 2::-1])
 

@@ -25,6 +25,27 @@ _LIB: ctypes.CDLL | None = None
 _TRIED = False
 
 
+def _cpu_fingerprint() -> str:
+    """Short hash of the host ISA (machine + cpuinfo flags/model)."""
+    import hashlib
+    import platform
+
+    bits = [platform.machine()]
+    try:
+        seen = set()
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "Features", "model name") and key not in seen:
+                    seen.add(key)
+                    bits.append(line.strip())
+                if len(seen) == 2 or (seen and key == "processor"):
+                    break  # first core's entries are enough
+    except OSError:
+        bits.append(platform.processor() or "")
+    return hashlib.sha1("|".join(bits).encode()).hexdigest()[:12]
+
+
 def _compiler() -> str | None:
     for cc in (os.environ.get("CC"), "cc", "gcc", "clang"):
         if cc and shutil.which(cc):
@@ -38,7 +59,10 @@ def _build() -> pathlib.Path | None:
         return None
     so = _BUILD / "libcentropy.so"
     stamp = _BUILD / "stamp"
-    want = f"{_SRC.stat().st_mtime}:{cc}:v2-march-native"
+    # The stamp includes a host-CPU fingerprint: -march=native binaries in
+    # a checkout shared across heterogeneous machines (NFS home) must not
+    # be reused on a CPU lacking the build host's ISA extensions (SIGILL).
+    want = f"{_SRC.stat().st_mtime}:{cc}:v2-march-native:{_cpu_fingerprint()}"
     if so.exists() and stamp.exists() and stamp.read_text() == want:
         return so
     _BUILD.mkdir(exist_ok=True)

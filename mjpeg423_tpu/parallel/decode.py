@@ -40,7 +40,8 @@ def _transform_states(states, blocks_h, blocks_w, use_pallas, interpret):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "mesh", "blocks_h", "blocks_w", "gop_aligned", "use_pallas", "interpret"
+        "mesh", "blocks_h", "blocks_w", "gop_aligned", "use_pallas",
+        "interpret", "raster",
     ),
 )
 def decode_transform_sharded(
@@ -55,6 +56,7 @@ def decode_transform_sharded(
     gop_aligned: bool = False,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
+    raster: bool = True,
 ) -> jnp.ndarray:
     """Sharded decode: (F, B, 64) int16 amplitudes x3 -> (F, H, W) uint32.
 
@@ -90,11 +92,15 @@ def decode_transform_sharded(
         if use_pallas and (gop_aligned or n_data == 1):
             # Fully-fused kernel: the temporal recurrence runs inside (each
             # shard's first frame is an I-frame, so zero carry is correct).
+            # raster=False keeps the kernel's blocked layout — the XLA
+            # device-side raster transpose measures ~45x the kernel itself
+            # (minor-dim-8 pattern); host consumers convert after transfer.
             local_b = ay.shape[1]
             carry = jnp.zeros((3, local_b, 64), dtype=jnp.int16)
             frames, _ = transform_fused.decode_window_fused(
                 jnp.stack([ay, acb, acr]), seg, carry,
                 blocks_h=local_rows, blocks_w=blocks_w, interpret=interpret,
+                raster=raster,
             )
             return frames
         states = []
@@ -109,6 +115,13 @@ def decode_transform_sharded(
             states, local_rows, blocks_w, use_pallas, interpret
         )
 
+    # Blocked (non-raster) fused output is (F, 8, bh, 8, bw): frames still
+    # shard over "data", block-rows (dim 2) over "block".
+    blocked_out = use_pallas and (gop_aligned or n_data == 1) and not raster
+    out_spec = (
+        P(DATA_AXIS, None, BLOCK_AXIS, None, None) if blocked_out
+        else P(DATA_AXIS, BLOCK_AXIS, None)
+    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -118,7 +131,7 @@ def decode_transform_sharded(
             P(DATA_AXIS, BLOCK_AXIS, None),
             P(DATA_AXIS),
         ),
-        out_specs=P(DATA_AXIS, BLOCK_AXIS, None),
+        out_specs=out_spec,
         # pallas_call out_shapes carry no varying-mesh-axis info; skip the
         # vma check (shardings are fully explicit here anyway).
         check_vma=False,
@@ -211,10 +224,17 @@ def decode_stream_sharded(
     padded = decode_transform_sharded(
         *args, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
         gop_aligned=True, use_pallas=use_pallas, interpret=interpret,
+        raster=False,
     )
     h, w = blocks_h * 8, blocks_w * 8
     out = np.empty((nf, h, w), dtype=np.uint32)
     host = np.asarray(padded)
+    if host.ndim == 5:
+        # Fused path returned the kernel's blocked layout; the raster
+        # permutation is a host memcpy (~45x cheaper than on device).
+        from ..ops.transform_fused import blocked_to_raster_host
+
+        host = blocked_to_raster_host(host)
     for p in parts:
         out[p.frame_lo:p.frame_hi] = host[
             p.host * fmax:p.host * fmax + p.num_frames

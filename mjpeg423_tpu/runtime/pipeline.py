@@ -76,12 +76,16 @@ class DecodedWindow:
 
 
 def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
-                         tile: int, interpret: bool | None):
+                         tile: int, interpret: bool | None,
+                         raster_on_device: bool = False):
     """Build the jit'd windowed decode step with coefficient-state carry.
 
     use_pallas=True -> the fully-fused kernel (ops/transform_fused.py):
-    dequant + temporal recurrence + IDCT + color + raster in one HBM pass.
-    Fallback: XLA segmented scan + jnp transform.
+    dequant + temporal recurrence + IDCT + color in one HBM pass.  Frames
+    come back in the kernel's blocked layout unless raster_on_device (the
+    device-side XLA raster transpose measures ~45x the kernel itself; the
+    host converts after transfer — blocked_to_raster_host).
+    Fallback: XLA segmented scan + jnp transform (always raster).
     """
     import jax
     import jax.numpy as jnp
@@ -101,17 +105,18 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
                 return transform_fused.decode_window_fused_cm(
                     amps[1], seg, carry, blocks_h=blocks_h,
                     blocks_w=blocks_w, interpret=interpret,
-                    rows_per_step=rows_k,
+                    rows_per_step=rows_k, raster=raster_on_device,
                 )
             if isinstance(amps, tuple):
                 _, dc, ac8 = amps
                 return transform_fused.decode_window_fused_i8(
                     dc, ac8, seg, carry, blocks_h=blocks_h,
                     blocks_w=blocks_w, interpret=interpret,
+                    raster=raster_on_device,
                 )
             return transform_fused.decode_window_fused(
                 amps, seg, carry, blocks_h=blocks_h, blocks_w=blocks_w,
-                interpret=interpret,
+                interpret=interpret, raster=raster_on_device,
             )
         return fused_step
 
@@ -300,8 +305,18 @@ class DecodePipeline:
             self._step_cache[key] = _device_step_factory(
                 blocks_h, blocks_w, use_pallas,
                 self.config.pallas_tile, None if on_tpu else True,
+                self.config.raster_on_device,
             )
         return self._step_cache[key]
+
+    def _to_raster(self, host: np.ndarray, blocks_h: int,
+                   blocks_w: int) -> np.ndarray:
+        """Drain-side raster conversion when frames arrive blocked."""
+        if host.ndim == 3:  # already raster (XLA path or raster_on_device)
+            return host
+        from ..ops.transform_fused import blocked_to_raster_host
+
+        return blocked_to_raster_host(host, blocks_h, blocks_w)
 
     # ----- Full pipeline ------------------------------------------------
 
@@ -347,6 +362,15 @@ class DecodePipeline:
             return
         step = self._get_step(bh, bw)
         use_pallas = self._use_pallas()
+        if use_pallas and self.config.pack_i8:
+            # decode() feeds ("i8", dc, ac8) windows in this config: warm
+            # the i8 kernel trace, not the block-major one.
+            dc = self._put(np.zeros((3, w, nb), np.int16))
+            ac = self._put(np.zeros((3, w, nb, 64), np.int8))
+            carry = self._put(np.zeros((3, nb, 64), np.int16))
+            frames, _ = step(("i8", dc, ac), self._put(seg), carry)
+            frames.block_until_ready()
+            return
         want_cm = (
             use_pallas and self.config.coef_major
             and not (use_pallas and self.config.pack_i8)
@@ -545,12 +569,12 @@ class DecodePipeline:
                 # ring, ece423_vid_ctl.c:96-116); drain the oldest beyond it.
                 ring = max(1, cfg.num_output_buffers)
                 while len(pending) > ring:
-                    yield self._drain(pending.pop(0))
+                    yield self._drain(pending.pop(0), bh, bw)
                     if stop is not None and stop():
                         stop_flag.set()
                         return
             while pending:
-                yield self._drain(pending.pop(0))
+                yield self._drain(pending.pop(0), bh, bw)
                 if stop is not None and stop():
                     return
         finally:
@@ -766,6 +790,11 @@ class DecodePipeline:
             spans, frames = item
             with self.profiler.time("output/transfer"):
                 host = np.asarray(frames)  # gathers all shards
+            if host.ndim == 6:  # (D, W, 8, g, 8, bw_eff) blocked layout
+                host = np.stack(
+                    [self._to_raster(host[d], bh, bw)
+                     for d in range(host.shape[0])]
+                )
             return [
                 DecodedWindow(lo, cnt, host[d, :cnt])
                 for d, (lo, cnt) in enumerate(spans)
@@ -809,10 +838,11 @@ class DecodePipeline:
                 if not th.is_alive():
                     break
 
-    def _drain(self, item) -> DecodedWindow:
+    def _drain(self, item, blocks_h: int, blocks_w: int) -> DecodedWindow:
         s, c, frames = item
         with self.profiler.time("output/transfer"):
             host = np.asarray(frames)
+        host = self._to_raster(host, blocks_h, blocks_w)
         return DecodedWindow(s, c, host[:c])
 
     def decode_array(self, data: bytes, **kw) -> np.ndarray:

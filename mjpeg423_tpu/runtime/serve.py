@@ -94,11 +94,18 @@ class StreamPool:
         if sink is not None:
             import inspect
 
+            # Count only parameters that can take the third POSITIONAL
+            # argument (a `def sink(si, win, **kw)` must keep getting 2).
             try:
-                n_params = len(inspect.signature(sink).parameters)
+                params = inspect.signature(sink).parameters.values()
+                n_pos = sum(
+                    1 for p in params
+                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                )
+                has_varargs = any(p.kind == p.VAR_POSITIONAL for p in params)
             except (TypeError, ValueError):
-                n_params = 2
-            if n_params >= 3:
+                n_pos, has_varargs = 2, False
+            if n_pos >= 3 or has_varargs:
                 deliver = sink
             else:
                 def deliver(si, win, attempt, _sink=sink):

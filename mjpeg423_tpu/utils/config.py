@@ -50,6 +50,15 @@ class DecodeConfig:
                                        # so enable when the interconnect is
                                        # the bottleneck or on chips with fast
                                        # sub-word vector unpack
+    raster_on_device: bool = False     # True: the fused kernel's blocked
+                                       # output is transposed to raster rows
+                                       # ON DEVICE — measured ~85 ms per
+                                       # 16-frame 1080p batch on v5e (XLA's
+                                       # minor-dim-8 transpose) vs a host
+                                       # memcpy after transfer (default;
+                                       # same transfer bytes either way).
+                                       # Enable only for device-resident
+                                       # consumers that require raster rows
     pallas_tile: int = 512
     frames_per_batch: int = 24        # device batch (typically one GOP)
     prefetch_batches: int = 2          # host->device in-flight batches

@@ -332,3 +332,23 @@ def test_bmp_reader_fuzz_no_crashes(tmp_path):
             bmp.read_bmp(p)
         except ValueError:
             pass  # corrupt input correctly rejected
+
+
+def test_bmp_32bpp_bitfields_rgba_order(tmp_path):
+    """A 32-bpp BITFIELDS BMP with RGBA byte order must honor the masks
+    (not assume BGRA)."""
+    import struct
+
+    # one pixel: R=10, G=20, B=30 stored as bytes [R,G,B,A]
+    px = bytes([10, 20, 30, 0])
+    p = str(tmp_path / "bf32.bmp")
+    _bmp_file(p, 1, 1, 32, 3, None, px,
+              masks=(0x000000FF, 0x0000FF00, 0x00FF0000))
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(img[0, 0], [10, 20, 30])
+    # standard BGRA masks give the same answer as the BI_RGB path
+    px2 = bytes([30, 20, 10, 0])  # B,G,R,A
+    p2 = str(tmp_path / "bf32b.bmp")
+    _bmp_file(p2, 1, 1, 32, 3, None, px2,
+              masks=(0x00FF0000, 0x0000FF00, 0x000000FF))
+    np.testing.assert_array_equal(bmp.read_bmp(p2)[0, 0], [10, 20, 30])

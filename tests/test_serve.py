@@ -104,3 +104,19 @@ def test_pool_spreads_streams_over_devices():
     for si, want in enumerate(oracles):
         for fi, fr in got[si].items():
             np.testing.assert_array_equal(fr, want[fi])
+
+
+def test_pool_kwargs_sink_gets_two_args():
+    """def sink(si, win, **kw) takes 2 positional args — must not be
+    mistaken for an attempt-aware 3-arg sink."""
+    rng = np.random.default_rng(25)
+    frames = make_test_frames(rng, num_frames=4, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=3)
+    seen = []
+
+    def sink(si, win, **kw):
+        seen.append(win.count)
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
+    stats = pool.decode_all([data], sink=sink)
+    assert sum(seen) == stats.frames == 4
