@@ -53,6 +53,11 @@ class FileHeader:
 
     @classmethod
     def unpack(cls, data: bytes) -> "FileHeader":
+        if len(data) < FILE_HEADER_BYTES:
+            raise ValueError(
+                f"truncated container: {len(data)} bytes < "
+                f"{FILE_HEADER_BYTES}-byte header"
+            )
         return cls(*_U32x5.unpack(data[:FILE_HEADER_BYTES]))
 
     @property
@@ -142,9 +147,17 @@ def parse_frame_at(buf: bytes, offset: int) -> tuple[Frame, int]:
     entropy decoder consumes exactly the encoded bits).  We retain the pad
     bytes inside cr_bits' tail-free slice by computing the unpadded Cr size.
     """
+    if offset + FRAME_HEADER_BYTES > len(buf):
+        raise ValueError(f"truncated frame header at offset {offset}")
     frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(buf, offset)
     body_start = offset + FRAME_HEADER_BYTES
     body_end = offset + frame_size
+    if (
+        frame_size < FRAME_HEADER_BYTES
+        or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
+        or body_end > len(buf)
+    ):
+        raise ValueError(f"corrupt frame at offset {offset}")
     y_bits = buf[body_start:body_start + y_size]
     cb_bits = buf[body_start + y_size:body_start + y_size + cb_size]
     # Everything after Y|Cb up to frame_size is Cr plus <=3 pad bytes.  The pad
@@ -175,6 +188,8 @@ def parse_file_trailer(data: bytes, header: FileHeader) -> list[TrailerEntry]:
     """
     trailer: list[TrailerEntry] = []
     toff = FILE_HEADER_BYTES + header.payload_size
+    if toff + header.num_iframes * TRAILER_ENTRY_BYTES > len(data):
+        raise ValueError("truncated trailer")
     for _ in range(header.num_iframes):
         idx, pos = _U32x2.unpack_from(data, toff)
         trailer.append(TrailerEntry(idx, pos))

@@ -87,3 +87,19 @@ def test_iter_gops():
     assert [g[0] for g in gops] == [0, 3]
     assert [len(g[1]) for g in gops] == [3, 2]
     assert all(g[1][0].is_iframe for g in gops)
+
+
+def test_container_parser_fuzz_valueerror_only():
+    """Random/truncated container bytes raise ValueError (never struct
+    errors or index crashes) from both parse_file and index_frames."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    for _ in range(300):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(0, 300)),
+                                  dtype=np.uint8))
+        for fn in (fmt.parse_file, fmt.index_frames):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
