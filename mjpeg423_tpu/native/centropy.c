@@ -786,3 +786,55 @@ MJ_EXPORT long mj423_encode_plane(const int16_t* coeffs, int num_blocks,
   size_t n = bw_finish(&bw);
   return bw.overflow ? -1 : (long)n;
 }
+
+/*
+ * Blocked->raster frame conversion (the host-side half of the decode
+ * output path).  The fused TPU kernel emits frames in its blocked layout
+ * [wf][8 outcol][g][8 row][bwe] (ops/transform_fused.py, raster=False) —
+ * the on-device XLA transpose of this pattern measures ~45x the kernel
+ * itself, so the permutation happens here after transfer instead.
+ * Per (frame, group, fold, row): 8 sequential source streams (one per
+ * outcol plane) interleave into one sequential destination row — every
+ * access is a unit-stride stream, OpenMP over frames x groups.
+ *
+ * blocked: wf * 8 * g * 8 * bwe uint32, with bwe == k * bw (the
+ * rows_per_step fold); out: wf * (g*k*8) * (bw*8) uint32 raster.
+ */
+MJ_EXPORT void mj423_blocked_to_raster(const uint32_t* blocked, int wf,
+                                       int g, int k, int bw,
+                                       uint32_t* out) {
+  const int bwe = k * bw;
+  const size_t c_stride = (size_t)g * 8 * bwe; /* outcol-plane stride */
+  const size_t frame_in = 8 * c_stride;
+  const size_t row_px = (size_t)bw * 8;
+  const size_t frame_out = (size_t)g * k * 8 * row_px;
+#ifdef _OPENMP
+#pragma omp parallel for collapse(2) schedule(static)
+#endif
+  for (int f = 0; f < wf; f++) {
+    for (int gg = 0; gg < g; gg++) {
+      const uint32_t* base = blocked + (size_t)f * frame_in;
+      for (int ki = 0; ki < k; ki++) {
+        for (int r = 0; r < 8; r++) {
+          const uint32_t* src[8];
+          for (int c = 0; c < 8; c++) {
+            src[c] = base + (size_t)c * c_stride
+                   + ((size_t)gg * 8 + r) * bwe + (size_t)ki * bw;
+          }
+          uint32_t* dst = out + (size_t)f * frame_out
+                        + ((size_t)(gg * k + ki) * 8 + r) * row_px;
+          for (int b = 0; b < bw; b++) {
+            dst[b * 8 + 0] = src[0][b];
+            dst[b * 8 + 1] = src[1][b];
+            dst[b * 8 + 2] = src[2][b];
+            dst[b * 8 + 3] = src[3][b];
+            dst[b * 8 + 4] = src[4][b];
+            dst[b * 8 + 5] = src[5][b];
+            dst[b * 8 + 6] = src[6][b];
+            dst[b * 8 + 7] = src[7][b];
+          }
+        }
+      }
+    }
+  }
+}

@@ -143,6 +143,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int16), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
         ]
+        lib.mj423_blocked_to_raster.restype = None
+        lib.mj423_blocked_to_raster.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+        ]
         _LIB = lib
         return _LIB
 
@@ -331,6 +336,36 @@ def encode_plane(coeffs: np.ndarray) -> bytes:
     if n < 0:
         raise ValueError("entropy encode overflow")
     return out[:n].tobytes()
+
+
+def blocked_to_raster(
+    blocked: np.ndarray, blocks_h: int, blocks_w: int
+) -> np.ndarray | None:
+    """Native blocked->raster frame conversion (OpenMP streams).
+
+    blocked: (W, 8, g, 8, bwe) uint32 with bwe = (blocks_h // g) * blocks_w
+    (the fused kernel's raster=False output, rows_per_step fold included).
+    Returns (W, blocks_h*8, blocks_w*8) uint32, or None when the native
+    codec is unavailable (caller falls back to the NumPy permutation).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(blocked, dtype=np.uint32)
+    wf, _, g, _, bwe = b.shape
+    k = blocks_h // g
+    if k * blocks_w != bwe or g * k != blocks_h:
+        raise ValueError(
+            f"blocked shape {b.shape} inconsistent with "
+            f"{blocks_h}x{blocks_w} blocks"
+        )
+    out = np.empty((wf, blocks_h * 8, blocks_w * 8), dtype=np.uint32)
+    lib.mj423_blocked_to_raster(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        wf, g, k, blocks_w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return out
 
 
 def decode_plane_spec(

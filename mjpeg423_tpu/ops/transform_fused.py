@@ -541,11 +541,20 @@ def blocked_to_raster_host(
     ~85 ms per 16-frame 1080p batch on v5e vs 1.8 ms for the kernel
     itself — frames that land on the host should ALWAYS travel blocked.
     """
+    import numpy as np
+
     w, _, g, _, bw_eff = blocked.shape
     if blocks_h is None:
         blocks_h, blocks_w = g, bw_eff
+    from ..native import centropy
+
+    native = centropy.blocked_to_raster(
+        np.asarray(blocked), blocks_h, blocks_w
+    )
+    if native is not None:
+        return native
     k = blocks_h // g
-    x = blocked.reshape(w, 8, g, 8, k, blocks_w)
+    x = np.asarray(blocked).reshape(w, 8, g, 8, k, blocks_w)
     return x.transpose(0, 2, 4, 3, 5, 1).reshape(
         w, blocks_h * 8, blocks_w * 8
     )

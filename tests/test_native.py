@@ -102,3 +102,21 @@ def test_truncated_stream_zero_extends():
         centropy.decode_plane(cut, 8, True),
         entropy_ref.decode_plane(cut, 8, True),
     )
+
+
+def test_blocked_to_raster_native_matches_numpy():
+    """Native OpenMP blocked->raster conversion is an exact permutation
+    (both k=1 and folded k>1 geometries)."""
+    rng = np.random.default_rng(40)
+    for bh, bw, k in ((16, 24, 1), (12, 10, 4), (6, 8, 6)):
+        g, bwe = bh // k, k * bw
+        blocked = rng.integers(
+            0, 2**32, (3, 8, g, 8, bwe), dtype=np.uint32
+        )
+        ref = blocked.reshape(3, 8, g, 8, k, bw).transpose(
+            0, 2, 4, 3, 5, 1
+        ).reshape(3, bh * 8, bw * 8)
+        got = centropy.blocked_to_raster(blocked, bh, bw)
+        if got is None:
+            pytest.skip("native codec unavailable")
+        np.testing.assert_array_equal(got, ref)
