@@ -141,6 +141,7 @@ def encode_frames_device(
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
     parallel_entropy: bool = True,
     config: EncodeConfig | None = None,
+    mesh=None,
 ) -> bytes:
     """Byte-identical to encode_frames, with the transform on the device.
 
@@ -150,6 +151,10 @@ def encode_frames_device(
     (ops/encode_jax.py — the encoder has no temporal recurrence, so the
     whole transform batch-parallelizes).  Frame-type selection stays on the
     host (it needs candidate byte sizes; mjpeg423_encoder.c:154-185).
+
+    mesh=...: shard the transform's frame axis over the mesh's "data" axis
+    (parallel/encode.py — one neighbor ppermute carries the P-candidate
+    halo).  Output is byte-identical to the single-device path.
     """
     import jax.numpy as jnp
 
@@ -170,13 +175,33 @@ def encode_frames_device(
         y, cb, cr = encode_ref.rgb_to_ycbcr_frame(np.asarray(rgb, dtype=np.uint8))
         for name, img in (("y", y), ("cb", cb), ("cr", cr)):
             planes[name].append(raster_to_blocks(img))
-    stacked = {n: jnp.asarray(np.stack(v)) for n, v in planes.items()}
 
-    cand_i, cand_p = encode_jax.encode_transform(
-        stacked["y"], stacked["cb"], stacked["cr"]
-    )
-    cand_i = {n: np.asarray(v) for n, v in cand_i.items()}
-    cand_p = {n: np.asarray(v) for n, v in cand_p.items()}
+    if mesh is None:
+        stacked = {n: jnp.asarray(np.stack(v)) for n, v in planes.items()}
+        cand_i, cand_p = encode_jax.encode_transform(
+            stacked["y"], stacked["cb"], stacked["cr"]
+        )
+        p_off = -1  # cand_p rows are frames 1..F-1
+    else:
+        from ..parallel.encode import encode_transform_sharded, shard_samples
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        pad = (-nf) % n_data
+        host = {}
+        for n, v in planes.items():
+            arr = np.stack(v)
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                )
+            host[n] = arr
+        args = shard_samples(mesh, host["y"], host["cb"], host["cr"])
+        cand_i, cand_p = encode_transform_sharded(*args, mesh=mesh)
+        p_off = 0  # cand_p is frame-indexed (row 0 unused)
+
+    cand_i = {n: np.asarray(v)[:nf] for n, v in cand_i.items()}
+    cand_p = {n: np.asarray(v)[:nf] for n, v in cand_p.items()}
 
     names = ("y", "cb", "cr")
     jobs_i = [(fi, n) for fi in range(nf) for n in names]
@@ -188,7 +213,7 @@ def encode_frames_device(
 
     def _enc_p(job):
         fi, n = job
-        return entropy_encode(cand_p[n][fi - 1])
+        return entropy_encode(cand_p[n][fi + p_off])
 
     if parallel_entropy:
         from concurrent.futures import ThreadPoolExecutor

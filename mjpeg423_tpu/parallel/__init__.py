@@ -1,5 +1,6 @@
 from .mesh import BLOCK_AXIS, DATA_AXIS, make_mesh
 from .decode import decode_stream_sharded, decode_transform_sharded, shard_inputs
+from .encode import encode_transform_sharded
 from .temporal import sharded_segmented_scan
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "DATA_AXIS",
     "make_mesh",
     "decode_stream_sharded",
+    "encode_transform_sharded",
     "decode_transform_sharded",
     "shard_inputs",
     "sharded_segmented_scan",

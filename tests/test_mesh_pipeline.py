@@ -108,3 +108,18 @@ def test_sharded_batch_carry_path_still_works(stream):
         decode_stream_sharded(data, mesh, gop_aligned=False)
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_encode_byte_identical(stream):
+    """The mesh-sharded encoder (frames over "data", one ppermute halo for
+    the P candidates) produces byte-identical containers."""
+    rng = np.random.default_rng(90)
+    frames = make_test_frames(rng, num_frames=13, h=24, w=32)
+    want = encoder.encode_frames_device(frames, max_i_interval=4)
+    mesh = make_mesh(n_data=8, n_block=1)  # 13 frames pad to 16
+    got = encoder.encode_frames_device(frames, max_i_interval=4, mesh=mesh)
+    assert got == want
+    # and it still decodes bit-exact
+    np.testing.assert_array_equal(
+        decoder.decode_stream_array(got), decoder.decode_stream_array(want)
+    )
