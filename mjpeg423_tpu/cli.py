@@ -22,8 +22,23 @@ import time
 import numpy as np
 
 
+MMAP_THRESHOLD = 64 << 20  # 64 MB
+
+
 def _load_stream(path: str) -> bytes:
-    with open(path, "rb") as f:
+    """Container bytes; large files mmap instead of loading into RAM.
+
+    The whole decode path (index, native batch parse, plane slicing) works
+    on any buffer, so a multi-GB stream stays OS-paged: only the byte
+    ranges each window's parse touches become resident (SURVEY 2.15's
+    bulk-read lesson, inverted for virtual memory)."""
+    size = os.path.getsize(path)
+    f = open(path, "rb")
+    if size >= MMAP_THRESHOLD:
+        import mmap
+
+        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    with f:
         return f.read()
 
 

@@ -156,6 +156,24 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _as_cbuf(data):
+    """Zero-copy C pointer for bytes / ndarray / mmap container buffers.
+
+    Returns (c_char_p, keepalive): the caller must hold `keepalive` until
+    after the native call (it owns the memory for non-bytes inputs).
+    Passing an mmap'd container means multi-GB streams decode without ever
+    being resident in full (the OS pages the byte ranges the parse
+    actually touches — the SD multi-sector bulk-read lesson, SURVEY 2.15).
+    """
+    if isinstance(data, (bytes, bytearray)):
+        return data, data
+    arr = data if isinstance(data, np.ndarray) else np.frombuffer(
+        data, dtype=np.uint8
+    )
+    arr = np.ascontiguousarray(arr.reshape(-1).view(np.uint8))
+    return ctypes.c_char_p(arr.ctypes.data), arr
+
+
 def decode_plane(bits: bytes, num_blocks: int, is_p: bool) -> np.ndarray:
     """Entropy-decode one plane -> (num_blocks, 64) int16 amplitudes.
 
@@ -200,10 +218,9 @@ def decode_batch(
             out[i] = entropy_ref.decode_plane(buf[o:o + l], num_blocks, bool(is_p[i]))
         return out
     out = np.empty((n, num_blocks, 64), dtype=np.int16)
-    if isinstance(data, np.ndarray):
-        data = data.tobytes()
+    cbuf, _keep = _as_cbuf(data)
     rc = lib.mj423_decode_batch(
-        data,
+        cbuf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -236,12 +253,11 @@ def decode_batch_cm(
     offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
     lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
     is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
-    if isinstance(data, np.ndarray):
-        data = data.tobytes()
+    cbuf, _keep = _as_cbuf(data)
     bh = num_blocks // row_blocks
     out = np.empty((n, bh, 64, row_blocks), dtype=np.int16)
     rc = lib.mj423_decode_batch_cm(
-        data,
+        cbuf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -274,12 +290,11 @@ def decode_batch_i8(
     offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
     lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
     is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
-    if isinstance(data, np.ndarray):
-        data = data.tobytes()
+    cbuf, _keep = _as_cbuf(data)
     dc = np.empty((n, num_blocks), dtype=np.int16)
     ac = np.empty((n, num_blocks, 64), dtype=np.int8)
     rc = lib.mj423_decode_batch_i8(
-        data,
+        cbuf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         is_p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
@@ -309,8 +324,9 @@ def index_frames(
     ftype = np.empty(num_frames, dtype=np.uint32)
     off = np.empty((3, num_frames), dtype=np.uint64)
     length = np.empty((3, num_frames), dtype=np.uint64)
+    cbuf, _keep = _as_cbuf(data)
     rc = lib.mj423_index_frames(
-        data, len(data), start, num_frames,
+        cbuf, len(data), start, num_frames,
         ftype.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         off.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
         length.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

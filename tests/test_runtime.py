@@ -273,3 +273,24 @@ def test_pipeline_end_frame_bound_mesh(stream):
     )
     got = pipe.decode_array(data, start_frame=lo, end_frame=hi)
     np.testing.assert_array_equal(got, want[lo:hi])
+
+
+def test_pipeline_decodes_mmap_buffer(tmp_path, stream=None):
+    """The pipeline accepts mmap'd containers (multi-GB streams stay
+    OS-paged instead of RAM-resident)."""
+    import mmap
+
+    rng = np.random.default_rng(13)
+    frames = make_test_frames(rng, num_frames=10, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)
+    want = decoder.decode_stream_array(data)
+    p = tmp_path / "m.mpg"
+    p.write_bytes(data)
+    with open(p, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=3, use_pallas=False)
+        )
+        got = pipe.decode_array(mm)
+        mm.close()
+    np.testing.assert_array_equal(got, want)
