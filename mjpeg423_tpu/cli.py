@@ -77,16 +77,24 @@ def cmd_decode(args) -> int:
         frames_per_batch=args.batch,
     )
     profiler = Profiler()
-    pipe = DecodePipeline(cfg, profiler)
+    mesh = None
+    if args.all_devices:
+        import jax
+
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_block=1)
+    pipe = DecodePipeline(cfg, profiler, mesh=mesh)
     os.makedirs(args.outdir, exist_ok=True)
     t0 = time.perf_counter()
     n = 0
-    npy_frames = [] if args.npy else None
+    npy_frames = {} if args.npy else None  # by index: mesh windows arrive
+    #                                        in per-partition order
     for win in pipe.decode(data, start_frame=args.start_frame):
         for i in range(win.count):
             fi = win.start_frame + i
             if args.npy:
-                npy_frames.append(win.frames[i])
+                npy_frames[fi] = win.frames[i]
             else:
                 bmp.write_bmp32(
                     os.path.join(args.outdir, f"{args.prefix}{fi:04d}.bmp"),
@@ -96,7 +104,7 @@ def cmd_decode(args) -> int:
     dt = time.perf_counter() - t0
     if args.npy:
         np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
-                np.stack(npy_frames))
+                np.stack([npy_frames[k] for k in sorted(npy_frames)]))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
           file=sys.stderr)
     if args.profile:
@@ -321,6 +329,9 @@ def main(argv=None) -> int:
     p.add_argument("--start-frame", type=int, default=0)
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--all-devices", action="store_true",
+                   help="GOP-shard the stream over every local chip "
+                        "(mesh streaming pipeline)")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timing aggregates when done")
     p.set_defaults(fn=cmd_decode)

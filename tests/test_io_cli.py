@@ -352,3 +352,19 @@ def test_bmp_32bpp_bitfields_rgba_order(tmp_path):
     _bmp_file(p2, 1, 1, 32, 3, None, px2,
               masks=(0x00FF0000, 0x0000FF00, 0x000000FF))
     np.testing.assert_array_equal(bmp.read_bmp(p2)[0, 0], [10, 20, 30])
+
+
+def test_cli_decode_all_devices(tmp_path, stream):
+    """decode --all-devices GOP-shards over the virtual mesh; npy output
+    is in frame order and bit-exact."""
+    data, _src = stream
+    want = decoder.decode_stream_array(data)
+    mpg = str(tmp_path / "m.mpg")
+    open(mpg, "wb").write(data)
+    outdir = str(tmp_path / "out")
+    assert cli.main([
+        "decode", mpg, "-o", outdir, "--npy", "--no-pallas",
+        "--all-devices", "--batch", "3",
+    ]) == 0
+    arr = np.load(os.path.join(outdir, "frameframes.npy"))
+    np.testing.assert_array_equal(arr, want)
