@@ -123,3 +123,14 @@ def test_sharded_encode_byte_identical(stream):
     np.testing.assert_array_equal(
         decoder.decode_stream_array(got), decoder.decode_stream_array(want)
     )
+
+
+def test_sharded_carry_path_with_pallas_transform(stream):
+    """Non-GOP-aligned sharding + the v1 Pallas transform (interpret):
+    the cross-device carry all-gather composed with the pallas kernel."""
+    data, want = stream
+    mesh = make_mesh(n_data=2, n_block=1)
+    got = np.asarray(decode_stream_sharded(
+        data, mesh, gop_aligned=False, use_pallas=True, interpret=True
+    ))
+    np.testing.assert_array_equal(got, want)
