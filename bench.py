@@ -429,16 +429,22 @@ def main():
     if cli.path in ("fused", "all"):
         paths["fused"] = make_fused_chain
     if cli.path == "cm":
-        f_cm = amps.reshape(3, f, bh, bw, 64).transpose(0, 1, 2, 4, 3)
+        from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+        rk = (cli.rows_per_step if cli.rows_per_step > 1
+              else auto_rows_per_step(bh, bw, f))
+        g, bwe = bh // rk, rk * bw
+        f_cm = amps.reshape(3, f, g, bwe, 64).transpose(0, 1, 2, 4, 3)
         d_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(f_cm)))
-        d_carry_cm = jax.device_put(jnp.zeros((3, bh, 64, bw), jnp.int16))
+        d_carry_cm = jax.device_put(jnp.zeros((3, g, 64, bwe), jnp.int16))
+        _log(f"cm path: rows_per_step={rk} ({bwe} lanes)")
 
         def make_cm_chain(iters):
             @jax.jit
             def run(a, s, c):
                 def body(i, cc):
                     _, nc = transform_fused.decode_window_fused_cm(
-                        a, s, cc, blocks_h=bh, blocks_w=bw
+                        a, s, cc, blocks_h=bh, blocks_w=bw, rows_per_step=rk
                     )
                     return nc
                 final = jax.lax.fori_loop(0, iters, body, c)

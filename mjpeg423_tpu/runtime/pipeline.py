@@ -40,18 +40,28 @@ from ..utils.profile import Profiler, default_profiler
 PLANE_COUNT = 3
 
 
-def auto_rows_per_step(blocks_h: int, blocks_w: int) -> int:
-    """Pick the fused kernel's block-row fold so lane tiles fill the
-    128-wide vregs: the largest divisor k of blocks_h with k*bw <= 384
-    (e.g. VGA bw=80 -> k=4 -> 320 lanes vs 80; 1080p bw=240 stays k=1 —
-    wider tiles measured VMEM-tight at the default window size)."""
+def auto_rows_per_step(
+    blocks_h: int, blocks_w: int, window: int = 24
+) -> int:
+    """Pick the fused kernel's block-row fold (lane-tile width = k*bw).
+
+    Measured on v5e (chained 1080p/VGA runs): the smallest fold reaching
+    >= 320 lanes wins — VGA bw=80 -> k=4 (48.7k f/s at W=16; k=5/k=6 both
+    slower), 1080p bw=240 -> k=2 at W=16 (9,283 vs 8,963 f/s at k=1) —
+    but the fold multiplies the kernel's VMEM footprint (~1280*W*lanes
+    bytes across double-buffered in/out), so the lane cap shrinks with the
+    window size: at the default W=24, 1080p k=2 fails to compile and k
+    stays 1.  Falls back to the largest fold under the cap when no fold
+    reaches 320 lanes (narrow geometries)."""
+    budget = int(12e6 // (1280 * max(window, 1)))
+    lmax = max(256, min(512, budget))
     best = 1
     for k in range(1, blocks_h + 1):
-        if blocks_h % k:
+        if blocks_h % k or k * blocks_w > lmax:
             continue
-        if k * blocks_w > 384:
-            break
         best = k
+        if k * blocks_w >= 320:
+            return k
     return best
 
 
@@ -77,7 +87,8 @@ class DecodedWindow:
 
 def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
                          tile: int, interpret: bool | None,
-                         raster_on_device: bool = False):
+                         raster_on_device: bool = False,
+                         window: int = 24):
     """Build the jit'd windowed decode step with coefficient-state carry.
 
     use_pallas=True -> the fully-fused kernel (ops/transform_fused.py):
@@ -93,7 +104,7 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
     from ..ops import transform_fused, transform_jax
 
     if use_pallas:
-        rows_k = auto_rows_per_step(blocks_h, blocks_w)
+        rows_k = auto_rows_per_step(blocks_h, blocks_w, window)
 
         def fused_step(amps, seg, carry):
             """Dispatch on the parse output format:
@@ -247,7 +258,9 @@ class DecodePipeline:
                 if want_cm:
                     bh = index.header.blocks_h
                     bw = index.header.blocks_w
-                    k = auto_rows_per_step(bh, bw)
+                    k = auto_rows_per_step(
+                        bh, bw, self.config.frames_per_batch
+                    )
                     cm = centropy.decode_batch_cm(
                         data, offs, lens, is_p, nb, k * bw
                     )
@@ -306,6 +319,7 @@ class DecodePipeline:
                 blocks_h, blocks_w, use_pallas,
                 self.config.pallas_tile, None if on_tpu else True,
                 self.config.raster_on_device,
+                self.config.frames_per_batch,
             )
         return self._step_cache[key]
 
@@ -342,7 +356,8 @@ class DecodePipeline:
 
             n_dev = self.mesh.shape[DATA_AXIS]
             fmt_tag = self._mesh_fmt()
-            kk = auto_rows_per_step(bh, bw) if fmt_tag == "cm" else 1
+            kk = (auto_rows_per_step(bh, bw, w)
+                  if fmt_tag == "cm" else 1)
             if fmt_tag == "cm":
                 amps = np.zeros(
                     (n_dev, 3, w, bh // kk, 64, kk * bw), np.int16
@@ -378,7 +393,7 @@ class DecodePipeline:
             and self.config.use_native_entropy and centropy.native_available()
         )
         if want_cm:
-            kk = auto_rows_per_step(bh, bw)
+            kk = auto_rows_per_step(bh, bw, w)
             amps = ("cm", self._put(
                 np.zeros((3, w, bh // kk, 64, kk * bw), np.int16)
             ))
@@ -490,7 +505,7 @@ class DecodePipeline:
         t = threading.Thread(target=producer, daemon=True)
         t.start()
 
-        kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w)
+        kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w, w)
 
         def carry_to_cm(cbm):
             # block-major (3, B, 64) -> coefficient-major
@@ -698,7 +713,7 @@ class DecodePipeline:
         ) if any(p.num_frames for p in parts) else 0
 
         fmt_tag = self._mesh_fmt()
-        kk = auto_rows_per_step(bh, bw) if fmt_tag == "cm" else 1
+        kk = auto_rows_per_step(bh, bw, w) if fmt_tag == "cm" else 1
         groups, bw_eff = bh // kk, kk * bw
         step = self._get_mesh_step(bh, bw, fmt_tag)
 

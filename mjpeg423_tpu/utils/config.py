@@ -60,7 +60,12 @@ class DecodeConfig:
                                        # Enable only for device-resident
                                        # consumers that require raster rows
     pallas_tile: int = 512
-    frames_per_batch: int = 24        # device batch (typically one GOP)
+    frames_per_batch: int = 24        # device batch (typically one GOP).
+                                      # Note: the fused kernel's lane fold
+                                      # is VMEM-bounded by this (see
+                                      # auto_rows_per_step) — at 1080p,
+                                      # 16 enables the k=2 fold measured
+                                      # ~4% faster than the default 24
     prefetch_batches: int = 2          # host->device in-flight batches
 
     # Host entropy decode
