@@ -134,3 +134,22 @@ def test_sharded_carry_path_with_pallas_transform(stream):
         data, mesh, gop_aligned=False, use_pallas=True, interpret=True
     ))
     np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_pipeline_early_stop_reaps_producer(stream):
+    import threading
+    import time as _time
+
+    data, _ = stream
+    base = threading.active_count()
+    mesh = make_mesh(n_data=4, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(use_pallas=False, frames_per_batch=2,
+                     prefetch_batches=1),
+        mesh=mesh,
+    )
+    gen = pipe.decode(data)
+    next(gen)
+    gen.close()
+    _time.sleep(0.2)
+    assert threading.active_count() <= base + 1
