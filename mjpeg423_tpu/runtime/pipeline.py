@@ -47,13 +47,14 @@ def auto_rows_per_step(
 
     Measured on v5e (chained 1080p/VGA runs): the smallest fold reaching
     >= 320 lanes wins — VGA bw=80 -> k=4 (48.7k f/s at W=16; k=5/k=6 both
-    slower), 1080p bw=240 -> k=2 at W=16 (9,283 vs 8,963 f/s at k=1) —
-    but the fold multiplies the kernel's VMEM footprint (~1280*W*lanes
-    bytes across double-buffered in/out), so the lane cap shrinks with the
-    window size: at the default W=24, 1080p k=2 fails to compile and k
-    stays 1.  Falls back to the largest fold under the cap when no fold
-    reaches 320 lanes (narrow geometries)."""
-    budget = int(12e6 // (1280 * max(window, 1)))
+    slower), 1080p bw=240 -> k=2 (10,366 f/s at W=20, 9,926 at W=16, vs
+    8,963 for k=1) — but the fold multiplies the kernel's VMEM footprint
+    (~1280*W*lanes bytes across double-buffered in/out), so the lane cap
+    shrinks with the window size: 1080p W=20 k=2 (W*lanes = 9600)
+    compiles, W=24 k=2 (11520) does not — the budget constant encodes
+    that measured boundary.  Falls back to the largest fold under the cap
+    when no fold reaches 320 lanes (narrow geometries)."""
+    budget = int(10_000_000 // (1024 * max(window, 1)))
     lmax = max(256, min(512, budget))
     best = 1
     for k in range(1, blocks_h + 1):

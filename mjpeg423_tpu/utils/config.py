@@ -60,12 +60,14 @@ class DecodeConfig:
                                        # Enable only for device-resident
                                        # consumers that require raster rows
     pallas_tile: int = 512
-    frames_per_batch: int = 24        # device batch (typically one GOP).
-                                      # Note: the fused kernel's lane fold
-                                      # is VMEM-bounded by this (see
-                                      # auto_rows_per_step) — at 1080p,
-                                      # 16 enables the k=2 fold measured
-                                      # ~4% faster than the default 24
+    frames_per_batch: int = 20        # device window.  20 (not the GOP's
+                                      # 24) because the fused kernel's
+                                      # VMEM-bounded lane fold depends on
+                                      # it: at 1080p, W=20 enables the k=2
+                                      # fold (10,366 frames/s measured)
+                                      # while W=24 forces k=1 (8,963).
+                                      # Window boundaries need no GOP
+                                      # alignment (the carry is exact)
     prefetch_batches: int = 2          # host->device in-flight batches
 
     # Host entropy decode

@@ -17,3 +17,16 @@ def test_pipeline_fused_step_matches_oracle():
     pipe = DecodePipeline(DecodeConfig(frames_per_batch=2, use_pallas=True))
     got = pipe.decode_array(data)
     np.testing.assert_array_equal(got, want)
+
+
+def test_auto_rows_per_step_measured_choices():
+    """The fold heuristic reproduces the v5e-measured optima and the
+    VMEM compile boundary."""
+    from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+    assert auto_rows_per_step(136, 240, 16) == 2   # 1080p W=16: 480 lanes
+    assert auto_rows_per_step(136, 240, 20) == 2   # W=20 compiles (9600)
+    assert auto_rows_per_step(136, 240, 24) == 1   # W=24 k=2 OOMs (11520)
+    assert auto_rows_per_step(60, 80, 16) == 4     # VGA: 320 lanes best
+    assert auto_rows_per_step(60, 80, 24) == 4
+    assert auto_rows_per_step(6, 8, 24) == 6       # narrow: largest fold
