@@ -330,8 +330,10 @@ def main():
                     help="also measure the full streaming pipeline")
     ap.add_argument("--encode", action="store_true",
                     help="also measure encoder throughput")
-    ap.add_argument("--rows-per-step", type=int, default=1,
-                    help="fused kernel block-row grouping (lane width knob)")
+    ap.add_argument("--rows-per-step", type=int, default=0,
+                    help="fused kernel block-row grouping (lane width "
+                         "knob); 0 = auto, explicit values (incl. 1) are "
+                         "honored and must divide blocks_h")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of the timed run")
     ap.add_argument("--blocked", action="store_true",
@@ -406,7 +408,7 @@ def main():
             def body(i, cc):
                 _, nc = transform_fused.decode_window_fused(
                     a, s, cc, blocks_h=bh, blocks_w=bw,
-                    rows_per_step=cli.rows_per_step, raster=raster,
+                    rows_per_step=cli.rows_per_step or 1, raster=raster,
                 )
                 return nc
             final = jax.lax.fori_loop(0, iters, body, c)
@@ -434,8 +436,10 @@ def main():
     if cli.path == "cm":
         from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
 
-        rk = (cli.rows_per_step if cli.rows_per_step > 1
+        rk = (cli.rows_per_step if cli.rows_per_step
               else auto_rows_per_step(bh, bw, f))
+        if bh % rk:
+            ap.error(f"--rows-per-step {rk} does not divide blocks_h {bh}")
         g, bwe = bh // rk, rk * bw
         f_cm = amps.reshape(3, f, g, bwe, 64).transpose(0, 1, 2, 4, 3)
         d_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(f_cm)))

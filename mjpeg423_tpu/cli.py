@@ -25,20 +25,20 @@ import numpy as np
 MMAP_THRESHOLD = 64 << 20  # 64 MB
 
 
-def _load_stream(path: str) -> bytes:
-    """Container bytes; large files mmap instead of loading into RAM.
+def _load_stream(path: str):
+    """Container buffer (bytes, or mmap for large files).
 
     The whole decode path (index, native batch parse, plane slicing) works
     on any buffer, so a multi-GB stream stays OS-paged: only the byte
     ranges each window's parse touches become resident (SURVEY 2.15's
     bulk-read lesson, inverted for virtual memory)."""
     size = os.path.getsize(path)
-    f = open(path, "rb")
-    if size >= MMAP_THRESHOLD:
-        import mmap
+    with open(path, "rb") as f:
+        if size >= MMAP_THRESHOLD:
+            import mmap
 
-        return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    with f:
+            # mmap dups the fd; closing f immediately is safe.
+            return mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         return f.read()
 
 
@@ -72,9 +72,9 @@ def cmd_decode(args) -> int:
     from .utils.profile import Profiler
 
     data = _load_stream(args.input)
+    kw = {} if args.batch is None else {"frames_per_batch": args.batch}
     cfg = DecodeConfig(
-        use_pallas=False if args.no_pallas else None,
-        frames_per_batch=args.batch,
+        use_pallas=False if args.no_pallas else None, **kw
     )
     profiler = Profiler()
     mesh = None
@@ -327,7 +327,9 @@ def main(argv=None) -> int:
     p.add_argument("--prefix", default="frame")
     p.add_argument("--npy", action="store_true")
     p.add_argument("--start-frame", type=int, default=0)
-    p.add_argument("--batch", type=int, default=24)
+    p.add_argument("--batch", type=int, default=None,
+                   help="frames per device window (default: the tuned "
+                        "DecodeConfig value)")
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--all-devices", action="store_true",
                    help="GOP-shard the stream over every local chip "

@@ -207,9 +207,13 @@ def frame_offsets(data: bytes) -> list[int]:
     header = FileHeader.unpack(data)
     offsets = []
     off = FILE_HEADER_BYTES
-    for _ in range(header.num_frames):
+    for fi in range(header.num_frames):
+        if off + 4 > len(data):
+            raise ValueError(f"corrupt frame chain at frame {fi}")
         offsets.append(off)
         (frame_size,) = struct.unpack_from("<I", data, off)
+        if frame_size < FRAME_HEADER_BYTES:
+            raise ValueError(f"corrupt frame chain at frame {fi}")
         off += frame_size
     return offsets
 
@@ -252,6 +256,13 @@ def index_frames(data: bytes) -> FrameIndex:
     """
     header = FileHeader.unpack(data)
     nf = header.num_frames
+    # Bound num_frames BEFORE sizing index arrays by it: a corrupt header
+    # claiming 2^32 frames must raise ValueError, not attempt a ~100 GB
+    # allocation (every frame needs at least its 16-byte header).
+    if nf * FRAME_HEADER_BYTES > len(data):
+        raise ValueError(
+            f"corrupt header: {nf} frames cannot fit in {len(data)} bytes"
+        )
     try:
         from ..native import centropy
 

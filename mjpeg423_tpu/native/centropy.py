@@ -165,8 +165,10 @@ def _as_cbuf(data):
     being resident in full (the OS pages the byte ranges the parse
     actually touches — the SD multi-sector bulk-read lesson, SURVEY 2.15).
     """
-    if isinstance(data, (bytes, bytearray)):
+    if isinstance(data, bytes):
         return data, data
+    # bytearray/mmap/ndarray: zero-copy through the buffer protocol
+    # (ctypes' c_char_p only converts immutable bytes itself).
     arr = data if isinstance(data, np.ndarray) else np.frombuffer(
         data, dtype=np.uint8
     )

@@ -639,6 +639,8 @@ class DecodePipeline:
         base = _device_step_factory(
             blocks_h, blocks_w, use_pallas,
             self.config.pallas_tile, None if on_tpu else True,
+            self.config.raster_on_device,
+            self.config.frames_per_batch,
         )
 
         def body(amps, seg, carry):

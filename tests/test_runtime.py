@@ -275,7 +275,7 @@ def test_pipeline_end_frame_bound_mesh(stream):
     np.testing.assert_array_equal(got, want[lo:hi])
 
 
-def test_pipeline_decodes_mmap_buffer(tmp_path, stream=None):
+def test_pipeline_decodes_mmap_buffer(tmp_path):
     """The pipeline accepts mmap'd containers (multi-GB streams stay
     OS-paged instead of RAM-resident)."""
     import mmap
