@@ -153,3 +153,28 @@ def test_mesh_pipeline_early_stop_reaps_producer(stream):
     gen.close()
     _time.sleep(0.2)
     assert threading.active_count() <= base + 1
+
+
+def test_mesh_step_fold_matches_pipeline_window():
+    """Regression (round-2 review): the mesh step's lane fold must come
+    from the configured window, not the default — at (bh=20, bw=48) the
+    fold differs between W=16 and W=24, which crashed the TPU mesh path
+    at trace time."""
+    import jax
+    import jax.numpy as jnp
+
+    from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+    bh, bw = 20, 48
+    kk = auto_rows_per_step(bh, bw, 16)
+    assert kk != auto_rows_per_step(bh, bw, 24)
+
+    mesh = make_mesh(n_data=1, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=16, use_pallas=True), mesh=mesh
+    )
+    step = pipe._get_mesh_step(bh, bw, "cm")
+    amps = jnp.zeros((1, 3, 16, bh // kk, 64, kk * bw), jnp.int16)
+    seg = jnp.zeros((1, 16), bool)
+    carry = jnp.zeros((1, 3, bh // kk, 64, kk * bw), jnp.int16)
+    jax.eval_shape(step, amps, seg, carry)  # raises if the folds disagree
