@@ -178,3 +178,27 @@ def test_mesh_step_fold_matches_pipeline_window():
     seg = jnp.zeros((1, 16), bool)
     carry = jnp.zeros((1, 3, bh // kk, 64, kk * bw), jnp.int16)
     jax.eval_shape(step, amps, seg, carry)  # raises if the folds disagree
+
+
+def test_mesh_pipeline_long_stream_soak():
+    """600-frame stream through the mesh pipeline: bit-exact, windows per
+    partition bounded (no whole-stream materialization path regression)."""
+    rng = np.random.default_rng(99)
+    yy, xx = np.mgrid[0:16, 0:16]
+    frames = []
+    for t in range(600):
+        f = np.stack(
+            [(xx * 4 + t) % 256, (yy * 4 + 2 * t) % 256, (xx + yy + 3 * t) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        frames.append(f)
+    data = encoder.encode_frames_device(frames, max_i_interval=12)
+    want = decoder.decode_stream_array(data)
+    mesh = make_mesh(n_data=8, n_block=1)
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=8, prefetch_batches=1,
+                     use_pallas=False),
+        mesh=mesh,
+    )
+    got = pipe.decode_array(data)
+    np.testing.assert_array_equal(got, want)
