@@ -60,8 +60,39 @@ def cmd_info(args) -> int:
         "gop_starts": index.gop_starts()[:16],
         "mean_frame_bytes": round(h.payload_size / max(h.num_frames, 1), 1),
     }
+    if args.verify:
+        # Entropy-parse every plane (windowed, host-only) and report the
+        # first corruption — the integrity check the reference could only
+        # do by playing the file to the failure point.
+        from .native import centropy
+
+        nb = h.blocks_per_plane
+        bad = None
+        win = 64
+        for s in range(0, h.num_frames, win):
+            c = min(win, h.num_frames - s)
+            sl = slice(s, s + c)
+            offs = index.plane_off[:, sl].reshape(-1)
+            lens = index.plane_len[:, sl].reshape(-1)
+            is_p = np.broadcast_to(
+                index.frame_type[sl] != 0, (3, c)
+            ).reshape(-1)
+            try:
+                centropy.decode_batch(data, offs, lens, is_p, nb)
+            except ValueError as e:
+                # item index i = plane * c + frame_offset
+                import re
+
+                m = re.search(r"item (\d+)", str(e))
+                if m:
+                    i = int(m.group(1))
+                    bad = {"frame": s + i % c, "plane": ("y", "cb", "cr")[i // c]}
+                else:
+                    bad = {"frame_window": [s, s + c]}
+                break
+        out["verify"] = "OK" if bad is None else {"corrupt": bad}
     print(json.dumps(out, indent=2))
-    return 0
+    return 0 if not (args.verify and out["verify"] != "OK") else 1
 
 
 def cmd_decode(args) -> int:
@@ -319,6 +350,9 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("info", help="print container metadata")
     p.add_argument("input")
+    p.add_argument("--verify", action="store_true",
+                   help="entropy-parse every plane; report the first "
+                        "corruption (exit 1)")
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("decode", help="decode .mpg to BMP frames / npy")

@@ -368,3 +368,28 @@ def test_cli_decode_all_devices(tmp_path, stream):
     ]) == 0
     arr = np.load(os.path.join(outdir, "frameframes.npy"))
     np.testing.assert_array_equal(arr, want)
+
+
+def test_cli_info_verify(tmp_path, stream, capsys):
+    data, _ = stream
+    good = str(tmp_path / "g.mpg")
+    open(good, "wb").write(data)
+    assert cli.main(["info", good, "--verify"]) == 0
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["verify"] == "OK"
+
+    # corrupt one plane without breaking the frame chain
+    import mjpeg423_tpu.core.format as fmt
+
+    index = fmt.index_frames(data)
+    fi = 4
+    o = int(index.plane_off[1, fi])
+    ln = int(index.plane_len[1, fi])
+    bad = bytearray(data)
+    bad[o:o + ln] = b"\xff" * ln
+    badp = str(tmp_path / "b.mpg")
+    open(badp, "wb").write(bytes(bad))
+    assert cli.main(["info", badp, "--verify"]) == 1
+    meta = json.loads(capsys.readouterr().out)
+    assert meta["verify"]["corrupt"]["frame"] == fi
+    assert meta["verify"]["corrupt"]["plane"] == "cb"
