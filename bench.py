@@ -570,8 +570,12 @@ def main():
         # compile must not eat the headline line).  Budget is wall-clock
         # from here; stages that do not fit are skipped, earlier = higher
         # priority.
+        # Stage caps: remote compiles regularly take 5-10 min when the
+        # compile service degrades; 540 s gives the high-value stages
+        # (sharded, e2e) a real chance while the budget bounds the total —
+        # encode (lowest value, tunnel-dominated) is sacrificed first.
         budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "1200"))
-        per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "420"))
+        per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "540"))
         extra = []
         if cli.small:
             extra.append("--small")
