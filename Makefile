@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: install test bench selftest native clean
+.PHONY: install test bench selftest native clean tpu-check
 
 install:
 	$(PY) -m pip install -e . --no-build-isolation
@@ -27,3 +27,7 @@ clean:
 	rm -rf build dist *.egg-info .oracle_build .jax_cache
 	rm -rf mjpeg423_tpu/native/_build
 	find . -name __pycache__ -type d -prune -exec rm -rf {} \;
+
+# On-hardware validation (the pytest suite runs on the CPU virtual mesh).
+tpu-check:
+	$(PY) scripts/tpu_check.py
