@@ -219,10 +219,13 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
     """
     import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mjpeg423_tpu.parallel import (
-        decode_transform_sharded, make_mesh, shard_inputs,
+        decode_transform_sharded, decode_transform_sharded3, make_mesh,
+        shard_inputs,
     )
+    from mjpeg423_tpu.parallel.mesh import BLOCK_AXIS, DATA_AXIS
 
     n = len(jax.devices())
     use_pallas = on_tpu
@@ -238,24 +241,45 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
         # GOP-aligned: every shard's first frame is an I-frame.
         seg = np.zeros(f_s, dtype=bool)
         seg[:: f_s // n_data] = True
-        args = shard_inputs(
-            mesh, a[0], a[1], a[2], jnp.asarray(seg)
-        )
 
-        @jax.jit
-        def run(ay, acb, acr, s, mesh=mesh):
-            def body(i, tok):
-                # raster=False: production consumers take the blocked layout
-                # (host-side raster conversion); the on-device transpose
-                # measures ~45x the kernel and is not the serving path.
-                out = decode_transform_sharded(
-                    ay + tok, acb, acr, s, mesh=mesh,
-                    blocks_h=bh, blocks_w=bw,
-                    gop_aligned=True, use_pallas=use_pallas, raster=False,
-                )
-                flat = out[0, 0] if out.ndim == 3 else out[0, 0, 0, 0]
-                return jnp.sum(flat[:64].astype(jnp.int32)).astype(jnp.int16)
-            return jax.lax.fori_loop(0, 32, body, jnp.int16(0)).astype(jnp.int32)
+        if use_pallas:
+            # Stacked fast path (no per-shard plane re-stack).
+            a3 = jax.device_put(jnp.asarray(a), NamedSharding(
+                mesh, P(None, DATA_AXIS, BLOCK_AXIS, None)))
+            seg_d = jax.device_put(
+                jnp.asarray(seg), NamedSharding(mesh, P(DATA_AXIS)))
+            args = (a3, seg_d)
+
+            @jax.jit
+            def run(a3_, s, mesh=mesh):
+                def body(i, tok):
+                    out = decode_transform_sharded3(
+                        a3_ + tok, s, mesh=mesh, blocks_h=bh, blocks_w=bw,
+                        raster=False,
+                    )
+                    return jnp.sum(
+                        out[0, 0, 0, 0, :64].astype(jnp.int32)
+                    ).astype(jnp.int16)
+                return jax.lax.fori_loop(
+                    0, 32, body, jnp.int16(0)).astype(jnp.int32)
+        else:
+            args = shard_inputs(
+                mesh, a[0], a[1], a[2], jnp.asarray(seg)
+            )
+
+            @jax.jit
+            def run(ay, acb, acr, s, mesh=mesh):
+                def body(i, tok):
+                    out = decode_transform_sharded(
+                        ay + tok, acb, acr, s, mesh=mesh,
+                        blocks_h=bh, blocks_w=bw,
+                        gop_aligned=True, use_pallas=False, raster=False,
+                    )
+                    flat = out[0, 0] if out.ndim == 3 else out[0, 0, 0, 0]
+                    return jnp.sum(
+                        flat[:64].astype(jnp.int32)).astype(jnp.int16)
+                return jax.lax.fori_loop(
+                    0, 32, body, jnp.int16(0)).astype(jnp.int32)
 
         float(run(*args))  # warm
         t0 = time.perf_counter()

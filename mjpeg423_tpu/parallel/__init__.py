@@ -1,5 +1,10 @@
 from .mesh import BLOCK_AXIS, DATA_AXIS, make_mesh
-from .decode import decode_stream_sharded, decode_transform_sharded, shard_inputs
+from .decode import (
+    decode_stream_sharded,
+    decode_transform_sharded,
+    decode_transform_sharded3,
+    shard_inputs,
+)
 from .encode import encode_transform_sharded
 from .temporal import sharded_segmented_scan
 
@@ -10,6 +15,7 @@ __all__ = [
     "decode_stream_sharded",
     "encode_transform_sharded",
     "decode_transform_sharded",
+    "decode_transform_sharded3",
     "shard_inputs",
     "sharded_segmented_scan",
 ]

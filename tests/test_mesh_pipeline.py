@@ -202,3 +202,49 @@ def test_mesh_pipeline_long_stream_soak():
     )
     got = pipe.decode_array(data)
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded3_stacked_input_bit_exact(stream):
+    """The stacked-input fused sharded entry (no per-shard plane re-stack)
+    matches the oracle."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mjpeg423_tpu.parallel import decode_transform_sharded3
+    from mjpeg423_tpu.parallel.mesh import DATA_AXIS, BLOCK_AXIS
+    from mjpeg423_tpu.parallel.multihost import partition_gops
+    import mjpeg423_tpu.core.format as fmt
+    from mjpeg423_tpu.runtime import DecodePipeline
+    from mjpeg423_tpu.utils.config import DecodeConfig
+
+    data, want = stream
+    index = fmt.index_frames(data)
+    nf = index.num_frames
+    mesh = make_mesh(n_data=4, n_block=1)
+    parts = partition_gops(index.gop_starts(), nf, 4)
+    fmax = max(p.num_frames for p in parts)
+    nb = index.header.blocks_per_plane
+    pipe = DecodePipeline(DecodeConfig(coef_major=False))
+    amps = np.zeros((3, 4 * fmax, nb, 64), np.int16)
+    seg = np.zeros(4 * fmax, bool)
+    for p in parts:
+        local = pipe.parse_window(data, index, p.frame_lo, p.num_frames)
+        amps[:, p.host * fmax:p.host * fmax + p.num_frames] = local
+        seg[p.host * fmax:p.host * fmax + p.num_frames] = (
+            index.is_iframe[p.frame_lo:p.frame_hi]
+        )
+    a3 = jax.device_put(amps, NamedSharding(
+        mesh, P(None, DATA_AXIS, BLOCK_AXIS, None)))
+    seg_d = jax.device_put(seg, NamedSharding(mesh, P(DATA_AXIS)))
+    blocked = np.asarray(decode_transform_sharded3(
+        a3, seg_d, mesh=mesh, blocks_h=index.header.blocks_h,
+        blocks_w=index.header.blocks_w, interpret=True, raster=False,
+    ))
+    from mjpeg423_tpu.ops.transform_fused import blocked_to_raster_host
+
+    raster = blocked_to_raster_host(blocked)
+    for p in parts:
+        np.testing.assert_array_equal(
+            raster[p.host * fmax:p.host * fmax + p.num_frames],
+            want[p.frame_lo:p.frame_hi],
+        )
