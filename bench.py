@@ -244,10 +244,10 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
 
         if use_pallas:
             # Stacked fast path (no per-shard plane re-stack).
-            a3 = jax.device_put(jnp.asarray(a), NamedSharding(
+            a3 = jax.device_put(a, NamedSharding(
                 mesh, P(None, DATA_AXIS, BLOCK_AXIS, None)))
             seg_d = jax.device_put(
-                jnp.asarray(seg), NamedSharding(mesh, P(DATA_AXIS)))
+                seg, NamedSharding(mesh, P(DATA_AXIS)))
             args = (a3, seg_d)
 
             @jax.jit

@@ -167,10 +167,14 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
                                 num_blocks, is_p[i],
                                 out + (size_t)i * num_blocks * 64);
     if (rc != 0) {
+      /* Keep the SMALLEST failing item index ("first corruption" for
+       * diagnostics); failures are rare so the critical section is free. */
 #ifdef _OPENMP
-#pragma omp atomic write
+#pragma omp critical
 #endif
-      err = -(1 + i);
+      {
+        if (err == 0 || i < -err - 1) err = -(1 + i);
+      }
     }
   }
   return err;

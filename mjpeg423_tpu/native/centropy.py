@@ -213,11 +213,15 @@ def decode_batch(
     is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
     lib = _load()
     if lib is None:
-        buf = bytes(data) if not isinstance(data, bytes) else data
+        # memoryview: slice each plane without materializing the whole
+        # (possibly mmap'd multi-GB) container per call.
+        view = memoryview(data)
         out = np.empty((n, num_blocks, 64), dtype=np.int16)
         for i in range(n):
             o, l = int(offsets[i]), int(lengths[i])
-            out[i] = entropy_ref.decode_plane(buf[o:o + l], num_blocks, bool(is_p[i]))
+            out[i] = entropy_ref.decode_plane(
+                bytes(view[o:o + l]), num_blocks, bool(is_p[i])
+            )
         return out
     out = np.empty((n, num_blocks, 64), dtype=np.int16)
     cbuf, _keep = _as_cbuf(data)

@@ -105,10 +105,18 @@ def decode_plane(bits: bytes, num_blocks: int, is_p: bool) -> np.ndarray:
             if size == 0:
                 if run == 15:
                     index += 16  # ZRL
+                    if index > 64:
+                        raise ValueError(
+                            "corrupt MJPEG423 plane bitstream"
+                        )
                     continue
                 break  # END
             amp = _huff_extend(r.get(size), size)
             index += run
+            if index > 63:
+                # Same structural check the native decoder makes (the
+                # reference would write out of bounds here).
+                raise ValueError("corrupt MJPEG423 plane bitstream")
             row[_ZZ[index]] = amp
             if index >= 63:
                 break

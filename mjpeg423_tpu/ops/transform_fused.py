@@ -132,10 +132,12 @@ def decode_window_fused(
            the first window of a stream — a leading I-frame overwrites it).
     Returns (frames, new_carry (3, B, 64) int16); frames is (W, H, width)
     uint32 raster when raster=True, else the kernel's native blocked layout
-    (W, 8[outcol], blocks_h, 8[row], blocks_w) — the device-side raster
-    transpose costs a 2x raster-size HBM pass (~45% of the fused kernel's
-    time at 1080p), so consumers that can reorder on the host (a NumPy
-    transposed view — see blocked_to_raster_host) should take raster=False.
+    (W, 8[outcol], blocks_h, 8[row], blocks_w).  The device-side raster
+    transpose is PATHOLOGICAL on TPU (~85 ms per 16-frame 1080p batch,
+    ~45x the kernel itself — XLA's minor-dim-8 pattern runs at ~3 GB/s):
+    take raster=False and convert after transfer with
+    blocked_to_raster_host (native OpenMP, same transfer bytes) unless the
+    consumer is device-resident AND needs raster rows.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

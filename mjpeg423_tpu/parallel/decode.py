@@ -86,23 +86,18 @@ def decode_transform_sharded(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
+    if use_pallas and (gop_aligned or n_data == 1):
+        # Delegate to the single fused implementation: one global stack
+        # (XLA emits it sharded), then the stacked shard_map entry.
+        return decode_transform_sharded3(
+            jnp.stack([amps_y, amps_cb, amps_cr]), is_iframe,
+            mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
+            interpret=interpret, raster=raster,
+        )
+
     yq, cq = transform_jax.quant_tensors()
 
     def body(ay, acb, acr, seg):
-        if use_pallas and (gop_aligned or n_data == 1):
-            # Fully-fused kernel: the temporal recurrence runs inside (each
-            # shard's first frame is an I-frame, so zero carry is correct).
-            # raster=False keeps the kernel's blocked layout — the XLA
-            # device-side raster transpose measures ~45x the kernel itself
-            # (minor-dim-8 pattern); host consumers convert after transfer.
-            local_b = ay.shape[1]
-            carry = jnp.zeros((3, local_b, 64), dtype=jnp.int16)
-            frames, _ = transform_fused.decode_window_fused(
-                jnp.stack([ay, acb, acr]), seg, carry,
-                blocks_h=local_rows, blocks_w=blocks_w, interpret=interpret,
-                raster=raster,
-            )
-            return frames
         states = []
         for amps, q in ((ay, yq), (acb, cq), (acr, cq)):
             deltas = transform_jax.dequantize(amps, q)
@@ -115,13 +110,6 @@ def decode_transform_sharded(
             states, local_rows, blocks_w, use_pallas, interpret
         )
 
-    # Blocked (non-raster) fused output is (F, 8, bh, 8, bw): frames still
-    # shard over "data", block-rows (dim 2) over "block".
-    blocked_out = use_pallas and (gop_aligned or n_data == 1) and not raster
-    out_spec = (
-        P(DATA_AXIS, None, BLOCK_AXIS, None, None) if blocked_out
-        else P(DATA_AXIS, BLOCK_AXIS, None)
-    )
     fn = jax.shard_map(
         body,
         mesh=mesh,
@@ -131,7 +119,7 @@ def decode_transform_sharded(
             P(DATA_AXIS, BLOCK_AXIS, None),
             P(DATA_AXIS),
         ),
-        out_specs=out_spec,
+        out_specs=P(DATA_AXIS, BLOCK_AXIS, None),
         # pallas_call out_shapes carry no varying-mesh-axis info; skip the
         # vma check (shardings are fully explicit here anyway).
         check_vma=False,
