@@ -46,6 +46,25 @@ def _resolve_entropy_encode(
     return entropy_ref.encode_plane
 
 
+def _rgb_to_blocked_planes(
+    rgb: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 -> (y, cb, cr) blocked (B, 8, 8) uint8 planes.
+
+    Native one-pass OpenMP conversion when available (bit-exact with the
+    NumPy reference doubles — see centropy.c mj423_rgb_to_ycbcr_blocked);
+    NumPy chain + blocking otherwise.
+    """
+    from ..native import centropy
+
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    native = centropy.rgb_to_ycbcr_blocked(rgb)
+    if native is not None:
+        return native
+    y, cb, cr = encode_ref.rgb_to_ycbcr_frame(rgb)
+    return raster_to_blocks(y), raster_to_blocks(cb), raster_to_blocks(cr)
+
+
 def _encode_plane_candidates(
     q: np.ndarray,
     q_prev: np.ndarray | None,
@@ -91,11 +110,9 @@ def encode_frames(
     last_iframe = 0
 
     for fi, rgb in enumerate(frames_rgb):
-        rgb = np.asarray(rgb, dtype=np.uint8)
-        y, cb, cr = encode_ref.rgb_to_ycbcr_frame(rgb)
+        yb, cbb, crb = _rgb_to_blocked_planes(rgb)
         planes = {}
-        for name, img, quant in (("y", y, yq), ("cb", cb, cq), ("cr", cr, cq)):
-            blocks = raster_to_blocks(img)  # (B, 8, 8) uint8
+        for name, blocks, quant in (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq)):
             coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
             planes[name] = encode_ref.quantize_blocks(coefs, quant)
 
@@ -172,9 +189,9 @@ def encode_frames_device(
     nf = len(frames_rgb)
     planes = {n: [] for n in ("y", "cb", "cr")}
     for rgb in frames_rgb:
-        y, cb, cr = encode_ref.rgb_to_ycbcr_frame(np.asarray(rgb, dtype=np.uint8))
-        for name, img in (("y", y), ("cb", cb), ("cr", cr)):
-            planes[name].append(raster_to_blocks(img))
+        yb, cbb, crb = _rgb_to_blocked_planes(rgb)
+        for name, blk in (("y", yb), ("cb", cbb), ("cr", crb)):
+            planes[name].append(blk)
 
     if mesh is None:
         stacked = {n: jnp.asarray(np.stack(v)) for n, v in planes.items()}

@@ -842,3 +842,48 @@ MJ_EXPORT void mj423_blocked_to_raster(const uint32_t* blocked, int wf,
     }
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* Encoder color conversion: (H, W, 3) RGB -> blocked YCbCr planes.
+ *
+ * Bit-exact with the reference's double-precision BT.601 expressions
+ * (encoder/rgb_to_ycbcr.c:58-70): each output is a left-associated chain
+ * of double mul/adds truncated to uint8_t.  All three results are >= 0
+ * for every RGB input (Y >= 0 exactly; Cb/Cr >= 0.5 at the extremes), so
+ * C truncation == floor == the NumPy oracle (ops/encode_ref.py).
+ * The translation unit is compiled with -ffp-contract=off so no FMA
+ * contraction can change the rounding vs the strict-IEEE NumPy path.
+ *
+ * Output layout is the encoder's blocked (B, 8, 8) row-major-block form
+ * (transform_ref.raster_to_blocks) written directly — one pass over the
+ * interleaved source, unit-stride reads, 8-byte runs per block row on the
+ * write side.  OpenMP over 8-row block bands.
+ */
+MJ_EXPORT void mj423_rgb_to_ycbcr_blocked(const uint8_t* rgb, int h, int w,
+                                          uint8_t* y, uint8_t* cb,
+                                          uint8_t* cr) {
+  const int bh = h / 8, bw = w / 8;
+  (void)bh;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int by = 0; by < h / 8; by++) {
+    for (int r = 0; r < 8; r++) {
+      const uint8_t* src = rgb + ((size_t)(by * 8 + r) * w) * 3;
+      /* block (by*bw + bx), row r: plane[((by*bw + bx) * 8 + r) * 8 + c] */
+      size_t orow = ((size_t)by * bw * 8 + (size_t)r) * 8;
+      for (int bx = 0; bx < bw; bx++) {
+        size_t o = orow + (size_t)bx * 64;
+        for (int c = 0; c < 8; c++) {
+          const double rd = src[0], gd = src[1], bd = src[2];
+          y[o + c] = (uint8_t)(0.299 * rd + 0.587 * gd + 0.114 * bd);
+          cb[o + c] =
+              (uint8_t)(-0.168736 * rd - 0.331264 * gd + 0.5 * bd + 128.0);
+          cr[o + c] =
+              (uint8_t)(0.5 * rd - 0.418688 * gd - 0.081312 * bd + 128.0);
+          src += 3;
+        }
+      }
+    }
+  }
+}

@@ -62,12 +62,15 @@ def _build() -> pathlib.Path | None:
     # The stamp includes a host-CPU fingerprint: -march=native binaries in
     # a checkout shared across heterogeneous machines (NFS home) must not
     # be reused on a CPU lacking the build host's ISA extensions (SIGILL).
-    want = f"{_SRC.stat().st_mtime}:{cc}:v2-march-native:{_cpu_fingerprint()}"
+    want = f"{_SRC.stat().st_mtime}:{cc}:v3-fp-contract-off:{_cpu_fingerprint()}"
     if so.exists() and stamp.exists() and stamp.read_text() == want:
         return so
     _BUILD.mkdir(exist_ok=True)
-    base = [cc, "-O3", "-std=c11", "-fwrapv", "-fPIC", "-shared",
-            "-o", str(so), str(_SRC)]
+    # -ffp-contract=off: the color-convert doubles must round mul/add
+    # separately (no FMA contraction) to stay bit-exact with the NumPy
+    # oracle and the reference's strict-IEEE expressions.
+    base = [cc, "-O3", "-std=c11", "-fwrapv", "-ffp-contract=off", "-fPIC",
+            "-shared", "-o", str(so), str(_SRC)]
     # Build ladder: native ISA + OpenMP -> OpenMP -> plain.  -march=native
     # is safe here because the library is always compiled on the machine
     # that runs it (on-demand build); OpenMP parallelizes the batch decode
@@ -147,6 +150,12 @@ def _load() -> ctypes.CDLL | None:
         lib.mj423_blocked_to_raster.argtypes = [
             ctypes.POINTER(ctypes.c_uint32), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.mj423_rgb_to_ycbcr_blocked.restype = None
+        lib.mj423_rgb_to_ycbcr_blocked.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         _LIB = lib
         return _LIB
@@ -388,6 +397,36 @@ def blocked_to_raster(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+def rgb_to_ycbcr_blocked(
+    rgb: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+    """Native encoder color conversion: (H, W, 3) uint8 RGB -> blocked planes.
+
+    Returns (y, cb, cr), each (H//8 * W//8, 8, 8) uint8 in row-major block
+    order (transform_ref.raster_to_blocks layout), or None when the native
+    codec is unavailable.  Bit-exact with encode_ref.rgb_to_ycbcr_frame
+    (reference doubles, rgb_to_ycbcr.c:58-70) — one OpenMP pass instead of
+    the NumPy multi-pass chain.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, ch = r.shape
+    if ch != 3 or h % 8 or w % 8:
+        raise ValueError(f"bad RGB frame shape {r.shape}")
+    nb = (h // 8) * (w // 8)
+    y = np.empty((nb, 8, 8), dtype=np.uint8)
+    cb = np.empty((nb, 8, 8), dtype=np.uint8)
+    cr = np.empty((nb, 8, 8), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.mj423_rgb_to_ycbcr_blocked(
+        r.ctypes.data_as(u8p), h, w,
+        y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
+    )
+    return y, cb, cr
 
 
 def decode_plane_spec(

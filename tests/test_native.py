@@ -120,3 +120,32 @@ def test_blocked_to_raster_native_matches_numpy():
         if got is None:
             pytest.skip("native codec unavailable")
         np.testing.assert_array_equal(got, ref)
+
+
+def test_rgb_to_ycbcr_native_matches_numpy():
+    """Native one-pass color conversion is bit-exact with the NumPy
+    reference-doubles path (encode_ref), including blocking layout.
+    Sweeps cover every (r, g) pair at several b values (and vice versa) so
+    any FMA-contraction or rounding divergence in the C build would trip."""
+    from mjpeg423_tpu.ops import encode_ref
+    from mjpeg423_tpu.ops.transform_ref import raster_to_blocks
+
+    if centropy.rgb_to_ycbcr_blocked(np.zeros((8, 8, 3), np.uint8)) is None:
+        pytest.skip("native codec unavailable")
+
+    def ref_path(rgb):
+        y, cb, cr = encode_ref.rgb_to_ycbcr_frame(rgb)
+        return raster_to_blocks(y), raster_to_blocks(cb), raster_to_blocks(cr)
+
+    rng = np.random.default_rng(41)
+    frames = [rng.integers(0, 256, (64, 128, 3)).astype(np.uint8)]
+    r, g = np.meshgrid(
+        np.arange(256, dtype=np.uint8), np.arange(256, dtype=np.uint8),
+        indexing="ij",
+    )
+    for v in (0, 127, 128, 255):
+        frames.append(np.stack([r, g, np.full_like(r, v)], axis=-1))
+        frames.append(np.stack([np.full_like(r, v), r, g], axis=-1))
+    for rgb in frames:
+        for got, want in zip(centropy.rgb_to_ycbcr_blocked(rgb), ref_path(rgb)):
+            np.testing.assert_array_equal(got, want)
