@@ -24,6 +24,7 @@ import numpy as np
 
 from ..core import tables as T
 from ..core.format import Frame, serialize_file
+from ..native import centropy
 from ..ops import encode_ref, entropy_ref
 from ..ops.transform_ref import raster_to_blocks
 from ..utils.config import EncodeConfig
@@ -55,8 +56,6 @@ def _rgb_to_blocked_planes(
     NumPy reference doubles — see centropy.c mj423_rgb_to_ycbcr_blocked);
     NumPy chain + blocking otherwise.
     """
-    from ..native import centropy
-
     rgb = np.asarray(rgb, dtype=np.uint8)
     native = centropy.rgb_to_ycbcr_blocked(rgb)
     if native is not None:
@@ -113,8 +112,11 @@ def encode_frames(
         yb, cbb, crb = _rgb_to_blocked_planes(rgb)
         planes = {}
         for name, blocks, quant in (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq)):
-            coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
-            planes[name] = encode_ref.quantize_blocks(coefs, quant)
+            q = centropy.fdct_quant_blocks(blocks, quant)
+            if q is None:  # NumPy oracle fallback
+                coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
+                q = encode_ref.quantize_blocks(coefs, quant)
+            planes[name] = q
 
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}

@@ -887,3 +887,119 @@ MJ_EXPORT void mj423_rgb_to_ycbcr_blocked(const uint8_t* rgb, int h, int w,
     }
   }
 }
+
+/* ------------------------------------------------------------------ */
+/* Encoder forward transform: blocked uint8 samples -> quantized int16.
+ *
+ * Bit-exact LL&M forward DCT (reference: encoder/fdct.c:33-160 — int32
+ * butterflies, int16 DCTELEM stores between passes, x8 output scale) and
+ * exact integer round-half-away-from-zero quantization
+ * (sign(c) * ((2|c| + q) / (2q)) == C round((double)c / q) for int16 c and
+ * the table's q <= 121; proof in ops/encode_jax.py).  Signed overflow
+ * wraps (-fwrapv), matching the NumPy int32/int16 semantics exactly.
+ * OpenMP over blocks; one pass, no temporaries beyond the 8x8 workspace.
+ */
+#define MJ_CONST_BITS 13
+#define MJ_PASS1_BITS 2
+#define MJ_F_0_298631336 2446
+#define MJ_F_0_390180644 3196
+#define MJ_F_0_541196100 4433
+#define MJ_F_0_765366865 6270
+#define MJ_F_0_899976223 7373
+#define MJ_F_1_175875602 9633
+#define MJ_F_1_501321110 12299
+#define MJ_F_1_847759065 15137
+#define MJ_F_1_961570560 16069
+#define MJ_F_2_053119869 16819
+#define MJ_F_2_562915447 20995
+#define MJ_F_3_072711026 25172
+
+static inline int32_t mj_descale(int32_t x, int n) {
+  /* Arithmetic shift with the reference's rounding fudge (dct_math.h:48);
+   * the add may wrap (int32, -fwrapv) exactly like the NumPy int32 path. */
+  return (int32_t)(x + (((int32_t)1) << (n - 1))) >> n;
+}
+
+/* One LL&M forward butterfly: in[8] int32 -> out[8] int32.
+ * pass1: out0/out4 <<= PASS1_BITS, others descale CONST_BITS-PASS1_BITS;
+ * pass2: out0/out4 descale PASS1_BITS+3, others CONST_BITS+PASS1_BITS+3. */
+static inline void mj_fdct1d(const int32_t* in, int32_t* out, int pass1) {
+  int32_t tmp0 = in[0] + in[7], tmp7 = in[0] - in[7];
+  int32_t tmp1 = in[1] + in[6], tmp6 = in[1] - in[6];
+  int32_t tmp2 = in[2] + in[5], tmp5 = in[2] - in[5];
+  int32_t tmp3 = in[3] + in[4], tmp4 = in[3] - in[4];
+
+  int32_t tmp10 = tmp0 + tmp3, tmp13 = tmp0 - tmp3;
+  int32_t tmp11 = tmp1 + tmp2, tmp12 = tmp1 - tmp2;
+
+  int n;
+  if (pass1) {
+    out[0] = (int32_t)((uint32_t)(tmp10 + tmp11) << MJ_PASS1_BITS);
+    out[4] = (int32_t)((uint32_t)(tmp10 - tmp11) << MJ_PASS1_BITS);
+    n = MJ_CONST_BITS - MJ_PASS1_BITS;
+  } else {
+    out[0] = mj_descale(tmp10 + tmp11, MJ_PASS1_BITS + 3);
+    out[4] = mj_descale(tmp10 - tmp11, MJ_PASS1_BITS + 3);
+    n = MJ_CONST_BITS + MJ_PASS1_BITS + 3;
+  }
+
+  int32_t z1 = (tmp12 + tmp13) * MJ_F_0_541196100;
+  out[2] = mj_descale(z1 + tmp13 * MJ_F_0_765366865, n);
+  out[6] = mj_descale(z1 + tmp12 * -MJ_F_1_847759065, n);
+
+  z1 = tmp4 + tmp7;
+  int32_t z2 = tmp5 + tmp6;
+  int32_t z3 = tmp4 + tmp6;
+  int32_t z4 = tmp5 + tmp7;
+  int32_t z5 = (z3 + z4) * MJ_F_1_175875602;
+
+  tmp4 = tmp4 * MJ_F_0_298631336;
+  tmp5 = tmp5 * MJ_F_2_053119869;
+  tmp6 = tmp6 * MJ_F_3_072711026;
+  tmp7 = tmp7 * MJ_F_1_501321110;
+  z1 = z1 * -MJ_F_0_899976223;
+  z2 = z2 * -MJ_F_2_562915447;
+  z3 = z3 * -MJ_F_1_961570560 + z5;
+  z4 = z4 * -MJ_F_0_390180644 + z5;
+
+  out[7] = mj_descale(tmp4 + z1 + z3, n);
+  out[5] = mj_descale(tmp5 + z2 + z4, n);
+  out[3] = mj_descale(tmp6 + z2 + z3, n);
+  out[1] = mj_descale(tmp7 + z1 + z4, n);
+}
+
+/* samples: (num_blocks, 64) uint8 blocked row-major; quant64: natural-order
+ * uint16 table; out: (num_blocks, 64) int16 quantized natural order. */
+MJ_EXPORT void mj423_fdct_quant(const uint8_t* samples, int num_blocks,
+                                const uint16_t* quant64, int16_t* out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int b = 0; b < num_blocks; b++) {
+    const uint8_t* s = samples + (size_t)b * 64;
+    int32_t w[64]; /* row-major workspace */
+    int32_t in[8], o[8];
+    /* Pass 1 over rows (butterfly inputs = the 8 column values of a row),
+     * int16-truncated stores (DCTELEM, fdct.c:52-87). */
+    for (int r = 0; r < 8; r++) {
+      for (int c = 0; c < 8; c++) in[c] = s[r * 8 + c];
+      mj_fdct1d(in, o, 1);
+      for (int c = 0; c < 8; c++) w[r * 8 + c] = (int16_t)o[c];
+    }
+    /* Pass 2 over columns. */
+    int16_t coef[64];
+    for (int c = 0; c < 8; c++) {
+      for (int r = 0; r < 8; r++) in[r] = w[r * 8 + c];
+      mj_fdct1d(in, o, 0);
+      for (int r = 0; r < 8; r++) coef[r * 8 + c] = (int16_t)o[r];
+    }
+    /* Exact round-half-away quantize. */
+    int16_t* q = out + (size_t)b * 64;
+    for (int k = 0; k < 64; k++) {
+      int32_t c = coef[k];
+      int32_t qq = quant64[k];
+      int32_t mag = (2 * (c < 0 ? -c : c) + qq) / (2 * qq);
+      q[k] = (int16_t)(c < 0 ? -mag : mag);
+    }
+  }
+}

@@ -157,6 +157,11 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
             ctypes.POINTER(ctypes.c_uint8),
         ]
+        lib.mj423_fdct_quant.restype = None
+        lib.mj423_fdct_quant.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int16),
+        ]
         _LIB = lib
         return _LIB
 
@@ -427,6 +432,31 @@ def rgb_to_ycbcr_blocked(
         y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
     )
     return y, cb, cr
+
+
+def fdct_quant_blocks(
+    samples: np.ndarray, quant64: np.ndarray
+) -> np.ndarray | None:
+    """Native FDCT + quantize: (B, 8, 8) uint8 -> (B, 64) int16 amplitudes.
+
+    Bit-exact with encode_ref.fdct_blocks + quantize_blocks (LL&M int32
+    butterflies with int16 DCTELEM stores, exact round-half-away quantize).
+    Returns None when the native codec is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(samples, dtype=np.uint8).reshape(-1, 64)
+    q = np.ascontiguousarray(quant64, dtype=np.uint16)
+    if q.size != 64:
+        raise ValueError("quant64 must have 64 entries")
+    out = np.empty((s.shape[0], 64), dtype=np.int16)
+    lib.mj423_fdct_quant(
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s.shape[0],
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+    )
+    return out
 
 
 def decode_plane_spec(

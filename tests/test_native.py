@@ -149,3 +149,28 @@ def test_rgb_to_ycbcr_native_matches_numpy():
     for rgb in frames:
         for got, want in zip(centropy.rgb_to_ycbcr_blocked(rgb), ref_path(rgb)):
             np.testing.assert_array_equal(got, want)
+
+
+def test_fdct_quant_native_matches_numpy():
+    """Native FDCT+quantize == encode_ref butterflies + exact quantize,
+    including int16 DCTELEM truncation and extreme sample patterns."""
+    from mjpeg423_tpu.core import tables as T
+    from mjpeg423_tpu.ops import encode_ref
+
+    rng = np.random.default_rng(42)
+    cases = [
+        rng.integers(0, 256, (500, 8, 8)).astype(np.uint8),
+        np.zeros((4, 8, 8), np.uint8),
+        np.full((4, 8, 8), 255, np.uint8),
+        np.tile(
+            np.array([[0, 255] * 4] * 8, np.uint8).reshape(8, 8), (16, 1, 1)
+        ),
+    ]
+    for quant in (T.YQUANT64, T.CQUANT64):
+        for blocks in cases:
+            got = centropy.fdct_quant_blocks(blocks, quant)
+            if got is None:
+                pytest.skip("native codec unavailable")
+            coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
+            want = encode_ref.quantize_blocks(coefs, quant)
+            np.testing.assert_array_equal(got, want)
