@@ -598,7 +598,10 @@ def main():
         # compile service degrades; 540 s gives the high-value stages
         # (sharded, e2e) a real chance while the budget bounds the total —
         # encode (lowest value, tunnel-dominated) is sacrificed first.
-        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "1200"))
+        # 2100 s: every stage (3 device compiles x 540 s cap + parse) fits
+        # even when the remote compile service degrades — a 540 s sharded
+        # timeout must not also starve e2e/encode (observed in rehearsal).
+        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "2100"))
         per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "540"))
         extra = []
         if cli.small:

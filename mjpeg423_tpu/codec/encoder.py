@@ -118,14 +118,31 @@ def encode_frames(
                 q = encode_ref.quantize_blocks(coefs, quant)
             planes[name] = q
 
+        names = ("y", "cb", "cr")
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
-        for name in ("y", "cb", "cr"):
-            bi, bp = _encode_plane_candidates(
-                planes[name], prev[name] if prev is not None else None, entropy_encode
+        if entropy_encode is centropy.encode_plane and centropy.native_available():
+            # Batched OpenMP pack: all candidate planes of the frame (I x3,
+            # plus P x3 when a previous frame exists) packed concurrently.
+            cands = [encode_ref.diff_dc_i(planes[n]) for n in names]
+            if prev is not None:
+                cands += [encode_ref.diff_p(planes[n], prev[n]) for n in names]
+            blobs = centropy.encode_planes(np.stack(cands))
+            bits_i = dict(zip(names, blobs[:3]))
+            bits_p = (
+                dict(zip(names, blobs[3:]))
+                if prev is not None
+                else {n: None for n in names}
             )
-            bits_i[name] = bi
-            bits_p[name] = bp
+        else:
+            for name in names:
+                bi, bp = _encode_plane_candidates(
+                    planes[name],
+                    prev[name] if prev is not None else None,
+                    entropy_encode,
+                )
+                bits_i[name] = bi
+                bits_p[name] = bp
 
         size_i = sum(len(b) for b in bits_i.values())
         size_p = (

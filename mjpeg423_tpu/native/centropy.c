@@ -1003,3 +1003,34 @@ MJ_EXPORT void mj423_fdct_quant(const uint8_t* samples, int num_blocks,
     }
   }
 }
+
+/* Batched entropy encode: n_items independent planes packed concurrently.
+ * coeffs: (n_items, num_blocks, 64) int16 natural order; out: per-item
+ * buffers of item_cap bytes at out + i*item_cap; lens[i] = byte length or
+ * -1 on overflow (returns the smallest failing index as -(1+i), else 0).
+ * The per-plane serial packer is mj423_encode_plane (bit-identical); this
+ * fans items over OpenMP — the encoder packs 6 candidate planes per frame
+ * (I and P x 3 planes), all independent. */
+MJ_EXPORT int mj423_encode_batch(const int16_t* coeffs, int n_items,
+                                 int num_blocks, uint8_t* out,
+                                 size_t item_cap, long* lens) {
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int i = 0; i < n_items; i++) {
+    long n = mj423_encode_plane(coeffs + (size_t)i * num_blocks * 64,
+                                num_blocks, out + (size_t)i * item_cap,
+                                item_cap);
+    lens[i] = n;
+    if (n < 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      {
+        if (err == 0 || i < -err - 1) err = -(1 + i);
+      }
+    }
+  }
+  return err;
+}

@@ -162,6 +162,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint16), ctypes.POINTER(ctypes.c_int16),
         ]
+        lib.mj423_encode_batch.restype = ctypes.c_int
+        lib.mj423_encode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _LIB = lib
         return _LIB
 
@@ -432,6 +438,31 @@ def rgb_to_ycbcr_blocked(
         y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
     )
     return y, cb, cr
+
+
+def encode_planes(coeffs: np.ndarray) -> list[bytes]:
+    """Entropy-encode a batch: (N, num_blocks, 64) int16 -> N byte strings.
+
+    OpenMP over the independent planes (the encoder has 6 candidate planes
+    per frame: I and P x Y/Cb/Cr); byte-identical to encode_plane per item.
+    Falls back to the serial path when the native codec is unavailable.
+    """
+    c = np.ascontiguousarray(coeffs, dtype=np.int16)
+    n, nb = c.shape[0], c.shape[1]
+    lib = _load()
+    if lib is None:
+        return [entropy_ref.encode_plane(c[i]) for i in range(n)]
+    cap = nb * 64 * 3 + 64
+    out = np.empty((n, cap), dtype=np.uint8)
+    lens = np.empty(n, dtype=np.dtype(ctypes.c_long))
+    rc = lib.mj423_encode_batch(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n, nb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if rc != 0:
+        raise ValueError("entropy encode overflow")
+    return [out[i, : lens[i]].tobytes() for i in range(n)]
 
 
 def fdct_quant_blocks(

@@ -174,3 +174,14 @@ def test_fdct_quant_native_matches_numpy():
             coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
             want = encode_ref.quantize_blocks(coefs, quant)
             np.testing.assert_array_equal(got, want)
+
+
+def test_encode_planes_batch_matches_serial():
+    """Batched OpenMP entropy encode is byte-identical per item to the
+    serial native packer (and transitively to the Python oracle)."""
+    rng = np.random.default_rng(43)
+    coeffs = rng.integers(-300, 300, (9, 32, 64)).astype(np.int16)
+    coeffs[3] = 0  # all-zero plane (pure EOB stream)
+    got = centropy.encode_planes(coeffs)
+    want = [centropy.encode_plane(coeffs[i]) for i in range(coeffs.shape[0])]
+    assert got == want
