@@ -129,33 +129,25 @@ def bench_parse(rng, f, b, h, w):
 
 
 def bench_encode(rng, f, b, h, w):
-    """Encoder throughput: RGB frames -> container bytes (device FDCT path).
-
-    Covers host color conversion, the jit FDCT+quantize+diff transform, and
-    the threaded native entropy pack with candidate selection."""
+    """Encoder throughput: RGB frames -> container bytes (all-native host
+    path: one-pass OpenMP color conversion, C FDCT+quantize, batched
+    entropy pack with candidate selection).  The device FDCT path
+    (encode_frames_device) exists but its coefficients would cross the dev
+    tunnel at ~1 MB/s here, measuring the tunnel instead of the encoder."""
     from mjpeg423_tpu.codec import encoder
-    from mjpeg423_tpu.native import centropy
 
-    ee = centropy.encode_plane if centropy.native_available() else None
     frames = [
         rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8) for _ in range(f)
     ]
-    data = encoder.encode_frames_device(frames, entropy_encode=ee)  # warm
+    data = encoder.encode_frames(frames)  # warm
     t0 = time.perf_counter()
-    data = encoder.encode_frames_device(frames, entropy_encode=ee)
+    data = encoder.encode_frames(frames)
     dt = time.perf_counter() - t0
     _log(
         f"stage=encode: {f} frames @ {w}x{h} -> {len(data) / 1e6:.1f} MB in "
-        f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode"
+        f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode (host-native)"
     )
-    res = {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
-    import jax
-
-    if jax.default_backend() == "tpu":
-        res["note"] = ("candidate coefficients cross the dev tunnel at "
-                       "~1 MB/s; host-only encode (see --cpu) is faster "
-                       "on this box")
-    return res
+    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
 
 
 def bench_e2e(rng, f, b, h, w, use_pallas):
@@ -372,8 +364,8 @@ def main():
                          "and report scaling efficiency vs one device")
     cli = ap.parse_args()
 
-    if cli.stage == "parse":
-        # Host-only stage: never initialize the device backend — the axon
+    if cli.stage in ("parse", "encode"):
+        # Host-only stages: never initialize the device backend — the axon
         # client's tunnel threads contend with OpenMP and were measured to
         # slow the host parse ~25x.
         rng = np.random.default_rng(423)
@@ -381,7 +373,11 @@ def main():
             h, w, f = 272, 480, cli.frames or 8
         else:
             h, w, f = 1088, 1920, cli.frames or 16
-        res = bench_parse(rng, f, (h // 8) * (w // 8), h, w)
+        b = (h // 8) * (w // 8)
+        if cli.stage == "parse":
+            res = bench_parse(rng, f, b, h, w)
+        else:
+            res = bench_encode(rng, min(f, 8), b, h, w)
         print(json.dumps(res if res is not None else {}))
         return 0
 
@@ -409,10 +405,8 @@ def main():
     b = bh * bw
 
     rng = np.random.default_rng(423)
-    if cli.stage is not None:  # "parse" already returned before jax init
-        if cli.stage == "encode":
-            res = bench_encode(rng, min(f, 8), b, h, w)
-        elif cli.stage == "e2e":
+    if cli.stage is not None:  # parse/encode already returned before jax init
+        if cli.stage == "e2e":
             res = bench_e2e(rng, f, b, h, w, use_pallas=on_tpu)
         else:
             amps, _ = make_amps(rng, f, b)

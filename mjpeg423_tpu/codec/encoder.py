@@ -105,29 +105,37 @@ def encode_frames(
     cq = T.CQUANT64
 
     prev: dict[str, np.ndarray] | None = None
+    prev_q3: np.ndarray | None = None
     out_frames: list[Frame] = []
     last_iframe = 0
 
     for fi, rgb in enumerate(frames_rgb):
         yb, cbb, crb = _rgb_to_blocked_planes(rgb)
+        nb = yb.shape[0]
+        q3 = np.empty((3, nb, 64), dtype=np.int16)
         planes = {}
-        for name, blocks, quant in (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq)):
-            q = centropy.fdct_quant_blocks(blocks, quant)
+        for i, (name, blocks, quant) in enumerate(
+            (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq))
+        ):
+            q = centropy.fdct_quant_blocks(blocks, quant, out=q3[i])
             if q is None:  # NumPy oracle fallback
                 coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
                 q = encode_ref.quantize_blocks(coefs, quant)
-            planes[name] = q
+                q3[i] = q
+            planes[name] = q3[i]
 
         names = ("y", "cb", "cr")
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
-        if entropy_encode is centropy.encode_plane and centropy.native_available():
-            # Batched OpenMP pack: all candidate planes of the frame (I x3,
-            # plus P x3 when a previous frame exists) packed concurrently.
-            cands = [encode_ref.diff_dc_i(planes[n]) for n in names]
-            if prev is not None:
-                cands += [encode_ref.diff_p(planes[n], prev[n]) for n in names]
-            blobs = centropy.encode_planes(np.stack(cands))
+        use_native_pack = (
+            entropy_encode is centropy.encode_plane and centropy.native_available()
+        )
+        if use_native_pack:
+            # Batched OpenMP pack with inline differencing: all candidate
+            # planes of the frame (I x3, plus P x3 when a previous frame
+            # exists) packed concurrently; the I-DC chain and P deltas are
+            # computed inside the C packer (no diffed tensors).
+            blobs = centropy.encode_candidates(q3, prev_q3)
             bits_i = dict(zip(names, blobs[:3]))
             bits_p = (
                 dict(zip(names, blobs[3:]))
@@ -167,6 +175,7 @@ def encode_frames(
                 Frame(T.FRAME_TYPE_P, bits_p["y"], bits_p["cb"], bits_p["cr"])  # type: ignore[arg-type]
             )
         prev = planes
+        prev_q3 = q3
 
     return serialize_file(w, h, out_frames)
 

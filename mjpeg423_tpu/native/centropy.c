@@ -1034,3 +1034,112 @@ MJ_EXPORT int mj423_encode_batch(const int16_t* coeffs, int n_items,
   }
   return err;
 }
+
+/* Candidate pack with inline differencing: packs one plane computing the
+ * I-candidate DC block chain (quantize.c:18-25) or the P-candidate
+ * per-coefficient delta (quantize.c:33-42) on the fly — the encoder never
+ * materializes diffed tensors (the NumPy diff/stack passes were hostage
+ * to host memory-bandwidth variance).  Bit-identical to pre-diffing and
+ * calling mj423_encode_plane (enforced by tests/test_native.py). */
+static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
+                                 int dc_chain, int num_blocks, uint8_t* out,
+                                 size_t out_cap) {
+  BitWriter bw;
+  bw_init(&bw, out, out_cap);
+  int16_t prev_dc = 0;
+  for (int b = 0; b < num_blocks; b++) {
+    const int16_t* row = q + (size_t)b * 64;
+    const int16_t* prow = prev ? prev + (size_t)b * 64 : NULL;
+    int16_t v[64];
+    if (prow) {
+      for (int k = 0; k < 64; k++) v[k] = (int16_t)(row[k] - prow[k]);
+    } else {
+      memcpy(v, row, sizeof v);
+    }
+    /* DC */
+    int32_t dc;
+    if (dc_chain) {
+      dc = (int16_t)(v[0] - prev_dc);
+      prev_dc = v[0];
+    } else {
+      dc = v[0];
+    }
+    if (dc == 0) {
+      bw_put(&bw, 4, 0);
+    } else {
+      uint32_t enc;
+      int size = encode_vli(dc, &enc);
+      bw_put(&bw, 4, (uint32_t)size);
+      bw_put(&bw, size, enc);
+    }
+    /* AC (reference: lossless_encode.c:41-55) */
+    int lastindex = 63;
+    while (lastindex > 0 && v[ZZ[lastindex]] == 0) lastindex--;
+    int index = 1;
+    int runlength = 0;
+    while (index <= lastindex) {
+      while (runlength < 16 && v[ZZ[index]] == 0) {
+        runlength++;
+        index++;
+      }
+      if (runlength == 16) {
+        bw_put(&bw, 4, 15);
+        bw_put(&bw, 4, 0); /* ZRL */
+      } else {
+        uint32_t enc;
+        int size = encode_vli(v[ZZ[index]], &enc);
+        bw_put(&bw, 4, (uint32_t)runlength);
+        bw_put(&bw, 4, (uint32_t)size);
+        bw_put(&bw, size, enc);
+        index++;
+      }
+      runlength = 0;
+    }
+    if (lastindex < 63) {
+      bw_put(&bw, 4, 0);
+      bw_put(&bw, 4, 0); /* END */
+    }
+  }
+  size_t n = bw_finish(&bw);
+  return bw.overflow ? -1 : (long)n;
+}
+
+/* Pack all candidate planes of one frame concurrently.
+ * q3: (3, num_blocks, 64) int16 quantized planes (natural order);
+ * qprev3: previous frame's q3 or NULL (frame 0).
+ * out: 6 (or 3 when qprev3==NULL) buffers of item_cap bytes;
+ * items 0..2 = I candidates (DC block chain), 3..5 = P candidates.
+ * lens[i] = byte length; returns 0 or -(1+i) for the first overflow. */
+MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
+                                      const int16_t* qprev3, int num_blocks,
+                                      uint8_t* out, size_t item_cap,
+                                      long* lens) {
+  const int n_items = qprev3 ? 6 : 3;
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+  for (int i = 0; i < n_items; i++) {
+    const int p = i % 3;
+    const int16_t* q = q3 + (size_t)p * num_blocks * 64;
+    long n;
+    if (i < 3) {
+      n = mj_encode_plane_diff(q, NULL, 1, num_blocks, out + (size_t)i * item_cap,
+                               item_cap);
+    } else {
+      const int16_t* pq = qprev3 + (size_t)p * num_blocks * 64;
+      n = mj_encode_plane_diff(q, pq, 0, num_blocks,
+                               out + (size_t)i * item_cap, item_cap);
+    }
+    lens[i] = n;
+    if (n < 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      {
+        if (err == 0 || i < -err - 1) err = -(1 + i);
+      }
+    }
+  }
+  return err;
+}

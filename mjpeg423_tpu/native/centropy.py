@@ -168,6 +168,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_long),
         ]
+        lib.mj423_encode_candidates.restype = ctypes.c_int
+        lib.mj423_encode_candidates.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_long),
+        ]
         _LIB = lib
         return _LIB
 
@@ -465,13 +471,51 @@ def encode_planes(coeffs: np.ndarray) -> list[bytes]:
     return [out[i, : lens[i]].tobytes() for i in range(n)]
 
 
+def encode_candidates(
+    q3: np.ndarray, qprev3: np.ndarray | None
+) -> list[bytes] | None:
+    """Pack one frame's candidate planes with inline differencing.
+
+    q3: (3, B, 64) int16 quantized planes (Y, Cb, Cr natural order);
+    qprev3: the previous frame's q3, or None at frame 0.  Returns
+    [I_y, I_cb, I_cr] (+ [P_y, P_cb, P_cr] when qprev3 is given) — the
+    I-DC block chain and P per-coefficient deltas are computed inside the
+    packer (no diffed tensors materialized).  None when native unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q3, dtype=np.int16)
+    _, nb, _ = q.shape
+    n = 3 if qprev3 is None else 6
+    cap = nb * 64 * 3 + 64
+    out = np.empty((n, cap), dtype=np.uint8)
+    lens = np.empty(n, dtype=np.dtype(ctypes.c_long))
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    if qprev3 is None:
+        prev_ptr = ctypes.cast(None, i16p)
+        _keep = None
+    else:
+        _keep = np.ascontiguousarray(qprev3, dtype=np.int16)
+        prev_ptr = _keep.ctypes.data_as(i16p)
+    rc = lib.mj423_encode_candidates(
+        q.ctypes.data_as(i16p), prev_ptr, nb,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    if rc != 0:
+        raise ValueError("entropy encode overflow")
+    return [out[i, : lens[i]].tobytes() for i in range(n)]
+
+
 def fdct_quant_blocks(
-    samples: np.ndarray, quant64: np.ndarray
+    samples: np.ndarray, quant64: np.ndarray, out: np.ndarray | None = None
 ) -> np.ndarray | None:
     """Native FDCT + quantize: (B, 8, 8) uint8 -> (B, 64) int16 amplitudes.
 
     Bit-exact with encode_ref.fdct_blocks + quantize_blocks (LL&M int32
     butterflies with int16 DCTELEM stores, exact round-half-away quantize).
+    out: optional preallocated C-contiguous (B, 64) int16 destination.
     Returns None when the native codec is unavailable.
     """
     lib = _load()
@@ -481,7 +525,13 @@ def fdct_quant_blocks(
     q = np.ascontiguousarray(quant64, dtype=np.uint16)
     if q.size != 64:
         raise ValueError("quant64 must have 64 entries")
-    out = np.empty((s.shape[0], 64), dtype=np.int16)
+    if out is None:
+        out = np.empty((s.shape[0], 64), dtype=np.int16)
+    elif (
+        out.shape != (s.shape[0], 64) or out.dtype != np.int16
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError("out must be C-contiguous (B, 64) int16")
     lib.mj423_fdct_quant(
         s.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s.shape[0],
         q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),

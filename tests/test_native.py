@@ -185,3 +185,24 @@ def test_encode_planes_batch_matches_serial():
     got = centropy.encode_planes(coeffs)
     want = [centropy.encode_plane(coeffs[i]) for i in range(coeffs.shape[0])]
     assert got == want
+
+
+def test_encode_candidates_matches_prediffed():
+    """Inline-diff candidate packer == NumPy diffs + serial native pack
+    (I DC block chain, P per-coefficient delta, frame-0 I-only batch)."""
+    from mjpeg423_tpu.ops import encode_ref
+
+    rng = np.random.default_rng(44)
+    q3 = rng.integers(-900, 900, (3, 40, 64)).astype(np.int16)
+    qprev3 = rng.integers(-900, 900, (3, 40, 64)).astype(np.int16)
+    got = centropy.encode_candidates(q3, qprev3)
+    if got is None:
+        pytest.skip("native codec unavailable")
+    want = [centropy.encode_plane(encode_ref.diff_dc_i(q3[p])) for p in range(3)]
+    want += [
+        centropy.encode_plane(encode_ref.diff_p(q3[p], qprev3[p]))
+        for p in range(3)
+    ]
+    assert got == want
+    got0 = centropy.encode_candidates(q3, None)
+    assert got0 == want[:3]
