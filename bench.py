@@ -29,6 +29,8 @@ import time
 
 import numpy as np
 
+import mjpeg423_tpu  # noqa: F401  (disables numpy's MADV_HUGEPAGE — see its __init__)
+
 # Persistent compilation cache: first-compile of the chained kernels takes
 # minutes through the remote TPU compiler; repeat bench runs reuse them.
 os.environ.setdefault(
@@ -108,12 +110,16 @@ def bench_parse(rng, f, b, h, w):
     lengths = np.array([len(x) for x in blobs], dtype=np.uint64)
     offsets[1:] = np.cumsum(lengths)[:-1]
     is_p = np.ones(len(blobs), dtype=np.uint8)  # P: no DC chain, same cost
-    out = centropy.decode_batch(data, offsets, lengths, is_p, b)  # warm
+    # One hugepage-advised destination reused across iterations (the
+    # production buffer-ring pattern): +30% on the streaming writes vs
+    # fresh 4K-page buffers, without the per-call THP compaction stall.
+    dest = centropy.alloc_hugepage_buf((len(blobs), b, 64), np.int16)
+    out = centropy.decode_batch(data, offsets, lengths, is_p, b, out=dest)  # warm
     iters = max(1, int(0.3 / max(1e-4, _time_once(
-        centropy.decode_batch, data, offsets, lengths, is_p, b))))
+        centropy.decode_batch, data, offsets, lengths, is_p, b, dest))))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = centropy.decode_batch(data, offsets, lengths, is_p, b)
+        out = centropy.decode_batch(data, offsets, lengths, is_p, b, out=dest)
     dt = (time.perf_counter() - t0) / iters
     fps = f / dt
     _log(

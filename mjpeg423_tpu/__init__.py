@@ -16,4 +16,26 @@ Layers (bottom-up):
   io/        BMP + stream readers                     (ref 2.2/2.14)
 """
 
+import os as _os
+
+# NumPy madvise(MADV_HUGEPAGE)s every >=4 MB allocation; on hosts with
+# THP defrag=madvise the first touch of such a buffer then runs
+# synchronous compaction — measured 11 MB/s vs 2.2 GB/s with it off
+# (a 1080p encode frame stalled ~2.5 s on allocation alone).  The TLB
+# win never repays that for this workload's allocate-use-free pattern.
+# numpy is typically preloaded before us (sitecustomize), so the
+# NUMPY_MADVISE_HUGEPAGE env var is too late — use the runtime toggle.
+_os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+try:  # private API, present in numpy 1.x and 2.x
+    from numpy._core.multiarray import _set_madvise_hugepage
+except ImportError:  # pragma: no cover
+    try:
+        from numpy.core.multiarray import _set_madvise_hugepage
+    except ImportError:
+        _set_madvise_hugepage = None
+if _set_madvise_hugepage is not None and _os.environ.get(
+    "MJPEG423_MADVISE_HUGEPAGE", "0"
+) != "1":
+    _set_madvise_hugepage(False)
+
 __version__ = "0.1.0"

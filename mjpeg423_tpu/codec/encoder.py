@@ -48,16 +48,17 @@ def _resolve_entropy_encode(
 
 
 def _rgb_to_blocked_planes(
-    rgb: np.ndarray,
+    rgb: np.ndarray, scratch: dict | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(H, W, 3) uint8 -> (y, cb, cr) blocked (B, 8, 8) uint8 planes.
 
     Native one-pass OpenMP conversion when available (bit-exact with the
     NumPy reference doubles — see centropy.c mj423_rgb_to_ycbcr_blocked);
-    NumPy chain + blocking otherwise.
+    NumPy chain + blocking otherwise.  With scratch, the returned planes
+    are reused (overwritten) by the next same-scratch call.
     """
     rgb = np.asarray(rgb, dtype=np.uint8)
-    native = centropy.rgb_to_ycbcr_blocked(rgb)
+    native = centropy.rgb_to_ycbcr_blocked(rgb, scratch)
     if native is not None:
         return native
     y, cb, cr = encode_ref.rgb_to_ycbcr_frame(rgb)
@@ -108,11 +109,20 @@ def encode_frames(
     prev_q3: np.ndarray | None = None
     out_frames: list[Frame] = []
     last_iframe = 0
+    # One workspace for the whole encode: fresh multi-MB buffers per frame
+    # were measured 25-100x slower than reuse on this host (first-touch
+    # page faults + THP compaction stalls).  q3 ping-pongs over two buffers
+    # because the P-candidate reads the previous frame's planes.
+    scratch: dict = {}
+    q3_pair: list[np.ndarray | None] = [None, None]
 
     for fi, rgb in enumerate(frames_rgb):
-        yb, cbb, crb = _rgb_to_blocked_planes(rgb)
+        yb, cbb, crb = _rgb_to_blocked_planes(rgb, scratch)
         nb = yb.shape[0]
-        q3 = np.empty((3, nb, 64), dtype=np.int16)
+        q3 = q3_pair[fi % 2]
+        if q3 is None or q3.shape != (3, nb, 64):
+            q3 = np.empty((3, nb, 64), dtype=np.int16)
+            q3_pair[fi % 2] = q3
         planes = {}
         for i, (name, blocks, quant) in enumerate(
             (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq))
@@ -135,7 +145,7 @@ def encode_frames(
             # planes of the frame (I x3, plus P x3 when a previous frame
             # exists) packed concurrently; the I-DC chain and P deltas are
             # computed inside the C packer (no diffed tensors).
-            blobs = centropy.encode_candidates(q3, prev_q3)
+            blobs = centropy.encode_candidates(q3, prev_q3, scratch)
             bits_i = dict(zip(names, blobs[:3]))
             bits_p = (
                 dict(zip(names, blobs[3:]))

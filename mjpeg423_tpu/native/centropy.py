@@ -202,6 +202,54 @@ def _as_cbuf(data):
     return ctypes.c_char_p(arr.ctypes.data), arr
 
 
+_MADV_HUGEPAGE = 14  # linux/mman.h
+
+
+def alloc_hugepage_buf(shape: tuple, dtype) -> np.ndarray:
+    """Allocate a REUSABLE output buffer, hugepage-advised.
+
+    The package globally disables numpy's blanket MADV_HUGEPAGE (first-touch
+    of a fresh madvised buffer runs synchronous THP compaction at ~11 MB/s
+    on defrag=madvise hosts — see mjpeg423_tpu/__init__.py).  For a
+    long-lived buffer that is written MANY times, hugepages still win
+    (+30% on the 1080p batch-parse streaming writes: 41 ms vs 55 ms/batch,
+    TLB) — the compaction cost is paid once at allocation, then amortized.
+    Callers MUST reuse the returned buffer (e.g. via the decode_batch
+    family's out= parameter); allocating one per call re-pays the
+    multi-second compaction stall every time (measured: 0.4-6.6 s/call).
+    """
+    out = np.empty(shape, dtype)
+    if out.nbytes >= (16 << 20):
+        try:
+            libc = ctypes.CDLL(None, use_errno=True)
+            addr = out.ctypes.data
+            start = addr & ~0xFFF
+            libc.madvise(
+                ctypes.c_void_p(start),
+                ctypes.c_size_t(out.nbytes + (addr - start)),
+                _MADV_HUGEPAGE,
+            )
+            out.view(np.uint8).reshape(-1)[::4096] = 0  # fault in now, off the hot path
+        except Exception:
+            pass
+    return out
+
+
+def _out_buf(out, shape: tuple, dtype) -> np.ndarray:
+    """Validate a caller-provided destination or allocate a fresh one."""
+    if out is None:
+        return np.empty(shape, dtype)
+    if (
+        out.shape != shape or out.dtype != dtype
+        or not out.flags.c_contiguous
+    ):
+        raise ValueError(
+            f"out must be C-contiguous {shape} {np.dtype(dtype).name}, "
+            f"got {out.shape} {out.dtype}"
+        )
+    return out
+
+
 def decode_plane(bits: bytes, num_blocks: int, is_p: bool) -> np.ndarray:
     """Entropy-decode one plane -> (num_blocks, 64) int16 amplitudes.
 
@@ -227,11 +275,13 @@ def decode_batch(
     lengths: np.ndarray,
     is_p: np.ndarray,
     num_blocks: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray:
     """Decode many plane bitstreams sliced out of one buffer in one call.
 
     data: container bytes; offsets/lengths: (N,) uint64; is_p: (N,) uint8.
-    Returns (N, num_blocks, 64) int16.
+    Returns (N, num_blocks, 64) int16 (= out when given — loop callers
+    should pass a reused alloc_hugepage_buf destination).
     """
     n = int(offsets.shape[0])
     offsets = np.ascontiguousarray(offsets, dtype=np.uint64)
@@ -242,14 +292,14 @@ def decode_batch(
         # memoryview: slice each plane without materializing the whole
         # (possibly mmap'd multi-GB) container per call.
         view = memoryview(data)
-        out = np.empty((n, num_blocks, 64), dtype=np.int16)
+        out = _out_buf(out, (n, num_blocks, 64), np.int16)
         for i in range(n):
             o, l = int(offsets[i]), int(lengths[i])
             out[i] = entropy_ref.decode_plane(
                 bytes(view[o:o + l]), num_blocks, bool(is_p[i])
             )
         return out
-    out = np.empty((n, num_blocks, 64), dtype=np.int16)
+    out = _out_buf(out, (n, num_blocks, 64), np.int16)
     cbuf, _keep = _as_cbuf(data)
     rc = lib.mj423_decode_batch(
         cbuf,
@@ -271,6 +321,7 @@ def decode_batch_cm(
     is_p: np.ndarray,
     num_blocks: int,
     row_blocks: int,
+    out: np.ndarray | None = None,
 ) -> np.ndarray | None:
     """Coefficient-major batch decode: (N, bh, 64, bw) int16.
 
@@ -287,7 +338,7 @@ def decode_batch_cm(
     is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
     cbuf, _keep = _as_cbuf(data)
     bh = num_blocks // row_blocks
-    out = np.empty((n, bh, 64, row_blocks), dtype=np.int16)
+    out = _out_buf(out, (n, bh, 64, row_blocks), np.int16)
     rc = lib.mj423_decode_batch_cm(
         cbuf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
@@ -417,7 +468,7 @@ def blocked_to_raster(
 
 
 def rgb_to_ycbcr_blocked(
-    rgb: np.ndarray,
+    rgb: np.ndarray, scratch: dict | None = None
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
     """Native encoder color conversion: (H, W, 3) uint8 RGB -> blocked planes.
 
@@ -426,6 +477,9 @@ def rgb_to_ycbcr_blocked(
     codec is unavailable.  Bit-exact with encode_ref.rgb_to_ycbcr_frame
     (reference doubles, rgb_to_ycbcr.c:58-70) — one OpenMP pass instead of
     the NumPy multi-pass chain.
+    scratch: optional dict reusing the output planes across calls — the
+    returned arrays are then OVERWRITTEN by the next call with the same
+    scratch (loop callers must consume them within the iteration).
     """
     lib = _load()
     if lib is None:
@@ -435,15 +489,36 @@ def rgb_to_ycbcr_blocked(
     if ch != 3 or h % 8 or w % 8:
         raise ValueError(f"bad RGB frame shape {r.shape}")
     nb = (h // 8) * (w // 8)
-    y = np.empty((nb, 8, 8), dtype=np.uint8)
-    cb = np.empty((nb, 8, 8), dtype=np.uint8)
-    cr = np.empty((nb, 8, 8), dtype=np.uint8)
+    y = _scratch_buf(scratch, "ycc_y", (nb, 8, 8), np.uint8)
+    cb = _scratch_buf(scratch, "ycc_cb", (nb, 8, 8), np.uint8)
+    cr = _scratch_buf(scratch, "ycc_cr", (nb, 8, 8), np.uint8)
     u8p = ctypes.POINTER(ctypes.c_uint8)
     lib.mj423_rgb_to_ycbcr_blocked(
         r.ctypes.data_as(u8p), h, w,
         y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
     )
     return y, cb, cr
+
+
+def _scratch_buf(
+    scratch: dict | None, key: str, shape: tuple, dtype
+) -> np.ndarray:
+    """Reusable workspace allocation.
+
+    Fresh multi-MB numpy buffers cost far more than the compute that fills
+    them on this host (first-touch page faults + THP compaction stalls were
+    measured at 25-100x the steady-state op — e.g. 1.4 s vs 16 ms for the
+    1080p FDCT).  Callers that loop (encode_frames) pass a dict to reuse
+    allocations across iterations; one-shot callers pass None.
+    """
+    if scratch is not None:
+        a = scratch.get(key)
+        if a is not None and a.shape == shape and a.dtype == dtype:
+            return a
+    a = np.empty(shape, dtype)
+    if scratch is not None:
+        scratch[key] = a
+    return a
 
 
 def encode_planes(coeffs: np.ndarray) -> list[bytes]:
@@ -472,7 +547,7 @@ def encode_planes(coeffs: np.ndarray) -> list[bytes]:
 
 
 def encode_candidates(
-    q3: np.ndarray, qprev3: np.ndarray | None
+    q3: np.ndarray, qprev3: np.ndarray | None, scratch: dict | None = None
 ) -> list[bytes] | None:
     """Pack one frame's candidate planes with inline differencing.
 
@@ -481,6 +556,8 @@ def encode_candidates(
     [I_y, I_cb, I_cr] (+ [P_y, P_cb, P_cr] when qprev3 is given) — the
     I-DC block chain and P per-coefficient deltas are computed inside the
     packer (no diffed tensors materialized).  None when native unavailable.
+    scratch: optional dict reusing the ~40 MB/1080p-frame output workspace
+    across calls (see _scratch_buf; returned bytes are always copies).
     """
     lib = _load()
     if lib is None:
@@ -489,8 +566,8 @@ def encode_candidates(
     _, nb, _ = q.shape
     n = 3 if qprev3 is None else 6
     cap = nb * 64 * 3 + 64
-    out = np.empty((n, cap), dtype=np.uint8)
-    lens = np.empty(n, dtype=np.dtype(ctypes.c_long))
+    out = _scratch_buf(scratch, "cand_out", (6, cap), np.uint8)[:n]
+    lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))[:n]
     i16p = ctypes.POINTER(ctypes.c_int16)
     if qprev3 is None:
         prev_ptr = ctypes.cast(None, i16p)

@@ -206,3 +206,30 @@ def test_encode_candidates_matches_prediffed():
     assert got == want
     got0 = centropy.encode_candidates(q3, None)
     assert got0 == want[:3]
+
+
+def test_decode_batch_out_destination(rng):
+    """Caller-provided out= destination: bit-identical, returns the same
+    buffer, and rejects mis-shaped/discontiguous destinations."""
+    c = _rand_coeffs(rng, 96)
+    blobs = [centropy.encode_plane(c) for _ in range(5)]
+    data = b"".join(blobs)
+    lens = np.array([len(b) for b in blobs], dtype=np.uint64)
+    offs = np.zeros(5, np.uint64)
+    offs[1:] = np.cumsum(lens)[:-1]
+    is_p = np.ones(5, np.uint8)
+    base = centropy.decode_batch(data, offs, lens, is_p, 96)
+    dest = centropy.alloc_hugepage_buf((5, 96, 64), np.int16)
+    got = centropy.decode_batch(data, offs, lens, is_p, 96, out=dest)
+    assert got is dest
+    np.testing.assert_array_equal(got, base)
+    with pytest.raises(ValueError):
+        centropy.decode_batch(
+            data, offs, lens, is_p, 96, out=np.empty((4, 96, 64), np.int16)
+        )
+    # coefficient-major variant takes out= too
+    cm = centropy.decode_batch_cm(data, offs, lens, is_p, 96, 8)
+    dest_cm = np.empty_like(cm)
+    got_cm = centropy.decode_batch_cm(data, offs, lens, is_p, 96, 8, out=dest_cm)
+    assert got_cm is dest_cm
+    np.testing.assert_array_equal(got_cm, cm)
