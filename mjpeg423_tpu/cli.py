@@ -170,6 +170,23 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_transcode(args) -> int:
+    from .codec.transcode import regop
+    from .core import format as fmt
+
+    data = _load_stream(args.input)
+    out = regop(data, max_i_interval=args.max_i_interval, window=args.window)
+    with open(args.output, "wb") as f:
+        f.write(out)
+    n_i = int((fmt.index_frames(out).frame_type == 0).sum())
+    print(
+        f"re-GOP {args.input} -> {args.output}: {len(data)} -> {len(out)} "
+        f"bytes, {n_i} I-frames (interval {args.max_i_interval}); decoded "
+        "output is bit-identical", file=sys.stderr,
+    )
+    return 0
+
+
 def _tty_cbreak() -> object | None:
     """Put the controlling TTY in cbreak mode; returns the restore token
     (or None off-TTY).  Called — and restored — from the MAIN thread: the
@@ -380,6 +397,18 @@ def main(argv=None) -> int:
                    help="use the NumPy reference transform instead of the "
                         "device FDCT path (outputs are byte-identical)")
     p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser(
+        "transcode",
+        help="losslessly re-GOP a container (new I-frame placement; "
+             "decoded output stays bit-identical)",
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--max-i-interval", type=int, default=24)
+    p.add_argument("--window", type=int, default=16,
+                   help="frames entropy-parsed per host batch (memory cap)")
+    p.set_defaults(fn=cmd_transcode)
 
     p = sub.add_parser("play", help="paced playback with stats (playlist ok)")
     p.add_argument("inputs", nargs="+")

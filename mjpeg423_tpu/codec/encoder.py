@@ -78,85 +78,77 @@ def _encode_plane_candidates(
     return bits_i, bits_p
 
 
-def encode_frames(
-    frames_rgb: Sequence[np.ndarray],
+def encode_quantized_frames(
+    q3_frames,
+    width: int,
+    height: int,
     max_i_interval: int | None = None,
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
     config: EncodeConfig | None = None,
+    exact_tail: bool = False,
 ) -> bytes:
-    """Encode RGB frames into an .MPG container byte string.
+    """Pack absolute quantized planes into an .MPG container.
 
-    frames_rgb: sequence of (H, W, 3) uint8 arrays (R, G, B channel order).
-    max_i_interval: force an I-frame at least this often
-    (reference: mjpeg423_encoder.c:154-157 selection rule); defaults from
-    config (24, the reference's MAX_IFRAME_OFFSET).
-    entropy_encode: plane bit-packer override; the default is the native C
-    encoder (byte-identical to the Python oracle).
+    q3_frames: iterable of (3, B, 64) int16 arrays — per frame the ABSOLUTE
+    quantized Y/Cb/Cr planes (natural order, absolute per-block DC), i.e.
+    exactly the encoder's round(coef/quant) state.  This is the shared back
+    half of the encoder (candidate coding + smaller-wins frame-type
+    selection, reference mjpeg423_encoder.c:154-185); encode_frames feeds
+    it from RGB via FDCT, codec/transcode.py feeds it from an existing
+    stream's entropy-parsed amplitude state (lossless re-GOP).
+
+    A yielded array may be reused (ping-ponged) by the producer: only the
+    immediately previous frame is read back, never older ones.
+
+    exact_tail: write each plane's true final partial byte instead of the
+    reference encoder's 0x00 output_rest quirk (which silently drops up to
+    7 tail bits when the last block is dense).  Only valid with the default
+    packers; the transcoder passes True so re-GOP stays lossless on ALL
+    content.
     """
     config = config or EncodeConfig()
     if max_i_interval is None:
         max_i_interval = config.max_i_interval
     entropy_encode = _resolve_entropy_encode(entropy_encode, config)
-    first = np.asarray(frames_rgb[0])
-    h, w = first.shape[:2]
-    if h % 8 or w % 8:
-        raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
 
-    yq = T.YQUANT64
-    cq = T.CQUANT64
-
-    prev: dict[str, np.ndarray] | None = None
+    names = ("y", "cb", "cr")
+    use_native_pack = (
+        entropy_encode is centropy.encode_plane and centropy.native_available()
+    )
+    if exact_tail and not use_native_pack:
+        if entropy_encode not in (centropy.encode_plane, entropy_ref.encode_plane):
+            raise ValueError(
+                "exact_tail requires the default entropy packers"
+            )
+        # Python oracle with the exact-tail writer (bit-identical to the
+        # native path; only the final partial byte differs from quirk mode).
+        def entropy_encode(c, _f=entropy_ref.encode_plane):
+            return _f(c, exact_tail=True)
+    scratch: dict = {}
     prev_q3: np.ndarray | None = None
     out_frames: list[Frame] = []
     last_iframe = 0
-    # One workspace for the whole encode: fresh multi-MB buffers per frame
-    # were measured 25-100x slower than reuse on this host (first-touch
-    # page faults + THP compaction stalls).  q3 ping-pongs over two buffers
-    # because the P-candidate reads the previous frame's planes.
-    scratch: dict = {}
-    q3_pair: list[np.ndarray | None] = [None, None]
 
-    for fi, rgb in enumerate(frames_rgb):
-        yb, cbb, crb = _rgb_to_blocked_planes(rgb, scratch)
-        nb = yb.shape[0]
-        q3 = q3_pair[fi % 2]
-        if q3 is None or q3.shape != (3, nb, 64):
-            q3 = np.empty((3, nb, 64), dtype=np.int16)
-            q3_pair[fi % 2] = q3
-        planes = {}
-        for i, (name, blocks, quant) in enumerate(
-            (("y", yb, yq), ("cb", cbb, cq), ("cr", crb, cq))
-        ):
-            q = centropy.fdct_quant_blocks(blocks, quant, out=q3[i])
-            if q is None:  # NumPy oracle fallback
-                coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
-                q = encode_ref.quantize_blocks(coefs, quant)
-                q3[i] = q
-            planes[name] = q3[i]
-
-        names = ("y", "cb", "cr")
+    for fi, q3 in enumerate(q3_frames):
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
-        use_native_pack = (
-            entropy_encode is centropy.encode_plane and centropy.native_available()
-        )
         if use_native_pack:
             # Batched OpenMP pack with inline differencing: all candidate
             # planes of the frame (I x3, plus P x3 when a previous frame
             # exists) packed concurrently; the I-DC chain and P deltas are
             # computed inside the C packer (no diffed tensors).
-            blobs = centropy.encode_candidates(q3, prev_q3, scratch)
+            blobs = centropy.encode_candidates(q3, prev_q3, scratch, exact_tail)
             bits_i = dict(zip(names, blobs[:3]))
             bits_p = (
                 dict(zip(names, blobs[3:]))
-                if prev is not None
+                if prev_q3 is not None
                 else {n: None for n in names}
             )
         else:
-            for name in names:
+            for i, name in enumerate(names):
                 bi, bp = _encode_plane_candidates(
-                    planes[name],
-                    prev[name] if prev is not None else None,
+                    q3[i],
+                    prev_q3[i] if prev_q3 is not None else None,
                     entropy_encode,
                 )
                 bits_i[name] = bi
@@ -165,7 +157,7 @@ def encode_frames(
         size_i = sum(len(b) for b in bits_i.values())
         size_p = (
             sum(len(b) for b in bits_p.values() if b is not None)
-            if prev is not None
+            if prev_q3 is not None
             else None
         )
         # Frame-type selection (reference: mjpeg423_encoder.c:155-157)
@@ -184,10 +176,63 @@ def encode_frames(
             out_frames.append(
                 Frame(T.FRAME_TYPE_P, bits_p["y"], bits_p["cb"], bits_p["cr"])  # type: ignore[arg-type]
             )
-        prev = planes
+        # Keep our own reference one frame back; the producer may reuse the
+        # buffer it yields two iterations later (ping-pong contract above).
         prev_q3 = q3
 
-    return serialize_file(w, h, out_frames)
+    return serialize_file(width, height, out_frames)
+
+
+def encode_frames(
+    frames_rgb: Sequence[np.ndarray],
+    max_i_interval: int | None = None,
+    entropy_encode: Callable[[np.ndarray], bytes] | None = None,
+    config: EncodeConfig | None = None,
+) -> bytes:
+    """Encode RGB frames into an .MPG container byte string.
+
+    frames_rgb: sequence of (H, W, 3) uint8 arrays (R, G, B channel order).
+    max_i_interval: force an I-frame at least this often
+    (reference: mjpeg423_encoder.c:154-157 selection rule); defaults from
+    config (24, the reference's MAX_IFRAME_OFFSET).
+    entropy_encode: plane bit-packer override; the default is the native C
+    encoder (byte-identical to the Python oracle).
+    """
+    first = np.asarray(frames_rgb[0])
+    h, w = first.shape[:2]
+    if h % 8 or w % 8:
+        raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
+
+    yq = T.YQUANT64
+    cq = T.CQUANT64
+
+    def quantized():
+        # One workspace for the whole encode: fresh multi-MB buffers per
+        # frame were measured 25-100x slower than reuse on this host
+        # (first-touch page faults + THP compaction stalls).  q3 ping-pongs
+        # over two buffers because the P-candidate reads the previous
+        # frame's planes (the encode_quantized_frames contract).
+        scratch: dict = {}
+        q3_pair: list[np.ndarray | None] = [None, None]
+        for fi, rgb in enumerate(frames_rgb):
+            yb, cbb, crb = _rgb_to_blocked_planes(rgb, scratch)
+            nb = yb.shape[0]
+            q3 = q3_pair[fi % 2]
+            if q3 is None or q3.shape != (3, nb, 64):
+                q3 = np.empty((3, nb, 64), dtype=np.int16)
+                q3_pair[fi % 2] = q3
+            for i, (blocks, quant) in enumerate(
+                ((yb, yq), (cbb, cq), (crb, cq))
+            ):
+                q = centropy.fdct_quant_blocks(blocks, quant, out=q3[i])
+                if q is None:  # NumPy oracle fallback
+                    coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
+                    q3[i] = encode_ref.quantize_blocks(coefs, quant)
+            yield q3
+
+    return encode_quantized_frames(
+        quantized(), w, h, max_i_interval, entropy_encode, config
+    )
 
 
 def encode_frames_device(

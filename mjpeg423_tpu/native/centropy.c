@@ -714,10 +714,20 @@ static inline void bw_put(BitWriter* bw, int n, uint32_t bits) {
   bw->acc &= (1u << bw->nbits) - 1u;
 }
 
-static inline size_t bw_finish(BitWriter* bw) {
+/* exact_tail=0 replicates the reference's output_rest quirk (the final
+ * partial byte is 0x00, silently dropping up to 7 real bits — lossy when
+ * the last block is dense enough that its tail symbols land there);
+ * exact_tail=1 writes the true residual bits left-aligned instead.  Both
+ * forms decode identically in every decoder (ours and the reference's
+ * never inspect tail padding) EXCEPT for the bits the quirk drops, so
+ * exact_tail=1 is what the lossless transcoder uses. */
+static inline size_t bw_finish(BitWriter* bw, int exact_tail) {
   if (bw->nbits) {
+    uint8_t tail = exact_tail
+        ? (uint8_t)((bw->acc << (8 - bw->nbits)) & 0xFF)
+        : 0x00; /* reference output_rest quirk */
     if (bw->pos < bw->cap)
-      bw->out[bw->pos] = 0x00; /* reference output_rest quirk */
+      bw->out[bw->pos] = tail;
     else
       bw->overflow = 1;
     bw->pos++;
@@ -787,7 +797,7 @@ MJ_EXPORT long mj423_encode_plane(const int16_t* coeffs, int num_blocks,
       bw_put(&bw, 4, 0); /* END */
     }
   }
-  size_t n = bw_finish(&bw);
+  size_t n = bw_finish(&bw, 0);
   return bw.overflow ? -1 : (long)n;
 }
 
@@ -1043,7 +1053,7 @@ MJ_EXPORT int mj423_encode_batch(const int16_t* coeffs, int n_items,
  * calling mj423_encode_plane (enforced by tests/test_native.py). */
 static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
                                  int dc_chain, int num_blocks, uint8_t* out,
-                                 size_t out_cap) {
+                                 size_t out_cap, int exact_tail) {
   BitWriter bw;
   bw_init(&bw, out, out_cap);
   int16_t prev_dc = 0;
@@ -1100,7 +1110,7 @@ static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
       bw_put(&bw, 4, 0); /* END */
     }
   }
-  size_t n = bw_finish(&bw);
+  size_t n = bw_finish(&bw, exact_tail);
   return bw.overflow ? -1 : (long)n;
 }
 
@@ -1113,7 +1123,7 @@ static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
 MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
                                       const int16_t* qprev3, int num_blocks,
                                       uint8_t* out, size_t item_cap,
-                                      long* lens) {
+                                      long* lens, int exact_tail) {
   const int n_items = qprev3 ? 6 : 3;
   int err = 0;
 #ifdef _OPENMP
@@ -1125,11 +1135,11 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
     long n;
     if (i < 3) {
       n = mj_encode_plane_diff(q, NULL, 1, num_blocks, out + (size_t)i * item_cap,
-                               item_cap);
+                               item_cap, exact_tail);
     } else {
       const int16_t* pq = qprev3 + (size_t)p * num_blocks * 64;
       n = mj_encode_plane_diff(q, pq, 0, num_blocks,
-                               out + (size_t)i * item_cap, item_cap);
+                               out + (size_t)i * item_cap, item_cap, exact_tail);
     }
     lens[i] = n;
     if (n < 0) {

@@ -172,7 +172,7 @@ def _load() -> ctypes.CDLL | None:
         lib.mj423_encode_candidates.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
         ]
         _LIB = lib
         return _LIB
@@ -547,7 +547,8 @@ def encode_planes(coeffs: np.ndarray) -> list[bytes]:
 
 
 def encode_candidates(
-    q3: np.ndarray, qprev3: np.ndarray | None, scratch: dict | None = None
+    q3: np.ndarray, qprev3: np.ndarray | None, scratch: dict | None = None,
+    exact_tail: bool = False,
 ) -> list[bytes] | None:
     """Pack one frame's candidate planes with inline differencing.
 
@@ -558,6 +559,9 @@ def encode_candidates(
     packer (no diffed tensors materialized).  None when native unavailable.
     scratch: optional dict reusing the ~40 MB/1080p-frame output workspace
     across calls (see _scratch_buf; returned bytes are always copies).
+    exact_tail: write each plane's true final partial byte instead of the
+    reference's 0x00 output_rest quirk (lossless for tail-dense blocks;
+    decodes identically everywhere else — see centropy.c bw_finish).
     """
     lib = _load()
     if lib is None:
@@ -579,6 +583,7 @@ def encode_candidates(
         q.ctypes.data_as(i16p), prev_ptr, nb,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        int(exact_tail),
     )
     if rc != 0:
         raise ValueError("entropy encode overflow")

@@ -152,9 +152,16 @@ class BitWriter:
             self.bytes_out.append((self.acc >> self.nbits) & 0xFF)
         self.acc &= (1 << self.nbits) - 1
 
-    def finish(self) -> bytes:
+    def finish(self, exact_tail: bool = False) -> bytes:
         if self.nbits:
-            self.bytes_out.append(0x00)  # reference output_rest quirk
+            if exact_tail:
+                # True residual bits, left-aligned — decodes identically in
+                # every decoder (tail padding is never inspected) but keeps
+                # the up-to-7 bits the reference quirk drops.  Used by the
+                # lossless transcoder (codec/transcode.py).
+                self.bytes_out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            else:
+                self.bytes_out.append(0x00)  # reference output_rest quirk
             self.nbits = 0
             self.acc = 0
         return bytes(self.bytes_out)
@@ -174,7 +181,7 @@ def _encode_vli(x: int) -> tuple[int, int]:
     return size, (x - 1) & ((1 << size) - 1)
 
 
-def encode_plane(coeffs: np.ndarray) -> bytes:
+def encode_plane(coeffs: np.ndarray, exact_tail: bool = False) -> bytes:
     """Entropy-encode a plane of quantized coefficients.
 
     `coeffs` is (num_blocks, 64) int16 in natural order, with differential
@@ -217,4 +224,4 @@ def encode_plane(coeffs: np.ndarray) -> bytes:
         if lastindex < 63:
             w.put(4, 0)
             w.put(4, 0)  # END
-    return w.finish()
+    return w.finish(exact_tail)
