@@ -247,14 +247,18 @@ def encode_frames_device(
 
     Pipeline split: host does color conversion (float64, must match C
     doubles — rgb_to_ycbcr.c:64-66) and the serial entropy pack; the device
-    does FDCT + quantize + I/P differencing for ALL frames in one jit call
-    (ops/encode_jax.py — the encoder has no temporal recurrence, so the
-    whole transform batch-parallelizes).  Frame-type selection stays on the
-    host (it needs candidate byte sizes; mjpeg423_encoder.c:154-185).
+    does FDCT + quantize + I/P differencing in jit batches of
+    config.frames_per_batch frames (ops/encode_jax.py — the encoder has no
+    temporal recurrence, so windows batch-parallelize; slot 0 of each
+    window carries the previous window's last frame as the P-candidate
+    halo, so every batch compiles to ONE shape and host memory stays
+    O(window), not O(clip)).  Frame-type selection stays on the host (it
+    needs candidate byte sizes; mjpeg423_encoder.c:154-185).
 
     mesh=...: shard the transform's frame axis over the mesh's "data" axis
     (parallel/encode.py — one neighbor ppermute carries the P-candidate
-    halo).  Output is byte-identical to the single-device path.
+    halo).  This batch path stages the WHOLE clip (sharding wants all
+    frames at once); output is byte-identical to the windowed path.
     """
     import jax.numpy as jnp
 
@@ -270,60 +274,109 @@ def encode_frames_device(
         raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
 
     nf = len(frames_rgb)
-    planes = {n: [] for n in ("y", "cb", "cr")}
-    for rgb in frames_rgb:
-        yb, cbb, crb = _rgb_to_blocked_planes(rgb)
-        for name, blk in (("y", yb), ("cb", cbb), ("cr", crb)):
-            planes[name].append(blk)
-
-    if mesh is None:
-        stacked = {n: jnp.asarray(np.stack(v)) for n, v in planes.items()}
-        cand_i, cand_p = encode_jax.encode_transform(
-            stacked["y"], stacked["cb"], stacked["cr"]
-        )
-        p_off = -1  # cand_p rows are frames 1..F-1
-    else:
-        from ..parallel.encode import encode_transform_sharded, shard_samples
-        from ..parallel.mesh import DATA_AXIS
-
-        n_data = mesh.shape[DATA_AXIS]
-        pad = (-nf) % n_data
-        host = {}
-        for n, v in planes.items():
-            arr = np.stack(v)
-            if pad:
-                arr = np.concatenate(
-                    [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
-                )
-            host[n] = arr
-        args = shard_samples(mesh, host["y"], host["cb"], host["cr"])
-        cand_i, cand_p = encode_transform_sharded(*args, mesh=mesh)
-        p_off = 0  # cand_p is frame-indexed (row 0 unused)
-
-    cand_i = {n: np.asarray(v)[:nf] for n, v in cand_i.items()}
-    cand_p = {n: np.asarray(v)[:nf] for n, v in cand_p.items()}
-
     names = ("y", "cb", "cr")
-    jobs_i = [(fi, n) for fi in range(nf) for n in names]
-    jobs_p = [(fi, n) for fi in range(1, nf) for n in names]
-
-    def _enc_i(job):
-        fi, n = job
-        return entropy_encode(cand_i[n][fi])
-
-    def _enc_p(job):
-        fi, n = job
-        return entropy_encode(cand_p[n][fi + p_off])
-
+    ex = None
     if parallel_entropy:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor() as ex:
-            bits_i = dict(zip(jobs_i, ex.map(_enc_i, jobs_i)))
-            bits_p = dict(zip(jobs_p, ex.map(_enc_p, jobs_p)))
-    else:
-        bits_i = {j: _enc_i(j) for j in jobs_i}
-        bits_p = {j: _enc_p(j) for j in jobs_p}
+        ex = ThreadPoolExecutor()
+    try:
+        if mesh is None:
+            # Windowed transform: stage W+1 blocked-plane slots (halo + W
+            # frames), transform on device, pack that window, advance.
+            nb = (h // 8) * (w // 8)
+            W = max(1, min(int(config.frames_per_batch), nf))
+            stage = {n: np.zeros((W + 1, nb, 8, 8), np.uint8) for n in names}
+            scratch: dict = {}
+            bits_i: dict = {}
+            bits_p: dict = {}
+            for ws in range(0, nf, W):
+                count = min(W, nf - ws)
+                for k in range(count):
+                    yb, cbb, crb = _rgb_to_blocked_planes(
+                        frames_rgb[ws + k], scratch
+                    )
+                    np.copyto(stage["y"][k + 1], yb)
+                    np.copyto(stage["cb"][k + 1], cbb)
+                    np.copyto(stage["cr"][k + 1], crb)
+                ci_d, cp_d = encode_jax.encode_transform(
+                    jnp.asarray(stage["y"]), jnp.asarray(stage["cb"]),
+                    jnp.asarray(stage["cr"]),
+                )
+                # ci rows 1..count = frames ws..ws+count-1; cp row k is
+                # batch frame k+1 vs k = global frame ws+k vs predecessor
+                # (the halo makes row 0 valid for every window but the
+                # first, where frame 0 has no predecessor).
+                ci = {n: np.asarray(v) for n, v in ci_d.items()}
+                cp = {n: np.asarray(v) for n, v in cp_d.items()}
+                jobs_i = [(ws + k, n) for k in range(count) for n in names]
+                jobs_p = [
+                    (ws + k, n)
+                    for k in range(count) if ws + k > 0
+                    for n in names
+                ]
+
+                def _enc_i(job, _ci=ci, _ws=ws):
+                    fi, n = job
+                    return entropy_encode(_ci[n][fi - _ws + 1])
+
+                def _enc_p(job, _cp=cp, _ws=ws):
+                    fi, n = job
+                    return entropy_encode(_cp[n][fi - _ws])
+
+                if ex is not None:
+                    bits_i.update(zip(jobs_i, ex.map(_enc_i, jobs_i)))
+                    bits_p.update(zip(jobs_p, ex.map(_enc_p, jobs_p)))
+                else:
+                    bits_i.update((j, _enc_i(j)) for j in jobs_i)
+                    bits_p.update((j, _enc_p(j)) for j in jobs_p)
+                for n in names:  # halo for the next window
+                    np.copyto(stage[n][0], stage[n][count])
+        else:
+            from ..parallel.encode import encode_transform_sharded, shard_samples
+            from ..parallel.mesh import DATA_AXIS
+
+            planes = {n: [] for n in names}
+            for rgb in frames_rgb:
+                yb, cbb, crb = _rgb_to_blocked_planes(rgb)
+                for name, blk in (("y", yb), ("cb", cbb), ("cr", crb)):
+                    planes[name].append(blk)
+            n_data = mesh.shape[DATA_AXIS]
+            pad = (-nf) % n_data
+            host = {}
+            for n, v in planes.items():
+                arr = np.stack(v)
+                if pad:
+                    arr = np.concatenate(
+                        [arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)]
+                    )
+                host[n] = arr
+            args = shard_samples(mesh, host["y"], host["cb"], host["cr"])
+            cand_i, cand_p = encode_transform_sharded(*args, mesh=mesh)
+            cand_i = {n: np.asarray(v)[:nf] for n, v in cand_i.items()}
+            # cand_p is frame-indexed (row 0 unused)
+            cand_p = {n: np.asarray(v)[:nf] for n, v in cand_p.items()}
+
+            jobs_i = [(fi, n) for fi in range(nf) for n in names]
+            jobs_p = [(fi, n) for fi in range(1, nf) for n in names]
+
+            def _enc_i(job):
+                fi, n = job
+                return entropy_encode(cand_i[n][fi])
+
+            def _enc_p(job):
+                fi, n = job
+                return entropy_encode(cand_p[n][fi])
+
+            if ex is not None:
+                bits_i = dict(zip(jobs_i, ex.map(_enc_i, jobs_i)))
+                bits_p = dict(zip(jobs_p, ex.map(_enc_p, jobs_p)))
+            else:
+                bits_i = {j: _enc_i(j) for j in jobs_i}
+                bits_p = {j: _enc_p(j) for j in jobs_p}
+    finally:
+        if ex is not None:
+            ex.shutdown()
 
     out_frames: list[Frame] = []
     last_iframe = 0

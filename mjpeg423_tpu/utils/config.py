@@ -95,3 +95,7 @@ class EncodeConfig:
 
     max_i_interval: int = 24
     use_native_entropy: bool = True
+    # Device-path transform batch (encode_frames_device): frames staged,
+    # transformed, and packed per window — bounds host memory at
+    # O(window) blocked planes instead of the whole clip.
+    frames_per_batch: int = 16

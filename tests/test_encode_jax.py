@@ -79,3 +79,19 @@ def test_encoder_native_default_byte_identical():
     )
     d = encoder.encode_frames(frames, config=EncodeConfig(max_i_interval=3))
     assert a == b == c == d
+
+
+def test_encode_frames_device_windowed_halo(rng):
+    """Multi-window device encode (frames_per_batch < nf): the cross-window
+    P-candidate rides the halo slot; bytes match the host encoder exactly,
+    including at every window boundary."""
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    frames = make_test_frames(rng, num_frames=11, h=32, w=40)
+    want = encoder.encode_frames(frames, max_i_interval=5)
+    for w_ in (3, 4, 11):
+        got = encoder.encode_frames_device(
+            frames, max_i_interval=5,
+            config=EncodeConfig(frames_per_batch=w_),
+        )
+        assert got == want, f"window={w_}"
