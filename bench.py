@@ -156,6 +156,32 @@ def bench_encode(rng, f, b, h, w):
     return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}"}
 
 
+def bench_transcode(rng, f, b, h, w):
+    """Lossless re-GOP throughput: container -> container with new I-frame
+    placement (codec/transcode.regop — entropy-parse + amplitude-state
+    re-differencing + repack, no DCT).  Host-only; this is the stream-prep
+    pass that makes legacy sparse-I containers shardable/seekable."""
+    from mjpeg423_tpu.codec.encoder import encode_quantized_frames
+    from mjpeg423_tpu.codec.transcode import regop
+
+    amps, _ = make_amps(rng, f, b)
+    src = encode_quantized_frames(
+        (amps[:, fi] for fi in range(f)), w, h,
+        max_i_interval=f,  # sparse-I input: the worst case regop exists for
+        exact_tail=True,
+    )
+    out = regop(src, max_i_interval=6)  # warm
+    t0 = time.perf_counter()
+    out = regop(src, max_i_interval=6)
+    dt = time.perf_counter() - t0
+    fps = f / dt
+    _log(
+        f"stage=transcode: {len(src) / 1e6:.1f} MB -> {len(out) / 1e6:.1f} MB "
+        f"re-GOP in {dt * 1e3:.1f} ms = {fps:.1f} frames/s (host-native)"
+    )
+    return {"frames_per_s": round(fps, 1), "geometry": f"{w}x{h}"}
+
+
 def bench_e2e(rng, f, b, h, w, use_pallas):
     """Full streaming pipeline: container bytes -> host frames.
 
@@ -334,7 +360,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
-    ap.add_argument("--stage", choices=("parse", "encode", "e2e", "sharded"),
+    ap.add_argument("--stage",
+                    choices=("parse", "encode", "transcode", "e2e", "sharded"),
                     default=None,
                     help="run ONE stage and print its JSON (used by the "
                          "parent bench via subprocess)")
@@ -370,7 +397,7 @@ def main():
                          "and report scaling efficiency vs one device")
     cli = ap.parse_args()
 
-    if cli.stage in ("parse", "encode"):
+    if cli.stage in ("parse", "encode", "transcode"):
         # Host-only stages: never initialize the device backend — the axon
         # client's tunnel threads contend with OpenMP and were measured to
         # slow the host parse ~25x.
@@ -382,6 +409,8 @@ def main():
         b = (h // 8) * (w // 8)
         if cli.stage == "parse":
             res = bench_parse(rng, f, b, h, w)
+        elif cli.stage == "transcode":
+            res = bench_transcode(rng, f, b, h, w)
         else:
             res = bench_encode(rng, min(f, 8), b, h, w)
         print(json.dumps(res if res is not None else {}))
@@ -612,7 +641,7 @@ def main():
             extra += ["--frames", str(cli.frames)]
         t_start = time.perf_counter()
         stages = {}
-        for stage in ("parse", "sharded", "e2e", "encode"):
+        for stage in ("parse", "sharded", "e2e", "encode", "transcode"):
             remaining = budget - (time.perf_counter() - t_start)
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")
