@@ -22,6 +22,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 #define MJ_EXPORT __attribute__((visibility("default")))
 
 /* Zig-zag order: natural index of the k-th zig-zag coefficient
@@ -31,6 +35,18 @@ static const uint8_t ZZ[64] = {
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6,  7,  14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+};
+
+/* Inverse zigzag: IZZ[natural_pos] = zigzag index (IZZ[ZZ[k]] == k). */
+static const uint8_t IZZ[64] = {
+     0,  1,  5,  6, 14, 15, 27, 28,
+     2,  4,  7, 13, 16, 26, 29, 42,
+     3,  8, 12, 17, 25, 30, 41, 43,
+     9, 11, 18, 24, 31, 40, 44, 53,
+    10, 19, 23, 32, 39, 45, 52, 54,
+    20, 22, 33, 38, 46, 51, 55, 60,
+    21, 34, 37, 47, 50, 56, 59, 61,
+    35, 36, 48, 49, 57, 58, 62, 63,
 };
 
 /* ------------------------------------------------------------------ */
@@ -684,9 +700,9 @@ MJ_EXPORT int mj423_index_frames(const uint8_t* data, size_t len,
 typedef struct {
   uint8_t* out;
   size_t cap;
-  size_t pos;
-  uint64_t acc;
-  int nbits;
+  size_t pos;      /* committed bytes */
+  uint64_t acc;    /* pending bits LEFT-aligned (top `nbits` bits) */
+  int nbits;       /* 0..7 after every put */
   int overflow;
 } BitWriter;
 
@@ -699,19 +715,34 @@ static inline void bw_init(BitWriter* bw, uint8_t* out, size_t cap) {
   bw->overflow = 0;
 }
 
+/* Branchless writer: each put stores the whole 8-byte accumulator big-
+ * endian at the write head unconditionally (overlapping stores — later
+ * puts rewrite the partial tail bytes), then advances by the completed
+ * bytes.  No data-dependent flush branch, so variable-length symbol
+ * streams never stall on mispredicts.  Needs cap slack >= 8 bytes for the
+ * fast store; within 8 bytes of cap it degrades to guarded byte stores
+ * (the Python wrappers size out at 3 bytes/coeff + 64, far beyond the
+ * ~2.4 bytes/coeff true worst case).  n <= 32; callers fuse whole symbols
+ * (run|size|VLI <= 19 bits) into one put. */
 static inline void bw_put(BitWriter* bw, int n, uint32_t bits) {
-  bw->acc = (bw->acc << n) | (bits & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1u)));
+  uint64_t b = bits & ((n == 32) ? 0xFFFFFFFFu : ((1u << n) - 1u));
+  bw->acc |= b << (64 - bw->nbits - n);
   bw->nbits += n;
-  while (bw->nbits >= 8) {
-    bw->nbits -= 8;
-    if (bw->pos < bw->cap) {
-      bw->out[bw->pos++] = (uint8_t)((bw->acc >> bw->nbits) & 0xFF);
-    } else {
-      bw->overflow = 1;
-      bw->pos++;
+  int adv = bw->nbits >> 3;
+  if (bw->pos + 8 <= bw->cap) {
+    uint64_t w = __builtin_bswap64(bw->acc);
+    memcpy(bw->out + bw->pos, &w, 8);
+  } else {
+    for (int i = 0; i < adv; i++) {
+      if (bw->pos + i < bw->cap)
+        bw->out[bw->pos + i] = (uint8_t)(bw->acc >> (56 - 8 * i));
+      else
+        bw->overflow = 1;
     }
   }
-  bw->acc &= (1u << bw->nbits) - 1u;
+  bw->pos += adv;
+  bw->nbits &= 7;
+  bw->acc <<= 8 * adv;
 }
 
 /* exact_tail=0 replicates the reference's output_rest quirk (the final
@@ -722,9 +753,9 @@ static inline void bw_put(BitWriter* bw, int n, uint32_t bits) {
  * never inspect tail padding) EXCEPT for the bits the quirk drops, so
  * exact_tail=1 is what the lossless transcoder uses. */
 static inline size_t bw_finish(BitWriter* bw, int exact_tail) {
-  if (bw->nbits) {
+  if (bw->nbits) { /* 0..7 residual bits, already left-aligned in acc */
     uint8_t tail = exact_tail
-        ? (uint8_t)((bw->acc << (8 - bw->nbits)) & 0xFF)
+        ? (uint8_t)(bw->acc >> 56)
         : 0x00; /* reference output_rest quirk */
     if (bw->pos < bw->cap)
       bw->out[bw->pos] = tail;
@@ -736,16 +767,96 @@ static inline size_t bw_finish(BitWriter* bw, int exact_tail) {
   return bw->pos;
 }
 
-/* VLI size + encoded amplitude (reference: lossless_encode.c:121-138) */
+/* VLI size + encoded amplitude (reference: lossless_encode.c:121-138).
+ * size = bit length of |x| via clz (the reference's shift loop costs up to
+ * 11 dependent iterations per symbol); ax|1 makes x==0 yield size 1 (x is
+ * nonzero by contract) without changing any other length. */
 static inline int encode_vli(int32_t x, uint32_t* enc) {
   int32_t ax = x < 0 ? -x : x;
-  int size = 0;
-  while (ax >> size) size++;
+  int size = 32 - __builtin_clz((uint32_t)ax | 1u);
   if (size > 11) size = 11;
-  if (size == 0) size = 1; /* x != 0 by contract */
   *enc = (x > 0) ? ((uint32_t)x & ((1u << size) - 1u))
                  : ((uint32_t)(x - 1) & ((1u << size) - 1u));
   return size;
+}
+
+/* 64-value diff, natural order, int16 wrap (quantize.c:33-42). */
+static inline void mj_diff64(const int16_t* row, const int16_t* prow,
+                             int16_t* v) {
+#if defined(__AVX2__)
+  for (int g = 0; g < 4; g++) {
+    __m256i a = _mm256_loadu_si256((const __m256i*)(row + 16 * g));
+    __m256i b = _mm256_loadu_si256((const __m256i*)(prow + 16 * g));
+    _mm256_storeu_si256((__m256i*)(v + 16 * g), _mm256_sub_epi16(a, b));
+  }
+#else
+  for (int k = 0; k < 64; k++) v[k] = (int16_t)(row[k] - prow[k]);
+#endif
+}
+
+/* Nonzero bitmask of v (natural order) permuted to ZIGZAG bit positions,
+ * bit 0 (DC) cleared.  AVX2: compare-to-zero + pack + movemask builds the
+ * natural mask in ~12 ops; the zigzag permute then touches only the set
+ * bits (ctz loop over IZZ) — the per-coefficient zigzag gather scan of the
+ * scalar packer never happens. */
+static inline uint64_t mj_mask_zz(const int16_t* v) {
+  uint64_t nm;
+#if defined(__AVX2__)
+  const __m256i zero = _mm256_setzero_si256();
+  nm = 0;
+  for (int g = 0; g < 2; g++) {
+    __m256i a = _mm256_loadu_si256((const __m256i*)(v + 32 * g));
+    __m256i b = _mm256_loadu_si256((const __m256i*)(v + 32 * g + 16));
+    __m256i p = _mm256_packs_epi16(_mm256_cmpeq_epi16(a, zero),
+                                   _mm256_cmpeq_epi16(b, zero));
+    p = _mm256_permute4x64_epi64(p, 0xD8); /* fix 128-bit lane interleave */
+    uint32_t zm = (uint32_t)_mm256_movemask_epi8(p);
+    nm |= ((uint64_t)(uint32_t)~zm) << (32 * g);
+  }
+#else
+  nm = 0;
+  for (int k = 0; k < 64; k++) nm |= (uint64_t)(v[k] != 0) << k;
+#endif
+  uint64_t m = nm & ~1ull, mz = 0;
+  while (m) {
+    mz |= 1ull << IZZ[__builtin_ctzll(m)];
+    m &= m - 1;
+  }
+  return mz;
+}
+
+/* Emit one block's symbols.  v: NATURAL-order values (index 0 unused — the
+ * DC, with any block chain applied, is passed separately); mask bit k set
+ * iff the k-th ZIGZAG coefficient is nonzero (bit 0 ignored).  Iterates
+ * nonzeros via ctz instead of scanning all 64 positions, and fuses each
+ * run|size|VLI into a single bw_put (bit-identical to the reference's
+ * separate 4/4/size puts, lossless_encode.c:41-55 — concatenation order is
+ * unchanged). */
+static inline void mj_emit_block(BitWriter* bw, const int16_t* v,
+                                 uint64_t mask, int32_t dc) {
+  if (dc == 0) {
+    bw_put(bw, 4, 0);
+  } else {
+    uint32_t enc;
+    int size = encode_vli(dc, &enc);
+    bw_put(bw, 4 + size, ((uint32_t)size << size) | enc);
+  }
+  uint64_t m = mask & ~1ull;
+  int index = 1;
+  while (m) {
+    int next = __builtin_ctzll(m);
+    int run = next - index;
+    while (run >= 16) {
+      bw_put(bw, 8, 0xF0); /* ZRL */
+      run -= 16;
+    }
+    uint32_t enc;
+    int size = encode_vli(v[ZZ[next]], &enc);
+    bw_put(bw, 8 + size, ((uint32_t)((run << 4) | size) << size) | enc);
+    index = next + 1;
+    m &= m - 1;
+  }
+  if (!(mask >> 63)) bw_put(bw, 8, 0); /* END (lastindex < 63) */
 }
 
 /*
@@ -759,43 +870,7 @@ MJ_EXPORT long mj423_encode_plane(const int16_t* coeffs, int num_blocks,
   bw_init(&bw, out, out_cap);
   for (int b = 0; b < num_blocks; b++) {
     const int16_t* row = coeffs + (size_t)b * 64;
-    /* DC */
-    int32_t dc = row[0];
-    if (dc == 0) {
-      bw_put(&bw, 4, 0);
-    } else {
-      uint32_t enc;
-      int size = encode_vli(dc, &enc);
-      bw_put(&bw, 4, (uint32_t)size);
-      bw_put(&bw, size, enc);
-    }
-    /* AC (reference: lossless_encode.c:41-55) */
-    int lastindex = 63;
-    while (lastindex > 0 && row[ZZ[lastindex]] == 0) lastindex--;
-    int index = 1;
-    int runlength = 0;
-    while (index <= lastindex) {
-      while (runlength < 16 && row[ZZ[index]] == 0) {
-        runlength++;
-        index++;
-      }
-      if (runlength == 16) {
-        bw_put(&bw, 4, 15);
-        bw_put(&bw, 4, 0); /* ZRL */
-      } else {
-        uint32_t enc;
-        int size = encode_vli(row[ZZ[index]], &enc);
-        bw_put(&bw, 4, (uint32_t)runlength);
-        bw_put(&bw, 4, (uint32_t)size);
-        bw_put(&bw, size, enc);
-        index++;
-      }
-      runlength = 0;
-    }
-    if (lastindex < 63) {
-      bw_put(&bw, 4, 0);
-      bw_put(&bw, 4, 0); /* END */
-    }
+    mj_emit_block(&bw, row, mj_mask_zz(row), row[0]);
   }
   size_t n = bw_finish(&bw, 0);
   return bw.overflow ? -1 : (long)n;
@@ -1057,58 +1132,22 @@ static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
   BitWriter bw;
   bw_init(&bw, out, out_cap);
   int16_t prev_dc = 0;
+  int16_t vd[64];
   for (int b = 0; b < num_blocks; b++) {
     const int16_t* row = q + (size_t)b * 64;
-    const int16_t* prow = prev ? prev + (size_t)b * 64 : NULL;
-    int16_t v[64];
-    if (prow) {
-      for (int k = 0; k < 64; k++) v[k] = (int16_t)(row[k] - prow[k]);
-    } else {
-      memcpy(v, row, sizeof v);
+    const int16_t* v = row;
+    if (prev) {
+      mj_diff64(row, prev + (size_t)b * 64, vd);
+      v = vd;
     }
-    /* DC */
     int32_t dc;
-    if (dc_chain) {
+    if (dc_chain) { /* I-candidate DC block chain (quantize.c:18-25) */
       dc = (int16_t)(v[0] - prev_dc);
       prev_dc = v[0];
     } else {
       dc = v[0];
     }
-    if (dc == 0) {
-      bw_put(&bw, 4, 0);
-    } else {
-      uint32_t enc;
-      int size = encode_vli(dc, &enc);
-      bw_put(&bw, 4, (uint32_t)size);
-      bw_put(&bw, size, enc);
-    }
-    /* AC (reference: lossless_encode.c:41-55) */
-    int lastindex = 63;
-    while (lastindex > 0 && v[ZZ[lastindex]] == 0) lastindex--;
-    int index = 1;
-    int runlength = 0;
-    while (index <= lastindex) {
-      while (runlength < 16 && v[ZZ[index]] == 0) {
-        runlength++;
-        index++;
-      }
-      if (runlength == 16) {
-        bw_put(&bw, 4, 15);
-        bw_put(&bw, 4, 0); /* ZRL */
-      } else {
-        uint32_t enc;
-        int size = encode_vli(v[ZZ[index]], &enc);
-        bw_put(&bw, 4, (uint32_t)runlength);
-        bw_put(&bw, 4, (uint32_t)size);
-        bw_put(&bw, size, enc);
-        index++;
-      }
-      runlength = 0;
-    }
-    if (lastindex < 63) {
-      bw_put(&bw, 4, 0);
-      bw_put(&bw, 4, 0); /* END */
-    }
+    mj_emit_block(&bw, v, mj_mask_zz(v), dc);
   }
   size_t n = bw_finish(&bw, exact_tail);
   return bw.overflow ? -1 : (long)n;
