@@ -1053,15 +1053,133 @@ static inline void mj_fdct1d(const int32_t* in, int32_t* out, int pass1) {
   out[1] = mj_descale(tmp7 + z1 + z4, n);
 }
 
+#if defined(__AVX2__)
+/* 8-lane vector LL&M: one __m256i lane per row (pass 1) / column (pass 2);
+ * identical op sequence to mj_fdct1d, so the int32 wrap (-fwrapv ==
+ * mullo/add wrap) and DESCALE rounding are bit-exact. */
+static inline __m256i mjv_descale(__m256i x, int n) {
+  return _mm256_srai_epi32(
+      _mm256_add_epi32(x, _mm256_set1_epi32(1 << (n - 1))), n);
+}
+
+#define MJV_MUL(a, c) _mm256_mullo_epi32(a, _mm256_set1_epi32(c))
+
+static inline void mjv_fdct1d(__m256i* v, int pass1) {
+  __m256i tmp0 = _mm256_add_epi32(v[0], v[7]), tmp7 = _mm256_sub_epi32(v[0], v[7]);
+  __m256i tmp1 = _mm256_add_epi32(v[1], v[6]), tmp6 = _mm256_sub_epi32(v[1], v[6]);
+  __m256i tmp2 = _mm256_add_epi32(v[2], v[5]), tmp5 = _mm256_sub_epi32(v[2], v[5]);
+  __m256i tmp3 = _mm256_add_epi32(v[3], v[4]), tmp4 = _mm256_sub_epi32(v[3], v[4]);
+
+  __m256i tmp10 = _mm256_add_epi32(tmp0, tmp3), tmp13 = _mm256_sub_epi32(tmp0, tmp3);
+  __m256i tmp11 = _mm256_add_epi32(tmp1, tmp2), tmp12 = _mm256_sub_epi32(tmp1, tmp2);
+
+  int n;
+  if (pass1) {
+    v[0] = _mm256_slli_epi32(_mm256_add_epi32(tmp10, tmp11), MJ_PASS1_BITS);
+    v[4] = _mm256_slli_epi32(_mm256_sub_epi32(tmp10, tmp11), MJ_PASS1_BITS);
+    n = MJ_CONST_BITS - MJ_PASS1_BITS;
+  } else {
+    v[0] = mjv_descale(_mm256_add_epi32(tmp10, tmp11), MJ_PASS1_BITS + 3);
+    v[4] = mjv_descale(_mm256_sub_epi32(tmp10, tmp11), MJ_PASS1_BITS + 3);
+    n = MJ_CONST_BITS + MJ_PASS1_BITS + 3;
+  }
+
+  __m256i z1 = MJV_MUL(_mm256_add_epi32(tmp12, tmp13), MJ_F_0_541196100);
+  v[2] = mjv_descale(
+      _mm256_add_epi32(z1, MJV_MUL(tmp13, MJ_F_0_765366865)), n);
+  v[6] = mjv_descale(
+      _mm256_add_epi32(z1, MJV_MUL(tmp12, -MJ_F_1_847759065)), n);
+
+  z1 = _mm256_add_epi32(tmp4, tmp7);
+  __m256i z2 = _mm256_add_epi32(tmp5, tmp6);
+  __m256i z3 = _mm256_add_epi32(tmp4, tmp6);
+  __m256i z4 = _mm256_add_epi32(tmp5, tmp7);
+  __m256i z5 = MJV_MUL(_mm256_add_epi32(z3, z4), MJ_F_1_175875602);
+
+  tmp4 = MJV_MUL(tmp4, MJ_F_0_298631336);
+  tmp5 = MJV_MUL(tmp5, MJ_F_2_053119869);
+  tmp6 = MJV_MUL(tmp6, MJ_F_3_072711026);
+  tmp7 = MJV_MUL(tmp7, MJ_F_1_501321110);
+  z1 = MJV_MUL(z1, -MJ_F_0_899976223);
+  z2 = MJV_MUL(z2, -MJ_F_2_562915447);
+  z3 = _mm256_add_epi32(MJV_MUL(z3, -MJ_F_1_961570560), z5);
+  z4 = _mm256_add_epi32(MJV_MUL(z4, -MJ_F_0_390180644), z5);
+
+  v[7] = mjv_descale(_mm256_add_epi32(_mm256_add_epi32(tmp4, z1), z3), n);
+  v[5] = mjv_descale(_mm256_add_epi32(_mm256_add_epi32(tmp5, z2), z4), n);
+  v[3] = mjv_descale(_mm256_add_epi32(_mm256_add_epi32(tmp6, z2), z3), n);
+  v[1] = mjv_descale(_mm256_add_epi32(_mm256_add_epi32(tmp7, z1), z4), n);
+}
+
+/* 8x8 int32 transpose in registers (unpack/permute ladder). */
+static inline void mjv_transpose8(__m256i r[8]) {
+  __m256i t0 = _mm256_unpacklo_epi32(r[0], r[1]);
+  __m256i t1 = _mm256_unpackhi_epi32(r[0], r[1]);
+  __m256i t2 = _mm256_unpacklo_epi32(r[2], r[3]);
+  __m256i t3 = _mm256_unpackhi_epi32(r[2], r[3]);
+  __m256i t4 = _mm256_unpacklo_epi32(r[4], r[5]);
+  __m256i t5 = _mm256_unpackhi_epi32(r[4], r[5]);
+  __m256i t6 = _mm256_unpacklo_epi32(r[6], r[7]);
+  __m256i t7 = _mm256_unpackhi_epi32(r[6], r[7]);
+  __m256i u0 = _mm256_unpacklo_epi64(t0, t2);
+  __m256i u1 = _mm256_unpackhi_epi64(t0, t2);
+  __m256i u2 = _mm256_unpacklo_epi64(t1, t3);
+  __m256i u3 = _mm256_unpackhi_epi64(t1, t3);
+  __m256i u4 = _mm256_unpacklo_epi64(t4, t6);
+  __m256i u5 = _mm256_unpackhi_epi64(t4, t6);
+  __m256i u6 = _mm256_unpacklo_epi64(t5, t7);
+  __m256i u7 = _mm256_unpackhi_epi64(t5, t7);
+  r[0] = _mm256_permute2x128_si256(u0, u4, 0x20);
+  r[1] = _mm256_permute2x128_si256(u1, u5, 0x20);
+  r[2] = _mm256_permute2x128_si256(u2, u6, 0x20);
+  r[3] = _mm256_permute2x128_si256(u3, u7, 0x20);
+  r[4] = _mm256_permute2x128_si256(u0, u4, 0x31);
+  r[5] = _mm256_permute2x128_si256(u1, u5, 0x31);
+  r[6] = _mm256_permute2x128_si256(u2, u6, 0x31);
+  r[7] = _mm256_permute2x128_si256(u3, u7, 0x31);
+}
+
+/* DCTELEM int16 truncation between passes (fdct.c:52-87 stores). */
+static inline __m256i mjv_wrap16(__m256i x) {
+  return _mm256_srai_epi32(_mm256_slli_epi32(x, 16), 16);
+}
+#endif /* __AVX2__ */
+
 /* samples: (num_blocks, 64) uint8 blocked row-major; quant64: natural-order
  * uint16 table; out: (num_blocks, 64) int16 quantized natural order. */
 MJ_EXPORT void mj423_fdct_quant(const uint8_t* samples, int num_blocks,
                                 const uint16_t* quant64, int16_t* out) {
+  /* Round-half-away quantize by invariant multiplication: mag =
+   * (2|c|+q)/(2q) computed as (num * inv) >> 34 with inv = 2^34/(2q)+1 —
+   * exact for num < 2^17 (Granlund-Montgomery: inv*d - 2^34 <= d < 2^17),
+   * and num = 2|c|+q <= 2*32767+65535 < 2^17.  The 64 per-block integer
+   * divisions were ~60% of this function's runtime. */
+  uint64_t inv[64];
+  for (int k = 0; k < 64; k++)
+    inv[k] = (((uint64_t)1 << 34) / (2u * quant64[k])) + 1;
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
   for (int b = 0; b < num_blocks; b++) {
     const uint8_t* s = samples + (size_t)b * 64;
+    int32_t coef[64]; /* int16-range values, row-major */
+#if defined(__AVX2__)
+    __m256i v[8];
+    for (int r = 0; r < 8; r++)
+      v[r] = _mm256_cvtepu8_epi32(
+          _mm_loadl_epi64((const __m128i*)(s + r * 8)));
+    /* Pass 1 vectorized over rows: transpose so lane r of v[c] is
+     * s[r][c], butterfly once for all 8 rows, truncate to DCTELEM. */
+    mjv_transpose8(v);
+    mjv_fdct1d(v, 1);
+    for (int c = 0; c < 8; c++) v[c] = mjv_wrap16(v[c]);
+    /* Pass 2 vectorized over columns: transpose back to row vectors of
+     * the workspace (lane c of v[r] = w[r][c]), butterfly, truncate. */
+    mjv_transpose8(v);
+    mjv_fdct1d(v, 0);
+    for (int r = 0; r < 8; r++)
+      _mm256_storeu_si256((__m256i*)(coef + r * 8), mjv_wrap16(v[r]));
+#else
     int32_t w[64]; /* row-major workspace */
     int32_t in[8], o[8];
     /* Pass 1 over rows (butterfly inputs = the 8 column values of a row),
@@ -1072,18 +1190,18 @@ MJ_EXPORT void mj423_fdct_quant(const uint8_t* samples, int num_blocks,
       for (int c = 0; c < 8; c++) w[r * 8 + c] = (int16_t)o[c];
     }
     /* Pass 2 over columns. */
-    int16_t coef[64];
     for (int c = 0; c < 8; c++) {
       for (int r = 0; r < 8; r++) in[r] = w[r * 8 + c];
       mj_fdct1d(in, o, 0);
       for (int r = 0; r < 8; r++) coef[r * 8 + c] = (int16_t)o[r];
     }
-    /* Exact round-half-away quantize. */
+#endif
+    /* Exact round-half-away quantize (division-free, see inv above). */
     int16_t* q = out + (size_t)b * 64;
     for (int k = 0; k < 64; k++) {
       int32_t c = coef[k];
-      int32_t qq = quant64[k];
-      int32_t mag = (2 * (c < 0 ? -c : c) + qq) / (2 * qq);
+      uint32_t num = 2u * (uint32_t)(c < 0 ? -c : c) + quant64[k];
+      int32_t mag = (int32_t)(((uint64_t)num * inv[k]) >> 34);
       q[k] = (int16_t)(c < 0 ? -mag : mag);
     }
   }
