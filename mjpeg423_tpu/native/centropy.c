@@ -1246,10 +1246,11 @@ MJ_EXPORT int mj423_encode_batch(const int16_t* coeffs, int n_items,
  * calling mj423_encode_plane (enforced by tests/test_native.py). */
 static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
                                  int dc_chain, int num_blocks, uint8_t* out,
-                                 size_t out_cap, int exact_tail) {
+                                 size_t out_cap, int exact_tail,
+                                 int16_t prev_dc0, size_t* bits_out) {
   BitWriter bw;
   bw_init(&bw, out, out_cap);
-  int16_t prev_dc = 0;
+  int16_t prev_dc = prev_dc0;
   int16_t vd[64];
   for (int b = 0; b < num_blocks; b++) {
     const int16_t* row = q + (size_t)b * 64;
@@ -1267,8 +1268,41 @@ static long mj_encode_plane_diff(const int16_t* q, const int16_t* prev,
     }
     mj_emit_block(&bw, v, mj_mask_zz(v), dc);
   }
+  if (bits_out) *bits_out = bw.pos * 8 + (size_t)bw.nbits;
   size_t n = bw_finish(&bw, exact_tail);
   return bw.overflow ? -1 : (long)n;
+}
+
+/* Append `nbits` MSB-first bits (from a byte-aligned, zero-padded source)
+ * into dst at bit offset dst_bits.  64-bit shifted copies; dst needs one
+ * spare byte past the final bit for the residual-carry store. */
+static void mj_bit_append(uint8_t* dst, size_t dst_bits, const uint8_t* src,
+                          size_t nbits) {
+  size_t nbytes = (nbits + 7) >> 3;
+  size_t off = dst_bits & 7;
+  uint8_t* d = dst + (dst_bits >> 3);
+  if (off == 0) {
+    memcpy(d, src, nbytes);
+    return;
+  }
+  uint32_t carry = (uint32_t)(*d >> (8 - off)); /* dst's valid top bits */
+  size_t i = 0;
+  for (; i + 8 <= nbytes; i += 8) {
+    uint64_t w;
+    memcpy(&w, src + i, 8);
+    w = __builtin_bswap64(w);
+    uint64_t outw = ((uint64_t)carry << (64 - off)) | (w >> off);
+    carry = (uint32_t)(w & ((1u << off) - 1u));
+    outw = __builtin_bswap64(outw);
+    memcpy(d, &outw, 8);
+    d += 8;
+  }
+  for (; i < nbytes; i++) {
+    uint32_t v = (carry << 8) | src[i];
+    *d++ = (uint8_t)(v >> off);
+    carry = v & ((1u << off) - 1u);
+  }
+  *d = (uint8_t)(carry << (8 - off));
 }
 
 /* Pack all candidate planes of one frame concurrently.
@@ -1292,11 +1326,12 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
     long n;
     if (i < 3) {
       n = mj_encode_plane_diff(q, NULL, 1, num_blocks, out + (size_t)i * item_cap,
-                               item_cap, exact_tail);
+                               item_cap, exact_tail, 0, NULL);
     } else {
       const int16_t* pq = qprev3 + (size_t)p * num_blocks * 64;
       n = mj_encode_plane_diff(q, pq, 0, num_blocks,
-                               out + (size_t)i * item_cap, item_cap, exact_tail);
+                               out + (size_t)i * item_cap, item_cap, exact_tail,
+                               0, NULL);
     }
     lens[i] = n;
     if (n < 0) {
@@ -1308,5 +1343,99 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
       }
     }
   }
+  return err;
+}
+
+/* Segmented candidate pack: each of the (3 or 6) candidate planes is split
+ * into n_seg block ranges packed CONCURRENTLY (6 x n_seg OpenMP tasks — a
+ * whole-plane task per core leaves cores idle on the last round), then
+ * bit-stitched.  Exactness: P candidates have no cross-block state; the I
+ * candidate's DC block chain restarts a segment from the previous block's
+ * absolute DC (prev_dc0 = q[start-1][0], quantize.c:18-25).  Output is
+ * byte-identical to mj423_encode_candidates.
+ * seg_buf: n_items * n_seg scratch buffers of seg_cap bytes each.
+ * Returns 0 or -(1+i) for the first overflowing item. */
+MJ_EXPORT int mj423_encode_candidates_seg(
+    const int16_t* q3, const int16_t* qprev3, int num_blocks, int n_seg,
+    uint8_t* seg_buf, size_t seg_cap, uint8_t* out, size_t item_cap,
+    long* lens, int exact_tail) {
+  const int n_items = qprev3 ? 6 : 3;
+  if (n_seg < 1) n_seg = 1;
+  if (n_seg > num_blocks) n_seg = num_blocks;
+  const int seg_blocks = (num_blocks + n_seg - 1) / n_seg;
+  size_t* bits = malloc(sizeof(size_t) * (size_t)n_items * n_seg);
+  int err = 0;
+  if (!bits) return -1;
+  for (int i = 0; i < n_items; i++) lens[i] = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) collapse(2)
+#endif
+  for (int i = 0; i < 6; i++) {
+    for (int s = 0; s < n_seg; s++) {
+      if (i >= n_items) continue; /* collapse(2) needs rectangular bounds */
+      const int start = s * seg_blocks;
+      const int count =
+          start + seg_blocks > num_blocks ? num_blocks - start : seg_blocks;
+      if (count <= 0) {
+        bits[(size_t)i * n_seg + s] = 0;
+        continue;
+      }
+      const int p = i % 3;
+      const int16_t* q = q3 + ((size_t)p * num_blocks + start) * 64;
+      const int16_t* pq =
+          i < 3 ? NULL : qprev3 + ((size_t)p * num_blocks + start) * 64;
+      /* I candidates chain block DCs; a mid-plane segment continues the
+       * chain from the previous block's absolute DC. */
+      int16_t pdc0 = (i < 3 && start > 0)
+                         ? q3[((size_t)p * num_blocks + start - 1) * 64]
+                         : 0;
+      uint8_t* dst = seg_buf + ((size_t)i * n_seg + s) * seg_cap;
+      size_t nb = 0;
+      long n = mj_encode_plane_diff(q, pq, i < 3 ? 1 : 0, count, dst, seg_cap,
+                                    /*exact_tail=*/1, pdc0, &nb);
+      bits[(size_t)i * n_seg + s] = nb;
+      if (n < 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        {
+          if (err == 0 || i < -err - 1) err = -(1 + i);
+        }
+      }
+    }
+  }
+  if (!err) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int i = 0; i < n_items; i++) {
+      size_t t = 0;
+      int bad = 0;
+      uint8_t* dst = out + (size_t)i * item_cap;
+      for (int s = 0; s < n_seg; s++) {
+        size_t nb = bits[(size_t)i * n_seg + s];
+        if (!nb) continue;
+        if (((t + nb + 7) >> 3) + 8 > item_cap) { /* +8: append slack */
+          bad = 1;
+          break;
+        }
+        mj_bit_append(dst, t, seg_buf + ((size_t)i * n_seg + s) * seg_cap, nb);
+        t += nb;
+      }
+      if (bad) {
+        lens[i] = -1;
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        {
+          if (err == 0 || i < -err - 1) err = -(1 + i);
+        }
+      } else {
+        if (!exact_tail && (t & 7)) dst[t >> 3] = 0x00; /* output_rest quirk */
+        lens[i] = (long)((t + 7) >> 3);
+      }
+    }
+  }
+  free(bits);
   return err;
 }

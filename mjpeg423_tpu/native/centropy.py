@@ -174,6 +174,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_long), ctypes.c_int,
         ]
+        lib.mj423_encode_candidates_seg.restype = ctypes.c_int
+        lib.mj423_encode_candidates_seg.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+        ]
         _LIB = lib
         return _LIB
 
@@ -579,12 +587,34 @@ def encode_candidates(
     else:
         _keep = np.ascontiguousarray(qprev3, dtype=np.int16)
         prev_ptr = _keep.ctypes.data_as(i16p)
-    rc = lib.mj423_encode_candidates(
-        q.ctypes.data_as(i16p), prev_ptr, nb,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-        int(exact_tail),
-    )
+    # Segment planes so the OpenMP pool has ~2 tasks per core in flight
+    # (6 whole-plane tasks on 4 cores = a 2-round makespan with 2 idle
+    # cores in round 2; segments + bit-stitch remove the idle tail).
+    # Byte-identical either way (tests/test_native.py).
+    n_seg = 1
+    if nb >= 4096:
+        ncpu = os.cpu_count() or 1
+        n_seg = max(1, round(2 * ncpu / n))
+    if n_seg > 1:
+        seg_blocks = (nb + n_seg - 1) // n_seg
+        seg_cap = seg_blocks * 64 * 3 + 72
+        seg_buf = _scratch_buf(
+            scratch, "cand_seg", (6 * n_seg, seg_cap), np.uint8
+        )
+        rc = lib.mj423_encode_candidates_seg(
+            q.ctypes.data_as(i16p), prev_ptr, nb, n_seg,
+            seg_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), seg_cap,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            int(exact_tail),
+        )
+    else:
+        rc = lib.mj423_encode_candidates(
+            q.ctypes.data_as(i16p), prev_ptr, nb,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            int(exact_tail),
+        )
     if rc != 0:
         raise ValueError("entropy encode overflow")
     return [out[i, : lens[i]].tobytes() for i in range(n)]

@@ -233,3 +233,47 @@ def test_decode_batch_out_destination(rng):
     got_cm = centropy.decode_batch_cm(data, offs, lens, is_p, 96, 8, out=dest_cm)
     assert got_cm is dest_cm
     np.testing.assert_array_equal(got_cm, cm)
+
+
+def test_encode_candidates_segmented_byte_identical(rng):
+    """The segmented parallel candidate pack (mj423_encode_candidates_seg:
+    per-plane block ranges packed concurrently, bit-stitched, I-DC chain
+    resumed from the previous block's absolute DC) is byte-identical to the
+    whole-plane pack for every segment count and both tail modes."""
+    import ctypes
+
+    lib = centropy._load()
+    if lib is None:
+        pytest.skip("native codec unavailable")
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lp = ctypes.POINTER(ctypes.c_long)
+    for nb in (1, 7, 257):
+        q3 = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        qp = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        cap = nb * 64 * 3 + 64
+        for prev in (None, qp):
+            n = 3 if prev is None else 6
+            pp = (ctypes.cast(None, i16p) if prev is None
+                  else prev.ctypes.data_as(i16p))
+            for et in (0, 1):
+                out0 = np.zeros((6, cap), np.uint8)
+                l0 = np.zeros(6, np.dtype(ctypes.c_long))
+                assert lib.mj423_encode_candidates(
+                    q3.ctypes.data_as(i16p), pp, nb,
+                    out0.ctypes.data_as(u8p), cap,
+                    l0.ctypes.data_as(lp), et) == 0
+                for n_seg in (2, 5):
+                    sb = (nb + n_seg - 1) // n_seg
+                    seg_cap = sb * 64 * 3 + 72
+                    segb = np.zeros((6 * n_seg, seg_cap), np.uint8)
+                    out1 = np.zeros((6, cap), np.uint8)
+                    l1 = np.zeros(6, np.dtype(ctypes.c_long))
+                    assert lib.mj423_encode_candidates_seg(
+                        q3.ctypes.data_as(i16p), pp, nb, n_seg,
+                        segb.ctypes.data_as(u8p), seg_cap,
+                        out1.ctypes.data_as(u8p), cap,
+                        l1.ctypes.data_as(lp), et) == 0
+                    for i in range(n):
+                        assert l0[i] == l1[i]
+                        assert bytes(out1[i, :l1[i]]) == bytes(out0[i, :l0[i]])
