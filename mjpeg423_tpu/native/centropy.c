@@ -944,11 +944,115 @@ MJ_EXPORT void mj423_blocked_to_raster(const uint32_t* blocked, int wf,
  * interleaved source, unit-stride reads, 8-byte runs per block row on the
  * write side.  OpenMP over 8-row block bands.
  */
+#if defined(__AVX2__)
+/* 8 interleaved RGB pixels -> one truncated-u8 plane row chunk.
+ * The double math mirrors the scalar expression tree op for op (mul/sub/
+ * add in source order, no FMA — the build is -ffp-contract=off), so IEEE
+ * determinism makes the vector path bit-identical to the C doubles of the
+ * reference (rgb_to_ycbcr.c:64-66).  cvttpd == C's truncating cast (all
+ * values in [0, 255.5)). */
+static inline void mjv_store_chan(uint8_t* dst, __m256d lo, __m256d hi) {
+  __m128i a = _mm256_cvttpd_epi32(lo);
+  __m128i b = _mm256_cvttpd_epi32(hi);
+  __m128i w16 = _mm_packus_epi32(a, b);
+  _mm_storel_epi64((__m128i*)dst, _mm_packus_epi16(w16, w16));
+}
+#endif
+
 MJ_EXPORT void mj423_rgb_to_ycbcr_blocked(const uint8_t* rgb, int h, int w,
                                           uint8_t* y, uint8_t* cb,
                                           uint8_t* cr) {
   const int bh = h / 8, bw = w / 8;
   (void)bh;
+#if defined(__AVX2__)
+  /* Deinterleave shuffle masks: 8 pixels = 24 bytes = lo(16) + hi(8). */
+  static const uint8_t MRL[16] = {0, 3, 6, 9, 12, 15, 128, 128,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  static const uint8_t MRH[16] = {128, 128, 128, 128, 128, 128, 2, 5,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  static const uint8_t MGL[16] = {1, 4, 7, 10, 13, 128, 128, 128,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  static const uint8_t MGH[16] = {128, 128, 128, 128, 128, 0, 3, 6,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  static const uint8_t MBL[16] = {2, 5, 8, 11, 14, 128, 128, 128,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  static const uint8_t MBH[16] = {128, 128, 128, 128, 128, 1, 4, 7,
+                                  128, 128, 128, 128, 128, 128, 128, 128};
+  const __m128i mrl = _mm_loadu_si128((const __m128i*)MRL);
+  const __m128i mrh = _mm_loadu_si128((const __m128i*)MRH);
+  const __m128i mgl = _mm_loadu_si128((const __m128i*)MGL);
+  const __m128i mgh = _mm_loadu_si128((const __m128i*)MGH);
+  const __m128i mbl = _mm_loadu_si128((const __m128i*)MBL);
+  const __m128i mbh = _mm_loadu_si128((const __m128i*)MBH);
+  const __m256d cy0 = _mm256_set1_pd(0.299), cy1 = _mm256_set1_pd(0.587),
+                cy2 = _mm256_set1_pd(0.114);
+  const __m256d cb0 = _mm256_set1_pd(-0.168736),
+                cb1 = _mm256_set1_pd(0.331264), cb2 = _mm256_set1_pd(0.5);
+  const __m256d cr0 = _mm256_set1_pd(0.5), cr1 = _mm256_set1_pd(0.418688),
+                cr2 = _mm256_set1_pd(0.081312);
+  const __m256d off = _mm256_set1_pd(128.0);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int by = 0; by < h / 8; by++) {
+    for (int r = 0; r < 8; r++) {
+      const uint8_t* src = rgb + ((size_t)(by * 8 + r) * w) * 3;
+      size_t orow = ((size_t)by * bw * 8 + (size_t)r) * 8;
+      for (int bx = 0; bx < bw; bx++, src += 24) {
+        size_t o = orow + (size_t)bx * 64;
+        __m128i lo = _mm_loadu_si128((const __m128i*)src);
+        __m128i hi = _mm_loadl_epi64((const __m128i*)(src + 16));
+        __m128i r8 = _mm_or_si128(_mm_shuffle_epi8(lo, mrl),
+                                  _mm_shuffle_epi8(hi, mrh));
+        __m128i g8 = _mm_or_si128(_mm_shuffle_epi8(lo, mgl),
+                                  _mm_shuffle_epi8(hi, mgh));
+        __m128i b8 = _mm_or_si128(_mm_shuffle_epi8(lo, mbl),
+                                  _mm_shuffle_epi8(hi, mbh));
+        __m256i r32 = _mm256_cvtepu8_epi32(r8);
+        __m256i g32 = _mm256_cvtepu8_epi32(g8);
+        __m256i b32 = _mm256_cvtepu8_epi32(b8);
+        __m256d rlo = _mm256_cvtepi32_pd(_mm256_castsi256_si128(r32));
+        __m256d rhi = _mm256_cvtepi32_pd(_mm256_extracti128_si256(r32, 1));
+        __m256d glo = _mm256_cvtepi32_pd(_mm256_castsi256_si128(g32));
+        __m256d ghi = _mm256_cvtepi32_pd(_mm256_extracti128_si256(g32, 1));
+        __m256d blo = _mm256_cvtepi32_pd(_mm256_castsi256_si128(b32));
+        __m256d bhi = _mm256_cvtepi32_pd(_mm256_extracti128_si256(b32, 1));
+        /* y = (0.299*r + 0.587*g) + 0.114*b */
+        __m256d ylo = _mm256_add_pd(
+            _mm256_add_pd(_mm256_mul_pd(cy0, rlo), _mm256_mul_pd(cy1, glo)),
+            _mm256_mul_pd(cy2, blo));
+        __m256d yhi = _mm256_add_pd(
+            _mm256_add_pd(_mm256_mul_pd(cy0, rhi), _mm256_mul_pd(cy1, ghi)),
+            _mm256_mul_pd(cy2, bhi));
+        /* cb = (((-0.168736*r) - 0.331264*g) + 0.5*b) + 128 */
+        __m256d cblo = _mm256_add_pd(
+            _mm256_add_pd(_mm256_sub_pd(_mm256_mul_pd(cb0, rlo),
+                                        _mm256_mul_pd(cb1, glo)),
+                          _mm256_mul_pd(cb2, blo)),
+            off);
+        __m256d cbhi = _mm256_add_pd(
+            _mm256_add_pd(_mm256_sub_pd(_mm256_mul_pd(cb0, rhi),
+                                        _mm256_mul_pd(cb1, ghi)),
+                          _mm256_mul_pd(cb2, bhi)),
+            off);
+        /* cr = (((0.5*r) - 0.418688*g) - 0.081312*b) + 128 */
+        __m256d crlo = _mm256_add_pd(
+            _mm256_sub_pd(_mm256_sub_pd(_mm256_mul_pd(cr0, rlo),
+                                        _mm256_mul_pd(cr1, glo)),
+                          _mm256_mul_pd(cr2, blo)),
+            off);
+        __m256d crhi = _mm256_add_pd(
+            _mm256_sub_pd(_mm256_sub_pd(_mm256_mul_pd(cr0, rhi),
+                                        _mm256_mul_pd(cr1, ghi)),
+                          _mm256_mul_pd(cr2, bhi)),
+            off);
+        mjv_store_chan(y + o, ylo, yhi);
+        mjv_store_chan(cb + o, cblo, cbhi);
+        mjv_store_chan(cr + o, crlo, crhi);
+      }
+    }
+  }
+#else
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -971,6 +1075,7 @@ MJ_EXPORT void mj423_rgb_to_ycbcr_blocked(const uint8_t* rgb, int h, int w,
       }
     }
   }
+#endif
 }
 
 /* ------------------------------------------------------------------ */
