@@ -133,17 +133,37 @@ def encode_quantized_frames(
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
         if use_native_pack:
-            # Batched OpenMP pack with inline differencing: all candidate
-            # planes of the frame (I x3, plus P x3 when a previous frame
-            # exists) packed concurrently; the I-DC chain and P deltas are
-            # computed inside the C packer (no diffed tensors).
-            blobs = centropy.encode_candidates(q3, prev_q3, scratch, exact_tail)
-            bits_i = dict(zip(names, blobs[:3]))
-            bits_p = (
-                dict(zip(names, blobs[3:]))
-                if prev_q3 is not None
-                else {n: None for n in names}
+            # Select-then-pack: exact candidate byte sizes come from a
+            # cheap size-only scan (no bit writer), the smaller-wins rule
+            # (mjpeg423_encoder.c:154-185) picks the frame type, and only
+            # the winning candidate is entropy-packed — the losing pack
+            # (half the entropy work) is never built.  The I-DC chain and
+            # P deltas are computed inside the C packer (no diffed
+            # tensors); sizes == pack lengths is enforced by
+            # tests/test_native.py.
+            sizes = centropy.candidate_sizes(q3, prev_q3)
+            size_i = sum(sizes[:3])
+            size_p = sum(sizes[3:]) if prev_q3 is not None else None
+            pick = (
+                fi == 0
+                or size_p is None
+                or size_i <= size_p
+                or fi - last_iframe >= max_i_interval
             )
+            blobs = centropy.encode_candidates(
+                q3,
+                None if pick else prev_q3,
+                scratch,
+                exact_tail,
+                which=1 if pick else 2,
+            )
+            if pick:
+                last_iframe = fi
+                out_frames.append(Frame(T.FRAME_TYPE_I, *blobs))
+            else:
+                out_frames.append(Frame(T.FRAME_TYPE_P, *blobs))
+            prev_q3 = q3
+            continue
         else:
             for i, name in enumerate(names):
                 bi, bp = _encode_plane_candidates(

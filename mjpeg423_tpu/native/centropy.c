@@ -1451,6 +1451,98 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
   return err;
 }
 
+/* Bit size of one block's encoding without emitting it (same symbol walk
+ * as mj_emit_block). */
+static inline long mj_block_bits(const int16_t* v, uint64_t mask,
+                                 int32_t dc) {
+  long bits;
+  if (dc == 0) {
+    bits = 4;
+  } else {
+    int32_t ax = dc < 0 ? -dc : dc;
+    int s = 32 - __builtin_clz((uint32_t)ax | 1u);
+    if (s > 11) s = 11;
+    bits = 4 + s;
+  }
+  uint64_t m = mask & ~1ull;
+  int index = 1;
+  while (m) {
+    int next = __builtin_ctzll(m);
+    int run = next - index;
+    bits += 8 * (run >> 4); /* ZRLs */
+    int16_t val = v[ZZ[next]];
+    int32_t ax = val < 0 ? -val : val;
+    int s = 32 - __builtin_clz((uint32_t)ax | 1u);
+    if (s > 11) s = 11;
+    bits += 8 + s;
+    index = next + 1;
+    m &= m - 1;
+  }
+  if (!(mask >> 63)) bits += 8; /* END */
+  return bits;
+}
+
+/* Exact bit sizes of every candidate plane WITHOUT packing (no bit writer,
+ * no output).  The encoder's smaller-wins frame-type selection
+ * (mjpeg423_encoder.c:154-185) only needs sizes; packing both candidates
+ * and discarding one doubled the entropy-pack work.  bits[0..2] = I
+ * candidates, bits[3..5] = P candidates (when qprev3 != NULL).
+ * Parallelized over (item, block-chunk); the I-DC chain contributes only
+ * dc = q[b][0] - q[b-1][0], computable anywhere in the plane. */
+MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
+                                     int num_blocks, long* bits) {
+  const int n_items = qprev3 ? 6 : 3;
+  enum { NSEG = 8 };
+  int n_seg = NSEG;
+  if (n_seg > num_blocks) n_seg = num_blocks;
+  const int seg_blocks = (num_blocks + n_seg - 1) / n_seg;
+  long part[6 * NSEG];
+  memset(part, 0, sizeof part);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) collapse(2)
+#endif
+  for (int i = 0; i < 6; i++) {
+    for (int s = 0; s < NSEG; s++) {
+      if (i >= n_items || s >= n_seg) continue;
+      const int start = s * seg_blocks;
+      const int count =
+          start + seg_blocks > num_blocks ? num_blocks - start : seg_blocks;
+      if (count <= 0) continue;
+      const int p = i % 3;
+      const int16_t* q = q3 + ((size_t)p * num_blocks + start) * 64;
+      const int16_t* pq =
+          i < 3 ? NULL : qprev3 + ((size_t)p * num_blocks + start) * 64;
+      int16_t prev_dc =
+          (i < 3 && start > 0) ? q3[((size_t)p * num_blocks + start - 1) * 64]
+                               : 0;
+      long acc = 0;
+      int16_t vd[64];
+      for (int b = 0; b < count; b++) {
+        const int16_t* row = q + (size_t)b * 64;
+        const int16_t* v = row;
+        if (pq) {
+          mj_diff64(row, pq + (size_t)b * 64, vd);
+          v = vd;
+        }
+        int32_t dc;
+        if (i < 3) {
+          dc = (int16_t)(v[0] - prev_dc);
+          prev_dc = v[0];
+        } else {
+          dc = v[0];
+        }
+        acc += mj_block_bits(v, mj_mask_zz(v), dc);
+      }
+      part[i * NSEG + s] = acc;
+    }
+  }
+  for (int i = 0; i < n_items; i++) {
+    long t = 0;
+    for (int s = 0; s < NSEG; s++) t += part[i * NSEG + s];
+    bits[i] = t;
+  }
+}
+
 /* Segmented candidate pack: each of the (3 or 6) candidate planes is split
  * into n_seg block ranges packed CONCURRENTLY (6 x n_seg OpenMP tasks — a
  * whole-plane task per core leaves cores idle on the last round), then
@@ -1459,11 +1551,14 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
  * absolute DC (prev_dc0 = q[start-1][0], quantize.c:18-25).  Output is
  * byte-identical to mj423_encode_candidates.
  * seg_buf: n_items * n_seg scratch buffers of seg_cap bytes each.
+ * which: bitmask — 1 packs the I items (0..2), 2 the P items (3..5);
+ * skipped items report lens = 0 (pairs with mj423_candidate_sizes: select
+ * the frame type from sizes, then pack only the winner).
  * Returns 0 or -(1+i) for the first overflowing item. */
 MJ_EXPORT int mj423_encode_candidates_seg(
     const int16_t* q3, const int16_t* qprev3, int num_blocks, int n_seg,
     uint8_t* seg_buf, size_t seg_cap, uint8_t* out, size_t item_cap,
-    long* lens, int exact_tail) {
+    long* lens, int exact_tail, int which) {
   const int n_items = qprev3 ? 6 : 3;
   if (n_seg < 1) n_seg = 1;
   if (n_seg > num_blocks) n_seg = num_blocks;
@@ -1478,6 +1573,7 @@ MJ_EXPORT int mj423_encode_candidates_seg(
   for (int i = 0; i < 6; i++) {
     for (int s = 0; s < n_seg; s++) {
       if (i >= n_items) continue; /* collapse(2) needs rectangular bounds */
+      if (!(which & (i < 3 ? 1 : 2))) continue;
       const int start = s * seg_blocks;
       const int count =
           start + seg_blocks > num_blocks ? num_blocks - start : seg_blocks;
@@ -1516,6 +1612,7 @@ MJ_EXPORT int mj423_encode_candidates_seg(
     for (int i = 0; i < n_items; i++) {
       size_t t = 0;
       int bad = 0;
+      if (!(which & (i < 3 ? 1 : 2))) continue;
       uint8_t* dst = out + (size_t)i * item_cap;
       for (int s = 0; s < n_seg; s++) {
         size_t nb = bits[(size_t)i * n_seg + s];

@@ -180,7 +180,12 @@ def _load() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mj423_candidate_sizes.restype = None
+        lib.mj423_candidate_sizes.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int, ctypes.POINTER(ctypes.c_long),
         ]
         _LIB = lib
         return _LIB
@@ -556,7 +561,7 @@ def encode_planes(coeffs: np.ndarray) -> list[bytes]:
 
 def encode_candidates(
     q3: np.ndarray, qprev3: np.ndarray | None, scratch: dict | None = None,
-    exact_tail: bool = False,
+    exact_tail: bool = False, which: int = 3,
 ) -> list[bytes] | None:
     """Pack one frame's candidate planes with inline differencing.
 
@@ -570,6 +575,9 @@ def encode_candidates(
     exact_tail: write each plane's true final partial byte instead of the
     reference's 0x00 output_rest quirk (lossless for tail-dense blocks;
     decodes identically everywhere else — see centropy.c bw_finish).
+    which: bitmask — 1 = I items, 2 = P items, 3 = both; the return list
+    holds only the selected items, in item order (pairs with
+    candidate_sizes: select the frame type first, pack only the winner).
     """
     lib = _load()
     if lib is None:
@@ -577,6 +585,8 @@ def encode_candidates(
     q = np.ascontiguousarray(q3, dtype=np.int16)
     _, nb, _ = q.shape
     n = 3 if qprev3 is None else 6
+    if which == 2 and qprev3 is None:
+        raise ValueError("which=2 (P only) requires qprev3")
     cap = nb * 64 * 3 + 64
     out = _scratch_buf(scratch, "cand_out", (6, cap), np.uint8)[:n]
     lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))[:n]
@@ -594,8 +604,9 @@ def encode_candidates(
     n_seg = 1
     if nb >= 4096:
         ncpu = os.cpu_count() or 1
-        n_seg = max(1, round(2 * ncpu / n))
-    if n_seg > 1:
+        n_sel = 3 * bin(which & 3).count("1") if n == 6 else 3
+        n_seg = max(1, round(2 * ncpu / max(n_sel, 1)))
+    if n_seg > 1 or which != 3:
         seg_blocks = (nb + n_seg - 1) // n_seg
         seg_cap = seg_blocks * 64 * 3 + 72
         seg_buf = _scratch_buf(
@@ -606,7 +617,7 @@ def encode_candidates(
             seg_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), seg_cap,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
             lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
-            int(exact_tail),
+            int(exact_tail), int(which),
         )
     else:
         rc = lib.mj423_encode_candidates(
@@ -617,7 +628,42 @@ def encode_candidates(
         )
     if rc != 0:
         raise ValueError("entropy encode overflow")
-    return [out[i, : lens[i]].tobytes() for i in range(n)]
+    return [
+        out[i, : lens[i]].tobytes()
+        for i in range(n)
+        if which & (1 if i < 3 else 2)
+    ]
+
+
+def candidate_sizes(
+    q3: np.ndarray, qprev3: np.ndarray | None
+) -> list[int] | None:
+    """Exact encoded BYTE length of each candidate plane, without packing.
+
+    Returns [I_y, I_cb, I_cr] (+ [P_y, P_cb, P_cr] when qprev3 is given);
+    None when the native codec is unavailable.  The smaller-wins frame-type
+    rule (mjpeg423_encoder.c:154-185) needs only these sizes, so the
+    encoder selects first and packs only the winning candidate — the size
+    scan costs ~1/5 of a pack (no bit writer, no output traffic)."""
+    lib = _load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q3, dtype=np.int16)
+    _, nb, _ = q.shape
+    n = 3 if qprev3 is None else 6
+    bits = np.zeros(6, np.dtype(ctypes.c_long))
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    if qprev3 is None:
+        prev_ptr = ctypes.cast(None, i16p)
+        _keep = None
+    else:
+        _keep = np.ascontiguousarray(qprev3, dtype=np.int16)
+        prev_ptr = _keep.ctypes.data_as(i16p)
+    lib.mj423_candidate_sizes(
+        q.ctypes.data_as(i16p), prev_ptr, nb,
+        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+    )
+    return [int(b + 7) // 8 for b in bits[:n]]
 
 
 def fdct_quant_blocks(

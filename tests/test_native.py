@@ -273,7 +273,29 @@ def test_encode_candidates_segmented_byte_identical(rng):
                         q3.ctypes.data_as(i16p), pp, nb, n_seg,
                         segb.ctypes.data_as(u8p), seg_cap,
                         out1.ctypes.data_as(u8p), cap,
-                        l1.ctypes.data_as(lp), et) == 0
+                        l1.ctypes.data_as(lp), et, 3) == 0
                     for i in range(n):
                         assert l0[i] == l1[i]
                         assert bytes(out1[i, :l1[i]]) == bytes(out0[i, :l0[i]])
+
+
+def test_candidate_sizes_and_which_selection(rng):
+    """candidate_sizes returns the exact packed byte length of every
+    candidate plane, and which-filtered packs (the select-then-pack
+    encoder flow) are byte-identical to the corresponding items of the
+    full pack."""
+    if not centropy.native_available():
+        pytest.skip("native codec unavailable")
+    for nb in (3, 130, 5000):
+        q3 = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        qp = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        full = centropy.encode_candidates(q3, qp, None, False)
+        sizes = centropy.candidate_sizes(q3, qp)
+        assert sizes == [len(b) for b in full]
+        assert centropy.candidate_sizes(q3, None) == sizes[:3]
+        only_i = centropy.encode_candidates(q3, None, None, False, which=1)
+        only_p = centropy.encode_candidates(q3, qp, None, False, which=2)
+        assert only_i == full[:3]
+        assert only_p == full[3:]
+        with pytest.raises(ValueError):
+            centropy.encode_candidates(q3, None, None, False, which=2)
