@@ -23,7 +23,16 @@ from typing import Callable, Sequence
 import numpy as np
 
 from ..core import tables as T
-from ..core.format import Frame, serialize_file
+from ..core.format import (
+    FILE_HEADER_BYTES,
+    FRAME_HEADER_BYTES,
+    PAD512,
+    FileHeader,
+    Frame,
+    _U32x2,
+    _U32x4,
+    serialize_file,
+)
 from ..native import centropy
 from ..ops import encode_ref, entropy_ref
 from ..ops.transform_ref import raster_to_blocks
@@ -129,50 +138,74 @@ def encode_quantized_frames(
     out_frames: list[Frame] = []
     last_iframe = 0
 
-    for fi, q3 in enumerate(q3_frames):
-        bits_i: dict[str, bytes] = {}
-        bits_p: dict[str, bytes | None] = {}
-        if use_native_pack:
-            # Select-then-pack: exact candidate byte sizes come from a
-            # cheap size-only scan (no bit writer), the smaller-wins rule
-            # (mjpeg423_encoder.c:154-185) picks the frame type, and only
-            # the winning candidate is entropy-packed — the losing pack
-            # (half the entropy work) is never built.  The I-DC chain and
-            # P deltas are computed inside the C packer (no diffed
-            # tensors); sizes == pack lengths is enforced by
-            # tests/test_native.py.
+    if use_native_pack:
+        # Select-then-pack with zero-copy frame assembly: exact candidate
+        # byte sizes come from a size-only symbol scan (no bit writer), the
+        # smaller-wins rule (mjpeg423_encoder.c:154-185) picks the frame
+        # type from sizes alone, and only the winning candidate is packed —
+        # directly into the frame's final container bytes (the tail-exact
+        # bit appender never stores outside a plane's span, so the 16-byte
+        # header and alignment pad written here are never clobbered).  The
+        # losing pack, the per-plane blobs, and the serialize-time join all
+        # disappear; sizes == pack lengths is enforced both by the packer
+        # (RuntimeError) and tests/test_native.py.
+        chunks: list[np.ndarray] = []
+        trailer: list[tuple[int, int]] = []
+        pos = FILE_HEADER_BYTES
+        nf = 0
+        for fi, q3 in enumerate(q3_frames):
+            nf = fi + 1
             sizes = centropy.candidate_sizes(q3, prev_q3)
             size_i = sum(sizes[:3])
             size_p = sum(sizes[3:]) if prev_q3 is not None else None
-            pick = (
+            pick_i = (
                 fi == 0
                 or size_p is None
                 or size_i <= size_p
                 or fi - last_iframe >= max_i_interval
             )
-            blobs = centropy.encode_candidates(
-                q3,
-                None if pick else prev_q3,
-                scratch,
-                exact_tail,
-                which=1 if pick else 2,
+            psz = sizes[:3] if pick_i else sizes[3:]
+            raw = FRAME_HEADER_BYTES + psz[0] + psz[1] + psz[2]
+            frame_size = raw + (-raw) % 4
+            buf = np.empty(frame_size, np.uint8)
+            _U32x4.pack_into(
+                buf, 0, frame_size,
+                T.FRAME_TYPE_I if pick_i else T.FRAME_TYPE_P,
+                psz[0], psz[1],
             )
-            if pick:
+            buf[raw:] = 0  # 4-byte alignment pad (encoder.c:187-201)
+            offs = (
+                FRAME_HEADER_BYTES,
+                FRAME_HEADER_BYTES + psz[0],
+                FRAME_HEADER_BYTES + psz[0] + psz[1],
+            )
+            centropy.encode_candidates_into(
+                q3, None if pick_i else prev_q3, buf, offs, psz,
+                scratch, exact_tail, which=1 if pick_i else 2,
+            )
+            if pick_i:
                 last_iframe = fi
-                out_frames.append(Frame(T.FRAME_TYPE_I, *blobs))
-            else:
-                out_frames.append(Frame(T.FRAME_TYPE_P, *blobs))
+                trailer.append((fi, pos))
+            chunks.append(buf)
+            pos += frame_size
             prev_q3 = q3
-            continue
-        else:
-            for i, name in enumerate(names):
-                bi, bp = _encode_plane_candidates(
-                    q3[i],
-                    prev_q3[i] if prev_q3 is not None else None,
-                    entropy_encode,
-                )
-                bits_i[name] = bi
-                bits_p[name] = bp
+        header = FileHeader(
+            nf, width, height, len(trailer), pos - FILE_HEADER_BYTES
+        ).pack()
+        tr = b"".join(_U32x2.pack(i, p) for i, p in trailer)
+        return b"".join([header, *chunks, tr, b"\x00" * PAD512])
+
+    for fi, q3 in enumerate(q3_frames):
+        bits_i: dict[str, bytes] = {}
+        bits_p: dict[str, bytes | None] = {}
+        for i, name in enumerate(names):
+            bi, bp = _encode_plane_candidates(
+                q3[i],
+                prev_q3[i] if prev_q3 is not None else None,
+                entropy_encode,
+            )
+            bits_i[name] = bi
+            bits_p[name] = bp
 
         size_i = sum(len(b) for b in bits_i.values())
         size_p = (

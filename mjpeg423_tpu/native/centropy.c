@@ -1386,6 +1386,7 @@ static void mj_bit_append(uint8_t* dst, size_t dst_bits, const uint8_t* src,
   size_t nbytes = (nbits + 7) >> 3;
   size_t off = dst_bits & 7;
   uint8_t* d = dst + (dst_bits >> 3);
+  if (nbits == 0) return;
   if (off == 0) {
     memcpy(d, src, nbytes);
     return;
@@ -1407,7 +1408,14 @@ static void mj_bit_append(uint8_t* dst, size_t dst_bits, const uint8_t* src,
     *d++ = (uint8_t)(v >> off);
     carry = v & ((1u << off) - 1u);
   }
-  *d = (uint8_t)(carry << (8 - off));
+  /* Tail-exact: write the spill byte ONLY when the appended stream's last
+   * bit lands in it.  When the end is byte-aligned the leftover carry is
+   * src padding (zeros), and a subsequent append resumes at off==0 with a
+   * plain memcpy — so skipping the write is lossless AND keeps every store
+   * inside ceil((dst_bits+nbits)/8) bytes, which lets the stitch target a
+   * plane's exact byte span inside a shared container buffer (adjacent
+   * planes/headers are never touched, even from concurrent threads). */
+  if (((off + nbits + 7) >> 3) > nbytes) *d = (uint8_t)(carry << (8 - off));
 }
 
 /* Pack all candidate planes of one frame concurrently.
@@ -1555,10 +1563,10 @@ MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
  * skipped items report lens = 0 (pairs with mj423_candidate_sizes: select
  * the frame type from sizes, then pack only the winner).
  * Returns 0 or -(1+i) for the first overflowing item. */
-MJ_EXPORT int mj423_encode_candidates_seg(
+static int mj_encode_candidates_seg_core(
     const int16_t* q3, const int16_t* qprev3, int num_blocks, int n_seg,
-    uint8_t* seg_buf, size_t seg_cap, uint8_t* out, size_t item_cap,
-    long* lens, int exact_tail, int which) {
+    uint8_t* seg_buf, size_t seg_cap, uint8_t* const item_dst[6],
+    const size_t item_caps[6], long* lens, int exact_tail, int which) {
   const int n_items = qprev3 ? 6 : 3;
   if (n_seg < 1) n_seg = 1;
   if (n_seg > num_blocks) n_seg = num_blocks;
@@ -1613,11 +1621,12 @@ MJ_EXPORT int mj423_encode_candidates_seg(
       size_t t = 0;
       int bad = 0;
       if (!(which & (i < 3 ? 1 : 2))) continue;
-      uint8_t* dst = out + (size_t)i * item_cap;
+      uint8_t* dst = item_dst[i];
       for (int s = 0; s < n_seg; s++) {
         size_t nb = bits[(size_t)i * n_seg + s];
         if (!nb) continue;
-        if (((t + nb + 7) >> 3) + 8 > item_cap) { /* +8: append slack */
+        /* exact: the tail-exact appender never stores past the bit end */
+        if (((t + nb + 7) >> 3) > item_caps[i]) {
           bad = 1;
           break;
         }
@@ -1640,4 +1649,53 @@ MJ_EXPORT int mj423_encode_candidates_seg(
   }
   free(bits);
   return err;
+}
+
+MJ_EXPORT int mj423_encode_candidates_seg(
+    const int16_t* q3, const int16_t* qprev3, int num_blocks, int n_seg,
+    uint8_t* seg_buf, size_t seg_cap, uint8_t* out, size_t item_cap,
+    long* lens, int exact_tail, int which) {
+  uint8_t* dsts[6];
+  size_t caps[6];
+  for (int i = 0; i < 6; i++) {
+    dsts[i] = out + (size_t)i * item_cap;
+    caps[i] = item_cap;
+  }
+  return mj_encode_candidates_seg_core(q3, qprev3, num_blocks, n_seg, seg_buf,
+                                       seg_cap, dsts, caps, lens, exact_tail,
+                                       which);
+}
+
+/* Pack the WINNING frame type's three planes directly at their final byte
+ * offsets inside a caller-assembled container buffer (zero-copy frame
+ * assembly: the caller lays the frame out from mj423_candidate_sizes,
+ * writes the 16-byte header + alignment pad itself, and the plane
+ * bitstreams land in place — no per-plane blob, no join).
+ * which: 1 = pack the I candidates, 2 = the P candidates (exactly one).
+ * offs/caps/lens are per PLANE (y, cb, cr); caps should be the exact
+ * expected sizes.  Returns 0 or -(1+p) for the first overflowing plane. */
+MJ_EXPORT int mj423_encode_candidates_into(
+    const int16_t* q3, const int16_t* qprev3, int num_blocks, int n_seg,
+    uint8_t* seg_buf, size_t seg_cap, uint8_t* dst, const long* offs,
+    const long* caps, long* lens, int exact_tail, int which) {
+  if (which != 1 && which != 2) return -7;
+  if (which == 2 && !qprev3) return -7;
+  const int base = which == 1 ? 0 : 3;
+  uint8_t* dsts[6];
+  size_t icaps[6];
+  long lens6[6] = {0, 0, 0, 0, 0, 0};
+  for (int p = 0; p < 3; p++) {
+    dsts[base + p] = dst + offs[p];
+    icaps[base + p] = (size_t)caps[p];
+  }
+  for (int p = 0; p < 3; p++) { /* unselected slots: never dereferenced */
+    dsts[3 - base + p] = dst;
+    icaps[3 - base + p] = 0;
+  }
+  int rc = mj_encode_candidates_seg_core(q3, qprev3, num_blocks, n_seg,
+                                         seg_buf, seg_cap, dsts, icaps, lens6,
+                                         exact_tail, which);
+  for (int p = 0; p < 3; p++) lens[p] = lens6[base + p];
+  if (rc < 0 && rc != -7) rc = -(1 + ((-rc - 1) % 3));
+  return rc;
 }

@@ -12,6 +12,7 @@ import pathlib
 import shutil
 import subprocess
 import threading
+from typing import Sequence
 
 import numpy as np
 
@@ -186,6 +187,15 @@ def _load() -> ctypes.CDLL | None:
         lib.mj423_candidate_sizes.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.mj423_encode_candidates_into.restype = ctypes.c_int
+        lib.mj423_encode_candidates_into.argtypes = [
+            ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+            ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long), ctypes.c_int, ctypes.c_int,
         ]
         _LIB = lib
         return _LIB
@@ -664,6 +674,70 @@ def candidate_sizes(
         bits.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
     )
     return [int(b + 7) // 8 for b in bits[:n]]
+
+
+def encode_candidates_into(
+    q3: np.ndarray,
+    qprev3: np.ndarray | None,
+    dst: np.ndarray,
+    offs: Sequence[int],
+    sizes: Sequence[int],
+    scratch: dict | None = None,
+    exact_tail: bool = False,
+    which: int = 1,
+) -> None:
+    """Pack the winning frame type's planes IN PLACE in a container buffer.
+
+    Zero-copy frame assembly: the caller lays the frame out from
+    candidate_sizes (16-byte header + y|cb|cr + alignment pad), writes the
+    header/pad itself, and this packs the three plane bitstreams of the
+    selected candidate (which: 1 = I, 2 = P) directly at dst[offs[p]] with
+    exact byte budgets sizes[p] — no per-plane blob, no join.  The
+    tail-exact bit appender guarantees no store outside each plane's span.
+    Raises RuntimeError if a packed length differs from sizes (would mean
+    candidate_sizes disagreed with the packer — a codec bug) and ValueError
+    when the native codec is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        raise ValueError("native codec unavailable")
+    q = np.ascontiguousarray(q3, dtype=np.int16)
+    _, nb, _ = q.shape
+    if which == 2 and qprev3 is None:
+        raise ValueError("which=2 (P only) requires qprev3")
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lp = ctypes.POINTER(ctypes.c_long)
+    if qprev3 is None:
+        prev_ptr = ctypes.cast(None, i16p)
+        _keep = None
+    else:
+        _keep = np.ascontiguousarray(qprev3, dtype=np.int16)
+        prev_ptr = _keep.ctypes.data_as(i16p)
+    n_seg = 1
+    if nb >= 4096:
+        ncpu = os.cpu_count() or 1
+        n_seg = max(1, round(2 * ncpu / 3))
+    seg_blocks = (nb + n_seg - 1) // n_seg
+    seg_cap = seg_blocks * 64 * 3 + 72
+    seg_buf = _scratch_buf(scratch, "cand_seg", (6 * n_seg, seg_cap), np.uint8)
+    offs_a = np.asarray(offs, np.dtype(ctypes.c_long))
+    caps_a = np.asarray(sizes, np.dtype(ctypes.c_long))
+    lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))
+    assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+    rc = lib.mj423_encode_candidates_into(
+        q.ctypes.data_as(i16p), prev_ptr, nb, n_seg,
+        seg_buf.ctypes.data_as(u8p), seg_cap,
+        dst.ctypes.data_as(u8p),
+        offs_a.ctypes.data_as(lp), caps_a.ctypes.data_as(lp),
+        lens.ctypes.data_as(lp), int(exact_tail), int(which),
+    )
+    if rc != 0:
+        raise ValueError(f"entropy encode overflow (rc={rc})")
+    if list(lens[:3]) != [int(s) for s in sizes]:
+        raise RuntimeError(
+            f"packed lengths {list(lens[:3])} != predicted sizes {list(sizes)}"
+        )
 
 
 def fdct_quant_blocks(

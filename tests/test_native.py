@@ -299,3 +299,41 @@ def test_candidate_sizes_and_which_selection(rng):
         assert only_p == full[3:]
         with pytest.raises(ValueError):
             centropy.encode_candidates(q3, None, None, False, which=2)
+
+
+def test_encode_candidates_into_inplace(rng):
+    """In-place container packing: planes land byte-identical at arbitrary
+    offsets in a shared buffer, and NO byte outside each plane's exact span
+    is ever touched (the tail-exact appender contract that makes zero-copy
+    frame assembly safe), including when a plane's bit length is exactly
+    byte-aligned."""
+    if not centropy.native_available():
+        pytest.skip("native codec unavailable")
+    for nb in (2, 130, 5000):
+        q3 = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        qp = np.stack([_rand_coeffs(rng, nb) for _ in range(3)])
+        for which, prev in ((1, None), (1, qp), (2, qp)):
+            blobs = centropy.encode_candidates(
+                q3, None if which == 1 else qp, None, False, which=which
+            )
+            sizes = [len(b) for b in blobs]
+            # pack tight: plane p at offset 7 + sum of previous sizes
+            offs = [7 + sum(sizes[:p]) for p in range(3)]
+            total = offs[-1] + sizes[-1] + 5
+            dst = np.full(total, 0xAB, np.uint8)
+            centropy.encode_candidates_into(
+                q3, prev if which == 2 else None, dst, offs, sizes,
+                None, False, which=which,
+            )
+            for p in range(3):
+                got = bytes(dst[offs[p]:offs[p] + sizes[p]])
+                assert got == blobs[p], (nb, which, p)
+            # guard bytes before/after/between untouched
+            assert bytes(dst[:7]) == b"\xab" * 7
+            assert bytes(dst[-5:]) == b"\xab" * 5
+            # wrong predicted sizes must raise, not corrupt silently
+            with pytest.raises((RuntimeError, ValueError)):
+                centropy.encode_candidates_into(
+                    q3, prev if which == 2 else None, dst, offs,
+                    [max(0, s - 1) for s in sizes], None, False, which=which,
+                )
