@@ -1459,34 +1459,104 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
   return err;
 }
 
-/* Bit size of one block's encoding without emitting it (same symbol walk
- * as mj_emit_block). */
-static inline long mj_block_bits(const int16_t* v, uint64_t mask,
-                                 int32_t dc) {
-  long bits;
-  if (dc == 0) {
-    bits = 4;
-  } else {
-    int32_t ax = dc < 0 ? -dc : dc;
-    int s = 32 - __builtin_clz((uint32_t)ax | 1u);
-    if (s > 11) s = 11;
-    bits = 4 + s;
+/* Sum of VLI bit sizes (capped at 11, zeros contribute 0) over all 64
+ * natural-order coefficients.  Bit length via the float exponent field
+ * (exact for |v| < 2^24; int32 abs first so -32768 widens cleanly — both
+ * give the same capped 11 the scalar clz path does). */
+static inline int mj_vli_bits_sum64(const int16_t* v) {
+#if defined(__AVX2__)
+  const __m256i c126 = _mm256_set1_epi32(126);
+  const __m256i c11 = _mm256_set1_epi32(11);
+  const __m256i zero = _mm256_setzero_si256();
+  __m256i acc = zero;
+  for (int g = 0; g < 4; g++) {
+    __m256i a = _mm256_loadu_si256((const __m256i*)(v + 16 * g));
+    __m256i half[2];
+    half[0] = _mm256_cvtepi16_epi32(_mm256_castsi256_si128(a));
+    half[1] = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(a, 1));
+    for (int h = 0; h < 2; h++) {
+      __m256i ax = _mm256_abs_epi32(half[h]);
+      __m256i e =
+          _mm256_srli_epi32(_mm256_castps_si256(_mm256_cvtepi32_ps(ax)), 23);
+      e = _mm256_min_epi32(
+          _mm256_max_epi32(_mm256_sub_epi32(e, c126), zero), c11);
+      acc = _mm256_add_epi32(acc, e);
+    }
   }
-  uint64_t m = mask & ~1ull;
-  int index = 1;
-  while (m) {
-    int next = __builtin_ctzll(m);
-    int run = next - index;
-    bits += 8 * (run >> 4); /* ZRLs */
-    int16_t val = v[ZZ[next]];
-    int32_t ax = val < 0 ? -val : val;
-    int s = 32 - __builtin_clz((uint32_t)ax | 1u);
-    if (s > 11) s = 11;
-    bits += 8 + s;
-    index = next + 1;
-    m &= m - 1;
+  __m128i s = _mm_add_epi32(_mm256_castsi256_si128(acc),
+                            _mm256_extracti128_si256(acc, 1));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
+  s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0xB1));
+  return _mm_cvtsi128_si32(s);
+#else
+  int t = 0;
+  for (int k = 0; k < 64; k++) {
+    int32_t ax = v[k] < 0 ? -v[k] : v[k];
+    if (ax) {
+      int s = 32 - __builtin_clz((uint32_t)ax);
+      t += s > 11 ? 11 : s;
+    }
   }
-  if (!(mask >> 63)) bits += 8; /* END */
+  return t;
+#endif
+}
+
+static inline long mj_dc_bits(int32_t dc) {
+  if (dc == 0) return 4;
+  int32_t ax = dc < 0 ? -dc : dc;
+  int s = 32 - __builtin_clz((uint32_t)ax | 1u);
+  return 4 + (s > 11 ? 11 : s);
+}
+
+/* Bit size of one block's AC encoding without emitting it.  Equivalent to
+ * the mj_emit_block symbol walk, but order-free where possible: the
+ * run|size byte count is popcount (permutation-invariant), the VLI sum is
+ * over natural order, END is the natural-63 coefficient (the zigzag's
+ * last entry IS (7,7)), and ZRLs — which need zigzag gaps — are impossible
+ * whenever the block has fewer than 16 zero ACs, so the zigzag scatter
+ * runs only on sparse blocks where its set-bit loop is short anyway. */
+static inline long mj_block_ac_bits(const int16_t* v) {
+  uint64_t nm;
+#if defined(__AVX2__)
+  const __m256i zero = _mm256_setzero_si256();
+  nm = 0;
+  for (int g = 0; g < 2; g++) {
+    __m256i a = _mm256_loadu_si256((const __m256i*)(v + 32 * g));
+    __m256i b = _mm256_loadu_si256((const __m256i*)(v + 32 * g + 16));
+    __m256i p = _mm256_packs_epi16(_mm256_cmpeq_epi16(a, zero),
+                                   _mm256_cmpeq_epi16(b, zero));
+    p = _mm256_permute4x64_epi64(p, 0xD8);
+    uint32_t zm = (uint32_t)_mm256_movemask_epi8(p);
+    nm |= ((uint64_t)(uint32_t)~zm) << (32 * g);
+  }
+#else
+  nm = 0;
+  for (int k = 0; k < 64; k++) nm |= (uint64_t)(v[k] != 0) << k;
+#endif
+  const int pop_ac = __builtin_popcountll(nm & ~1ull);
+  long bits = 8L * pop_ac + mj_vli_bits_sum64(v);
+  if (v[0]) { /* DC's VLI is counted by the caller via mj_dc_bits */
+    int32_t ax = v[0] < 0 ? -v[0] : v[0];
+    int s = 32 - __builtin_clz((uint32_t)ax);
+    bits -= s > 11 ? 11 : s;
+  }
+  if (!(nm >> 63)) bits += 8; /* END (zigzag 63 == natural 63) */
+  if (63 - pop_ac >= 16) {
+    /* sparse: ZRLs possible — walk zigzag gaps (few set bits) */
+    uint64_t m = nm & ~1ull, mz = 0;
+    while (m) {
+      mz |= 1ull << IZZ[__builtin_ctzll(m)];
+      m &= m - 1;
+    }
+    int index = 1;
+    m = mz & ~1ull;
+    while (m) {
+      int next = __builtin_ctzll(m);
+      bits += 8 * ((next - index) >> 4); /* ZRLs */
+      index = next + 1;
+      m &= m - 1;
+    }
+  }
   return bits;
 }
 
@@ -1539,7 +1609,7 @@ MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
         } else {
           dc = v[0];
         }
-        acc += mj_block_bits(v, mj_mask_zz(v), dc);
+        acc += mj_dc_bits(dc) + mj_block_ac_bits(v);
       }
       part[i * NSEG + s] = acc;
     }
