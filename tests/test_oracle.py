@@ -167,3 +167,91 @@ def test_full_decode_static_scene_p_heavy(oracle, rng):
     ref = oracle.decode(mpg, hdr.num_frames, hdr.width, hdr.height)
     ours = dec.decode_stream_array(mpg)
     np.testing.assert_array_equal(ours, ref)
+
+
+# ---------- Full encoder vs reference-composed encoder ----------
+
+def test_full_encode_matches_reference_composition(oracle, rng):
+    """Byte-compare our whole encoder (RGB frames -> .MPG container) against
+    an encoder composed purely from the reference's own compiled stages
+    (rgb_to_ycbcr -> fdct -> quantize_I/P -> lossless_encode) driven by the
+    reference's frame loop (mjpeg423_encoder.c:104-231): smaller-wins
+    selection with forced I at frame 0 and at max_I_interval, prev/next
+    state swap, 4-byte aligned frame payloads, I-frame trailer, 512 pad.
+
+    This pins every byte of the container — headers, candidate selection,
+    bitstreams, padding, trailer — to reference-derived data, end to end.
+    """
+    import struct
+
+    w, h, nf, max_i = 32, 24, 7, 3
+    nb = (w // 8) * (h // 8)
+    # mixed content: slowly-varying so both I and P frames win somewhere
+    frames = []
+    base = rng.integers(90, 160, (h, w, 3)).astype(np.uint8)
+    for i in range(nf):
+        f = base.copy()
+        f[(i * 8) % h:(i * 8) % h + 8] += rng.integers(
+            0, 6 + 20 * (i % 3 == 0), (8, w, 3)
+        ).astype(np.uint8)
+        frames.append(f)
+        base = f
+
+    # --- reference-composed encoder ---
+    chunks = [b""]  # placeholder for file header
+    trailer = []
+    pos = 20
+    prev = {"y": None, "cb": None, "cr": None}
+    last_iframe = 0
+    for fi, rgb in enumerate(frames):
+        packed = (
+            rgb[..., 2].astype(np.uint32)
+            | (rgb[..., 1].astype(np.uint32) << 8)
+            | (rgb[..., 0].astype(np.uint32) << 16)
+        )
+        yb, cbb, crb = oracle.rgb2ycbcr(packed, w, h)
+        coef = {
+            "y": oracle.fdct(yb).reshape(nb, 64),
+            "cb": oracle.fdct(cbb).reshape(nb, 64),
+            "cr": oracle.fdct(crb).reshape(nb, 64),
+        }
+        qi, nxt, bits_i, bits_p, newprev = {}, {}, {}, {}, {}
+        for p, q in (("y", "y"), ("cb", "c"), ("cr", "c")):
+            qi[p], nxt[p] = oracle.quant_i(coef[p], q)
+            bits_i[p] = oracle.lossless_enc(qi[p])
+            if fi > 0:
+                qp, newprev[p] = oracle.quant_p(coef[p], prev[p], q)
+                bits_p[p] = oracle.lossless_enc(qp)
+        size_i = sum(len(bits_i[p]) for p in ("y", "cb", "cr"))
+        size_p = (
+            sum(len(bits_p[p]) for p in ("y", "cb", "cr")) if fi else None
+        )
+        if fi == 0 or size_i <= size_p or fi - last_iframe >= max_i:
+            ftype, bits = 0, bits_i
+            last_iframe = fi
+            prev = nxt
+        else:
+            ftype, bits = 1, bits_p
+            prev = newprev
+        raw = 16 + sum(len(bits[p]) for p in ("y", "cb", "cr"))
+        fsize = raw + (-raw) % 4
+        payload = (
+            struct.pack("<4I", fsize, ftype, len(bits["y"]), len(bits["cb"]))
+            + bits["y"] + bits["cb"] + bits["cr"] + b"\x00" * (fsize - raw)
+        )
+        if ftype == 0:
+            trailer.append((fi, pos))
+        chunks.append(payload)
+        pos += fsize
+    chunks[0] = struct.pack("<5I", nf, w, h, len(trailer), pos - 20)
+    ref_mpg = b"".join(chunks) + b"".join(
+        struct.pack("<2I", i, p) for i, p in trailer
+    ) + b"\x00" * 512
+
+    ours = enc.encode_frames(frames, max_i_interval=max_i)
+    assert ours == ref_mpg
+    # and the same through the pure-Python packer (native bypass)
+    ours_py = enc.encode_frames(
+        frames, max_i_interval=max_i, entropy_encode=entropy_ref.encode_plane
+    )
+    assert ours_py == ref_mpg
