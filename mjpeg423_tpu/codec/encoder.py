@@ -288,6 +288,53 @@ def encode_frames(
     )
 
 
+def _encode_frames_device_fused(
+    frames_rgb, w, h, nf, max_i_interval, entropy_encode, config
+) -> bytes:
+    """encode_frames_device's Pallas path: fused FDCT+quantize windows.
+
+    The kernel (ops/encode_fused.py) returns ABSOLUTE quantized planes, so
+    the whole select-then-pack back half (candidate sizes, smaller-wins,
+    in-place container assembly) is shared with the host encoder via
+    encode_quantized_frames — byte-identical output by construction.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.encode_fused import encode_window_fused
+    from ..runtime.pipeline import auto_rows_per_step
+
+    bh, bw = h // 8, w // 8
+    nb = bh * bw
+    W = max(1, min(int(config.frames_per_batch), nf))
+    k = auto_rows_per_step(bh, bw, window=W)
+
+    def quantized():
+        scratch: dict = {}
+        stage = np.zeros((3, W, nb, 64), np.uint8)
+        for ws in range(0, nf, W):
+            count = min(W, nf - ws)
+            for j in range(count):
+                yb, cbb, crb = _rgb_to_blocked_planes(
+                    frames_rgb[ws + j], scratch
+                )
+                stage[0, j] = yb.reshape(nb, 64)
+                stage[1, j] = cbb.reshape(nb, 64)
+                stage[2, j] = crb.reshape(nb, 64)
+            # Always ship the full W-frame window (stale tail rows are
+            # ignored) so every batch compiles to ONE shape.
+            q3w = np.asarray(jax.device_get(encode_window_fused(
+                jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
+                rows_per_step=k,
+            )))
+            for j in range(count):
+                yield q3w[:, j]
+
+    return encode_quantized_frames(
+        quantized(), w, h, max_i_interval, entropy_encode, config
+    )
+
+
 def encode_frames_device(
     frames_rgb: Sequence[np.ndarray],
     max_i_interval: int | None = None,
@@ -295,6 +342,7 @@ def encode_frames_device(
     parallel_entropy: bool = True,
     config: EncodeConfig | None = None,
     mesh=None,
+    use_pallas: bool | None = None,
 ) -> bytes:
     """Byte-identical to encode_frames, with the transform on the device.
 
@@ -327,6 +375,16 @@ def encode_frames_device(
         raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
 
     nf = len(frames_rgb)
+    if use_pallas is None:
+        import jax
+
+        use_pallas = mesh is None and jax.default_backend() == "tpu"
+    if use_pallas and mesh is None:
+        # Fused Pallas FDCT+quantize (ops/encode_fused.py) feeding the
+        # shared select-then-pack back half — byte-identical, one HBM pass.
+        return _encode_frames_device_fused(
+            frames_rgb, w, h, nf, max_i_interval, entropy_encode, config
+        )
     names = ("y", "cb", "cr")
     ex = None
     if parallel_entropy:

@@ -1,0 +1,71 @@
+"""Fused Pallas encode transform (ops/encode_fused.py) bit-exactness.
+
+Runs in interpret mode on the CPU test backend (tests/conftest.py forces
+JAX_PLATFORMS=cpu); scripts/tpu_check.py re-validates on hardware.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mjpeg423_tpu.codec import encoder as enc
+from mjpeg423_tpu.core import tables as T
+from mjpeg423_tpu.ops import encode_ref
+from mjpeg423_tpu.ops.encode_fused import encode_window_fused
+
+
+def _ref_quantize(samples, quant64):
+    coefs = encode_ref.fdct_blocks(samples).reshape(-1, 64)
+    return encode_ref.quantize_blocks(coefs, quant64)
+
+
+@pytest.mark.parametrize("bh,bw,W,k", [(4, 6, 2, 1), (6, 8, 3, 3), (1, 2, 1, 1)])
+def test_kernel_matches_reference_fdct_quant(rng, bh, bw, W, k):
+    B = bh * bw
+    s = rng.integers(0, 256, (3, W, B, 64)).astype(np.uint8)
+    out = np.asarray(encode_window_fused(
+        jnp.asarray(s), blocks_h=bh, blocks_w=bw, rows_per_step=k
+    ))
+    for p in range(3):
+        qt = T.YQUANT64 if p == 0 else T.CQUANT64
+        for f in range(W):
+            expect = _ref_quantize(s[p, f].reshape(B, 8, 8), qt)
+            np.testing.assert_array_equal(out[p, f], expect)
+
+
+def test_kernel_extreme_samples():
+    """All-0 / all-255 / checkerboard blocks hit the butterflies' extreme
+    intermediate ranges and the quantizer's fixup paths."""
+    B = 4
+    s = np.zeros((3, 1, B, 64), np.uint8)
+    s[0, 0, 0] = 255
+    s[1, 0, 1] = np.tile([0, 255] * 4, 8)
+    s[2, 0, 2] = np.repeat([255, 0] * 4, 8)
+    out = np.asarray(encode_window_fused(jnp.asarray(s), blocks_h=2, blocks_w=2))
+    for p in range(3):
+        qt = T.YQUANT64 if p == 0 else T.CQUANT64
+        np.testing.assert_array_equal(
+            out[p, 0], _ref_quantize(s[p, 0].reshape(B, 8, 8), qt)
+        )
+
+
+def test_encode_frames_device_pallas_container_identical(rng):
+    """The full device encoder with the fused kernel produces a container
+    byte-identical to the host encoder (shared select-then-pack back half),
+    across a window boundary and with both I and P frames."""
+    h, w = 24, 32
+    base = rng.integers(80, 170, (h, w, 3)).astype(np.uint8)
+    frames = [base]
+    for i in range(6):
+        f = frames[-1].copy()
+        f[(i * 8) % h:(i * 8) % h + 8] += rng.integers(
+            0, 5 + 30 * (i % 3 == 0), (8, w, 3)
+        ).astype(np.uint8)
+        frames.append(f)
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    cfg = EncodeConfig(frames_per_batch=3)  # forces multiple windows
+    a = enc.encode_frames(frames, max_i_interval=4)
+    b = enc.encode_frames_device(
+        frames, max_i_interval=4, config=cfg, use_pallas=True
+    )
+    assert a == b
