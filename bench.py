@@ -333,6 +333,49 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
     return result
 
 
+def bench_encode_transform(rng, f, b, bh, bw, h, w):
+    """Device encode transform: the fused FDCT+quantize Pallas kernel
+    (ops/encode_fused.py), chained-iteration timing like the decode paths.
+    The encode mirror of the headline number — absolute quantized planes
+    out, the host packer does the rest."""
+    import jax
+    import jax.numpy as jnp
+
+    from mjpeg423_tpu.ops.encode_fused import (
+        auto_rows_per_step_encode,
+        encode_window_fused,
+    )
+
+    k = auto_rows_per_step_encode(bh, bw)
+    samples = rng.integers(0, 256, (3, f, b, 64)).astype(np.uint8)
+    d_s = jax.device_put(jnp.asarray(samples))
+
+    def make_chain(iters):
+        @jax.jit
+        def run(x):
+            def body(i, tok):
+                xs = x + tok  # data dependency between iterations
+                q = encode_window_fused(
+                    xs, blocks_h=bh, blocks_w=bw, rows_per_step=k
+                )
+                return (
+                    jnp.sum(q[0, 0, :64].astype(jnp.int32)) & 1
+                ).astype(jnp.uint8)
+            return jax.lax.fori_loop(0, iters, body, jnp.uint8(0)).astype(
+                jnp.int32
+            )
+        return lambda: run(d_s)
+
+    dt = bench_chained(make_chain, f)
+    fps = f / dt
+    _log(
+        f"stage=encode_transform: {dt * 1e3:.2f} ms/{f}-frame batch = "
+        f"{fps:.0f} frames/s device FDCT+quantize (k={k})"
+    )
+    return {"frames_per_s": round(fps, 1), "ms_per_batch": round(dt * 1e3, 2),
+            "geometry": f"{w}x{h}", "rows_per_step": k}
+
+
 def _run_stage_subprocess(stage: str, timeout_s: float, extra: list) -> dict | None:
     """Run one stage in a child process with a hard timeout.
 
@@ -367,7 +410,8 @@ def main():
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
     ap.add_argument("--stage",
-                    choices=("parse", "encode", "transcode", "e2e", "sharded"),
+                    choices=("parse", "encode", "transcode", "e2e", "sharded",
+                             "encode_transform"),
                     default=None,
                     help="run ONE stage and print its JSON (used by the "
                          "parent bench via subprocess)")
@@ -449,6 +493,8 @@ def main():
     if cli.stage is not None:  # parse/encode already returned before jax init
         if cli.stage == "e2e":
             res = bench_e2e(rng, f, b, h, w, use_pallas=on_tpu)
+        elif cli.stage == "encode_transform":
+            res = bench_encode_transform(rng, f, b, bh, bw, h, w)
         else:
             amps, _ = make_amps(rng, f, b)
             res = bench_sharded(amps, bh, bw, f, on_tpu)
@@ -647,7 +693,8 @@ def main():
             extra += ["--frames", str(cli.frames)]
         t_start = time.perf_counter()
         stages = {}
-        for stage in ("parse", "sharded", "e2e", "encode", "transcode"):
+        for stage in ("parse", "sharded", "e2e", "encode", "transcode",
+                      "encode_transform"):
             remaining = budget - (time.perf_counter() - t_start)
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")

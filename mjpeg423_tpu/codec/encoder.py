@@ -301,13 +301,15 @@ def _encode_frames_device_fused(
     import jax
     import jax.numpy as jnp
 
-    from ..ops.encode_fused import encode_window_fused
-    from ..runtime.pipeline import auto_rows_per_step
+    from ..ops.encode_fused import (
+        auto_rows_per_step_encode,
+        encode_window_fused,
+    )
 
     bh, bw = h // 8, w // 8
     nb = bh * bw
     W = max(1, min(int(config.frames_per_batch), nf))
-    k = auto_rows_per_step(bh, bw, window=W)
+    k = auto_rows_per_step_encode(bh, bw)
 
     def quantized():
         scratch: dict = {}
