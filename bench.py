@@ -341,6 +341,12 @@ def bench_encode_transform(rng, f, b, bh, bw, h, w):
     import jax
     import jax.numpy as jnp
 
+    if jax.default_backend() != "tpu":
+        # Off-TPU the kernel falls back to interpret mode — a full-size
+        # chained loop would grind until the stage timeout.  Skip.
+        _log("encode_transform: no TPU backend, skipping")
+        return None
+
     from mjpeg423_tpu.ops.encode_fused import (
         auto_rows_per_step_encode,
         encode_window_fused,

@@ -135,7 +135,6 @@ def encode_quantized_frames(
             return _f(c, exact_tail=True)
     scratch: dict = {}
     prev_q3: np.ndarray | None = None
-    out_frames: list[Frame] = []
     last_iframe = 0
 
     if use_native_pack:
@@ -195,6 +194,7 @@ def encode_quantized_frames(
         tr = b"".join(_U32x2.pack(i, p) for i, p in trailer)
         return b"".join([header, *chunks, tr, b"\x00" * PAD512])
 
+    out_frames: list[Frame] = []
     for fi, q3 in enumerate(q3_frames):
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
@@ -314,6 +314,16 @@ def _encode_frames_device_fused(
     def quantized():
         scratch: dict = {}
         stage = np.zeros((3, W, nb, 64), np.uint8)
+        # q3w[:, j] is non-contiguous (W > 1 strides the frame axis), and
+        # the pack path would ascontiguousarray-copy it into FRESH multi-MB
+        # buffers every frame — the THP first-touch pathology the scratch
+        # pattern exists to avoid.  Copy once into a ping-ponged pair (the
+        # P candidate reads one frame back, same contract as
+        # encode_frames' producer).
+        q3_pair = [
+            np.empty((3, nb, 64), np.int16), np.empty((3, nb, 64), np.int16)
+        ]
+        fi = 0
         for ws in range(0, nf, W):
             count = min(W, nf - ws)
             for j in range(count):
@@ -330,7 +340,10 @@ def _encode_frames_device_fused(
                 rows_per_step=k,
             )))
             for j in range(count):
-                yield q3w[:, j]
+                q3 = q3_pair[fi % 2]
+                np.copyto(q3, q3w[:, j])
+                fi += 1
+                yield q3
 
     return encode_quantized_frames(
         quantized(), w, h, max_i_interval, entropy_encode, config
@@ -362,6 +375,10 @@ def encode_frames_device(
     (parallel/encode.py — one neighbor ppermute carries the P-candidate
     halo).  This batch path stages the WHOLE clip (sharding wants all
     frames at once); output is byte-identical to the windowed path.
+
+    use_pallas: run the fused FDCT+quantize kernel (ops/encode_fused.py)
+    instead of the XLA transform; None (default) auto-enables it on TPU.
+    Single-device only — combining with mesh= raises.
     """
     import jax.numpy as jnp
 
@@ -377,6 +394,11 @@ def encode_frames_device(
         raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
 
     nf = len(frames_rgb)
+    if use_pallas and mesh is not None:
+        raise ValueError(
+            "use_pallas=True is single-device (the fused kernel has no "
+            "sharded wrapper yet); drop mesh= or use_pallas"
+        )
     if use_pallas is None:
         import jax
 

@@ -799,7 +799,8 @@ static inline void mj_diff64(const int16_t* row, const int16_t* prow,
  * natural mask in ~12 ops; the zigzag permute then touches only the set
  * bits (ctz loop over IZZ) — the per-coefficient zigzag gather scan of the
  * scalar packer never happens. */
-static inline uint64_t mj_mask_zz(const int16_t* v) {
+/* Natural-order nonzero mask of one block's 64 coefficients. */
+static inline uint64_t mj_mask_nat(const int16_t* v) {
   uint64_t nm;
 #if defined(__AVX2__)
   const __m256i zero = _mm256_setzero_si256();
@@ -817,12 +818,21 @@ static inline uint64_t mj_mask_zz(const int16_t* v) {
   nm = 0;
   for (int k = 0; k < 64; k++) nm |= (uint64_t)(v[k] != 0) << k;
 #endif
+  return nm;
+}
+
+/* Natural mask scattered to zigzag bit positions (bit 0 / DC ignored). */
+static inline uint64_t mj_scatter_zz(uint64_t nm) {
   uint64_t m = nm & ~1ull, mz = 0;
   while (m) {
     mz |= 1ull << IZZ[__builtin_ctzll(m)];
     m &= m - 1;
   }
   return mz;
+}
+
+static inline uint64_t mj_mask_zz(const int16_t* v) {
+  return mj_scatter_zz(mj_mask_nat(v));
 }
 
 /* Emit one block's symbols.  v: NATURAL-order values (index 0 unused — the
@@ -1516,23 +1526,7 @@ static inline long mj_dc_bits(int32_t dc) {
  * whenever the block has fewer than 16 zero ACs, so the zigzag scatter
  * runs only on sparse blocks where its set-bit loop is short anyway. */
 static inline long mj_block_ac_bits(const int16_t* v) {
-  uint64_t nm;
-#if defined(__AVX2__)
-  const __m256i zero = _mm256_setzero_si256();
-  nm = 0;
-  for (int g = 0; g < 2; g++) {
-    __m256i a = _mm256_loadu_si256((const __m256i*)(v + 32 * g));
-    __m256i b = _mm256_loadu_si256((const __m256i*)(v + 32 * g + 16));
-    __m256i p = _mm256_packs_epi16(_mm256_cmpeq_epi16(a, zero),
-                                   _mm256_cmpeq_epi16(b, zero));
-    p = _mm256_permute4x64_epi64(p, 0xD8);
-    uint32_t zm = (uint32_t)_mm256_movemask_epi8(p);
-    nm |= ((uint64_t)(uint32_t)~zm) << (32 * g);
-  }
-#else
-  nm = 0;
-  for (int k = 0; k < 64; k++) nm |= (uint64_t)(v[k] != 0) << k;
-#endif
+  const uint64_t nm = mj_mask_nat(v);
   const int pop_ac = __builtin_popcountll(nm & ~1ull);
   long bits = 8L * pop_ac + mj_vli_bits_sum64(v);
   if (v[0]) { /* DC's VLI is counted by the caller via mj_dc_bits */
@@ -1543,13 +1537,8 @@ static inline long mj_block_ac_bits(const int16_t* v) {
   if (!(nm >> 63)) bits += 8; /* END (zigzag 63 == natural 63) */
   if (63 - pop_ac >= 16) {
     /* sparse: ZRLs possible — walk zigzag gaps (few set bits) */
-    uint64_t m = nm & ~1ull, mz = 0;
-    while (m) {
-      mz |= 1ull << IZZ[__builtin_ctzll(m)];
-      m &= m - 1;
-    }
+    uint64_t m = mj_scatter_zz(nm);
     int index = 1;
-    m = mz & ~1ull;
     while (m) {
       int next = __builtin_ctzll(m);
       bits += 8 * ((next - index) >> 4); /* ZRLs */
@@ -1570,6 +1559,10 @@ static inline long mj_block_ac_bits(const int16_t* v) {
 MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
                                      int num_blocks, long* bits) {
   const int n_items = qprev3 ? 6 : 3;
+  if (num_blocks <= 0) { /* degenerate: empty planes encode to 0 bits */
+    for (int i = 0; i < n_items; i++) bits[i] = 0;
+    return;
+  }
   enum { NSEG = 8 };
   int n_seg = NSEG;
   if (n_seg > num_blocks) n_seg = num_blocks;
@@ -1638,6 +1631,10 @@ static int mj_encode_candidates_seg_core(
     uint8_t* seg_buf, size_t seg_cap, uint8_t* const item_dst[6],
     const size_t item_caps[6], long* lens, int exact_tail, int which) {
   const int n_items = qprev3 ? 6 : 3;
+  if (num_blocks <= 0) { /* degenerate: empty planes pack to 0 bytes */
+    for (int i = 0; i < n_items; i++) lens[i] = 0;
+    return 0;
+  }
   if (n_seg < 1) n_seg = 1;
   if (n_seg > num_blocks) n_seg = num_blocks;
   const int seg_blocks = (num_blocks + n_seg - 1) / n_seg;

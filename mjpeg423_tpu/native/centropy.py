@@ -725,6 +725,12 @@ def encode_candidates_into(
     caps_a = np.asarray(sizes, np.dtype(ctypes.c_long))
     lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))
     assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+    for p in range(3):  # the C stitch trusts these — never let it OOB
+        if offs_a[p] < 0 or caps_a[p] < 0 or offs_a[p] + caps_a[p] > dst.size:
+            raise ValueError(
+                f"plane {p} span [{int(offs_a[p])}, "
+                f"{int(offs_a[p] + caps_a[p])}) outside dst of {dst.size} B"
+            )
     rc = lib.mj423_encode_candidates_into(
         q.ctypes.data_as(i16p), prev_ptr, nb, n_seg,
         seg_buf.ctypes.data_as(u8p), seg_cap,
