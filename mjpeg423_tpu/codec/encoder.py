@@ -289,7 +289,7 @@ def encode_frames(
 
 
 def _encode_frames_device_fused(
-    frames_rgb, w, h, nf, max_i_interval, entropy_encode, config
+    frames_rgb, w, h, nf, max_i_interval, entropy_encode, config, mesh=None
 ) -> bytes:
     """encode_frames_device's Pallas path: fused FDCT+quantize windows.
 
@@ -297,6 +297,8 @@ def _encode_frames_device_fused(
     the whole select-then-pack back half (candidate sizes, smaller-wins,
     in-place container assembly) is shared with the host encoder via
     encode_quantized_frames — byte-identical output by construction.
+    With mesh=, each window's frames shard over the "data" axis via
+    parallel/encode.encode_window_fused_sharded (zero collectives).
     """
     import jax
     import jax.numpy as jnp
@@ -309,6 +311,11 @@ def _encode_frames_device_fused(
     bh, bw = h // 8, w // 8
     nb = bh * bw
     W = max(1, min(int(config.frames_per_batch), nf))
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS
+
+        n_data = mesh.shape[DATA_AXIS]
+        W = max(W, n_data) // n_data * n_data  # window divisible by shards
     k = auto_rows_per_step_encode(bh, bw)
 
     def quantized():
@@ -335,10 +342,25 @@ def _encode_frames_device_fused(
                 stage[2, j] = crb.reshape(nb, 64)
             # Always ship the full W-frame window (stale tail rows are
             # ignored) so every batch compiles to ONE shape.
-            q3w = np.asarray(jax.device_get(encode_window_fused(
-                jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
-                rows_per_step=k,
-            )))
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel.encode import encode_window_fused_sharded
+                from ..parallel.mesh import DATA_AXIS
+
+                d_stage = jax.device_put(
+                    jnp.asarray(stage),
+                    NamedSharding(mesh, P(None, DATA_AXIS)),
+                )
+                q3w = np.asarray(jax.device_get(encode_window_fused_sharded(
+                    d_stage, mesh=mesh, blocks_h=bh, blocks_w=bw,
+                    rows_per_step=k,
+                )))
+            else:
+                q3w = np.asarray(jax.device_get(encode_window_fused(
+                    jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
+                    rows_per_step=k,
+                )))
             for j in range(count):
                 q3 = q3_pair[fi % 2]
                 np.copyto(q3, q3w[:, j])
@@ -394,20 +416,18 @@ def encode_frames_device(
         raise ValueError(f"dimensions must be multiples of 8, got {w}x{h}")
 
     nf = len(frames_rgb)
-    if use_pallas and mesh is not None:
-        raise ValueError(
-            "use_pallas=True is single-device (the fused kernel has no "
-            "sharded wrapper yet); drop mesh= or use_pallas"
-        )
     if use_pallas is None:
         import jax
 
-        use_pallas = mesh is None and jax.default_backend() == "tpu"
-    if use_pallas and mesh is None:
+        use_pallas = jax.default_backend() == "tpu" and mesh is None
+    if use_pallas:
         # Fused Pallas FDCT+quantize (ops/encode_fused.py) feeding the
         # shared select-then-pack back half — byte-identical, one HBM pass.
+        # With mesh=: frames shard over "data" with ZERO collectives (the
+        # kernel emits absolute planes; all differencing is in the packer).
         return _encode_frames_device_fused(
-            frames_rgb, w, h, nf, max_i_interval, entropy_encode, config
+            frames_rgb, w, h, nf, max_i_interval, entropy_encode, config,
+            mesh=mesh,
         )
     names = ("y", "cb", "cr")
     ex = None

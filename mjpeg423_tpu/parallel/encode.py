@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops.encode_fused import encode_window_fused
 from ..ops.encode_jax import diff_dc_i, fdct_blocks, quantize
 from ..ops.transform_jax import quant_tensors
 from .mesh import DATA_AXIS
@@ -70,6 +71,48 @@ def encode_transform_sharded(
         out_specs=({p: spec for p in PLANES}, {p: spec for p in PLANES}),
     )
     return fn(y, cb, cr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "blocks_h", "blocks_w", "interpret",
+                     "rows_per_step"),
+)
+def encode_window_fused_sharded(
+    samples: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    blocks_h: int,
+    blocks_w: int,
+    interpret: bool | None = None,
+    rows_per_step: int = 1,
+) -> jnp.ndarray:
+    """Mesh-sharded fused encode transform: ZERO collectives.
+
+    samples: (3, F, B, 64) uint8 blocked planes, F divisible by the
+    data-axis size.  Returns (3, F, B, 64) int16 ABSOLUTE quantized
+    amplitudes.  Because the fused kernel (ops/encode_fused.py) emits
+    absolute values — the host packer applies the I-DC chain and P deltas
+    inline — even the encode_transform_sharded P-halo ppermute disappears:
+    every frame is independent, so frames shard over "data" with no
+    cross-device traffic at all.  The cheapest possible use of ICI is not
+    using it.
+    """
+    spec = P(None, DATA_AXIS)
+
+    def body(s):
+        return encode_window_fused(
+            s, blocks_h=blocks_h, blocks_w=blocks_w,
+            interpret=interpret, rows_per_step=rows_per_step,
+        )
+
+    fn = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+        # pallas_call outputs carry no varying-mesh-axes metadata yet
+        # (same workaround as parallel/decode.py's fused path).
+        check_vma=False,
+    )
+    return fn(samples)
 
 
 def shard_samples(mesh: Mesh, y, cb, cr):

@@ -69,3 +69,38 @@ def test_encode_frames_device_pallas_container_identical(rng):
         frames, max_i_interval=4, config=cfg, use_pallas=True
     )
     assert a == b
+
+
+def test_encode_window_fused_sharded_and_mesh_device_encoder(rng):
+    """The sharded fused encode (frames over "data", ZERO collectives)
+    matches the single-device kernel elementwise, and the mesh device
+    encoder built on it produces a byte-identical container."""
+    from mjpeg423_tpu.parallel.encode import encode_window_fused_sharded
+    from mjpeg423_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=8, n_block=1)
+    bh, bw, F = 3, 4, 8
+    B = bh * bw
+    s = rng.integers(0, 256, (3, F, B, 64)).astype(np.uint8)
+    single = np.asarray(encode_window_fused(
+        jnp.asarray(s), blocks_h=bh, blocks_w=bw
+    ))
+    sharded = np.asarray(encode_window_fused_sharded(
+        jnp.asarray(s), mesh=mesh, blocks_h=bh, blocks_w=bw, interpret=True
+    ))
+    np.testing.assert_array_equal(sharded, single)
+
+    h, w = bh * 8, bw * 8
+    base = rng.integers(80, 170, (h, w, 3)).astype(np.uint8)
+    frames = [base]
+    for i in range(9):
+        f = frames[-1].copy()
+        f[(i * 8) % h:(i * 8) % h + 8] += rng.integers(
+            0, 5 + 30 * (i % 3 == 0), (8, w, 3)
+        ).astype(np.uint8)
+        frames.append(f)
+    a = enc.encode_frames(frames, max_i_interval=4)
+    b = enc.encode_frames_device(
+        frames, max_i_interval=4, mesh=mesh, use_pallas=True
+    )
+    assert a == b
