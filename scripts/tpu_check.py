@@ -8,8 +8,9 @@ to the kernels or sharding code:
 
 Covers: single-device pipeline (fused cm auto), mesh streaming pipeline
 (fused kernel under shard_map), GOP-aligned sharded batch driver — each
-byte-compared against the NumPy oracle decoder.  First compiles take
-minutes on a cold cache.
+byte-compared against the NumPy oracle decoder — plus the fused device
+ENCODER (FDCT+quantize kernel) byte-compared against the host encoder's
+container.  First compiles take minutes on a cold cache.
 """
 import pathlib
 import sys
@@ -51,6 +52,12 @@ def main() -> int:
     )
     assert (got == want).all(), "sharded batch mismatch"
     print("decode_stream_sharded (fused, gop-aligned): bit-exact", flush=True)
+
+    dev = encoder.encode_frames_device(frames, max_i_interval=4,
+                                       use_pallas=True)
+    assert dev == data, "fused device encoder container mismatch"
+    print("encode_frames_device (fused FDCT+quantize): byte-identical",
+          flush=True)
     print("ALL TPU CHECKS PASSED")
     return 0
 

@@ -337,3 +337,23 @@ def test_encode_candidates_into_inplace(rng):
                     q3, prev if which == 2 else None, dst, offs,
                     [max(0, s - 1) for s in sizes], None, False, which=which,
                 )
+
+
+def test_candidate_sizes_extreme_amplitudes(rng):
+    """The size scan's float-exponent bitlen path must agree with the
+    packer at the VLI cap (size clamped to 11) and at int16 extremes
+    including -32768 (whose int16 abs wraps)."""
+    if not centropy.native_available():
+        pytest.skip("native codec unavailable")
+    nb = 70
+    q3 = np.zeros((3, nb, 64), np.int16)
+    q3[0, 0, :] = 32767
+    q3[0, 1, 0] = -32768
+    q3[0, 1, 63] = -32768
+    q3[1, 2, :] = -2048          # exactly 12 bits -> capped at 11
+    q3[1, 3, 1] = 2047           # exactly 11 bits
+    q3[2, 4, ::16] = -1          # sparse with ZRL gaps at extremes
+    q3[0, 5:, ::7] = rng.integers(-32768, 32767, q3[0, 5:, ::7].shape)
+    qp = np.roll(q3, 3, axis=1).copy()
+    full = centropy.encode_candidates(q3, qp, None, False)
+    assert centropy.candidate_sizes(q3, qp) == [len(b) for b in full]
