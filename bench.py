@@ -705,8 +705,13 @@ def main():
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")
                 break
+            cap = per_stage_cap
+            if stage == "encode_transform":
+                # Its 1080p chain's first remote compile alone runs ~7 min;
+                # it is last in the loop, so let it use what's left.
+                cap = max(per_stage_cap, 720)
             stages[stage] = _run_stage_subprocess(
-                stage, min(remaining, per_stage_cap), extra
+                stage, min(remaining, cap), extra
             )
         out["stages"] = stages
 
