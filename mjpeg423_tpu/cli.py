@@ -159,14 +159,21 @@ def cmd_encode(args) -> int:
                 frames.extend(bmp.packed_to_rgb(f) for f in arr)
         else:
             frames.append(bmp.read_image(p))  # BMP (incl. paletted/RLE) or PPM
+    from .utils.profile import Profiler
+
+    profiler = Profiler()
     encode = (
         encoder.encode_frames if args.no_device else encoder.encode_frames_device
     )
-    data = encode(frames, max_i_interval=args.max_i_interval)
+    data = encode(
+        frames, max_i_interval=args.max_i_interval, profiler=profiler
+    )
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"encoded {len(frames)} frames -> {args.output} "
           f"({len(data)} bytes)", file=sys.stderr)
+    if args.profile:
+        print(profiler.format_report(), file=sys.stderr)
     return 0
 
 
@@ -396,6 +403,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-device", action="store_true",
                    help="use the NumPy reference transform instead of the "
                         "device FDCT path (outputs are byte-identical)")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage probe aggregates to stderr")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser(

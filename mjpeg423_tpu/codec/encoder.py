@@ -37,6 +37,7 @@ from ..native import centropy
 from ..ops import encode_ref, entropy_ref
 from ..ops.transform_ref import raster_to_blocks
 from ..utils.config import EncodeConfig
+from ..utils.profile import default_profiler
 
 
 def _resolve_entropy_encode(
@@ -95,6 +96,7 @@ def encode_quantized_frames(
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
     config: EncodeConfig | None = None,
     exact_tail: bool = False,
+    profiler=None,
 ) -> bytes:
     """Pack absolute quantized planes into an .MPG container.
 
@@ -116,6 +118,7 @@ def encode_quantized_frames(
     content.
     """
     config = config or EncodeConfig()
+    prof = profiler or default_profiler
     if max_i_interval is None:
         max_i_interval = config.max_i_interval
     entropy_encode = _resolve_entropy_encode(entropy_encode, config)
@@ -154,7 +157,8 @@ def encode_quantized_frames(
         nf = 0
         for fi, q3 in enumerate(q3_frames):
             nf = fi + 1
-            sizes = centropy.candidate_sizes(q3, prev_q3)
+            with prof.time("encode/sizes"):
+                sizes = centropy.candidate_sizes(q3, prev_q3)
             size_i = sum(sizes[:3])
             size_p = sum(sizes[3:]) if prev_q3 is not None else None
             pick_i = (
@@ -178,10 +182,11 @@ def encode_quantized_frames(
                 FRAME_HEADER_BYTES + psz[0],
                 FRAME_HEADER_BYTES + psz[0] + psz[1],
             )
-            centropy.encode_candidates_into(
-                q3, None if pick_i else prev_q3, buf, offs, psz,
-                scratch, exact_tail, which=1 if pick_i else 2,
-            )
+            with prof.time("encode/pack"):
+                centropy.encode_candidates_into(
+                    q3, None if pick_i else prev_q3, buf, offs, psz,
+                    scratch, exact_tail, which=1 if pick_i else 2,
+                )
             if pick_i:
                 last_iframe = fi
                 trailer.append((fi, pos))
@@ -241,6 +246,7 @@ def encode_frames(
     max_i_interval: int | None = None,
     entropy_encode: Callable[[np.ndarray], bytes] | None = None,
     config: EncodeConfig | None = None,
+    profiler=None,
 ) -> bytes:
     """Encode RGB frames into an .MPG container byte string.
 
@@ -265,31 +271,36 @@ def encode_frames(
         # (first-touch page faults + THP compaction stalls).  q3 ping-pongs
         # over two buffers because the P-candidate reads the previous
         # frame's planes (the encode_quantized_frames contract).
+        prof = profiler or default_profiler
         scratch: dict = {}
         q3_pair: list[np.ndarray | None] = [None, None]
         for fi, rgb in enumerate(frames_rgb):
-            yb, cbb, crb = _rgb_to_blocked_planes(rgb, scratch)
+            with prof.time("encode/convert"):
+                yb, cbb, crb = _rgb_to_blocked_planes(rgb, scratch)
             nb = yb.shape[0]
             q3 = q3_pair[fi % 2]
             if q3 is None or q3.shape != (3, nb, 64):
                 q3 = np.empty((3, nb, 64), dtype=np.int16)
                 q3_pair[fi % 2] = q3
-            for i, (blocks, quant) in enumerate(
-                ((yb, yq), (cbb, cq), (crb, cq))
-            ):
-                q = centropy.fdct_quant_blocks(blocks, quant, out=q3[i])
-                if q is None:  # NumPy oracle fallback
-                    coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
-                    q3[i] = encode_ref.quantize_blocks(coefs, quant)
+            with prof.time("encode/fdct"):
+                for i, (blocks, quant) in enumerate(
+                    ((yb, yq), (cbb, cq), (crb, cq))
+                ):
+                    q = centropy.fdct_quant_blocks(blocks, quant, out=q3[i])
+                    if q is None:  # NumPy oracle fallback
+                        coefs = encode_ref.fdct_blocks(blocks).reshape(-1, 64)
+                        q3[i] = encode_ref.quantize_blocks(coefs, quant)
             yield q3
 
     return encode_quantized_frames(
-        quantized(), w, h, max_i_interval, entropy_encode, config
+        quantized(), w, h, max_i_interval, entropy_encode, config,
+        profiler=profiler,
     )
 
 
 def _encode_frames_device_fused(
-    frames_rgb, w, h, nf, max_i_interval, entropy_encode, config, mesh=None
+    frames_rgb, w, h, nf, max_i_interval, entropy_encode, config, mesh=None,
+    profiler=None,
 ) -> bytes:
     """encode_frames_device's Pallas path: fused FDCT+quantize windows.
 
@@ -319,6 +330,7 @@ def _encode_frames_device_fused(
     k = auto_rows_per_step_encode(bh, bw)
 
     def quantized():
+        prof = profiler or default_profiler
         scratch: dict = {}
         stage = np.zeros((3, W, nb, 64), np.uint8)
         # q3w[:, j] is non-contiguous (W > 1 strides the frame axis), and
@@ -333,34 +345,37 @@ def _encode_frames_device_fused(
         fi = 0
         for ws in range(0, nf, W):
             count = min(W, nf - ws)
-            for j in range(count):
-                yb, cbb, crb = _rgb_to_blocked_planes(
-                    frames_rgb[ws + j], scratch
-                )
-                stage[0, j] = yb.reshape(nb, 64)
-                stage[1, j] = cbb.reshape(nb, 64)
-                stage[2, j] = crb.reshape(nb, 64)
+            with prof.time("encode/convert"):
+                for j in range(count):
+                    yb, cbb, crb = _rgb_to_blocked_planes(
+                        frames_rgb[ws + j], scratch
+                    )
+                    stage[0, j] = yb.reshape(nb, 64)
+                    stage[1, j] = cbb.reshape(nb, 64)
+                    stage[2, j] = crb.reshape(nb, 64)
             # Always ship the full W-frame window (stale tail rows are
             # ignored) so every batch compiles to ONE shape.
-            if mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
+            with prof.time("encode/device_transform"):
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
 
-                from ..parallel.encode import encode_window_fused_sharded
-                from ..parallel.mesh import DATA_AXIS
+                    from ..parallel.encode import encode_window_fused_sharded
+                    from ..parallel.mesh import DATA_AXIS
 
-                d_stage = jax.device_put(
-                    jnp.asarray(stage),
-                    NamedSharding(mesh, P(None, DATA_AXIS)),
-                )
-                q3w = np.asarray(jax.device_get(encode_window_fused_sharded(
-                    d_stage, mesh=mesh, blocks_h=bh, blocks_w=bw,
-                    rows_per_step=k,
-                )))
-            else:
-                q3w = np.asarray(jax.device_get(encode_window_fused(
-                    jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
-                    rows_per_step=k,
-                )))
+                    d_stage = jax.device_put(
+                        jnp.asarray(stage),
+                        NamedSharding(mesh, P(None, DATA_AXIS)),
+                    )
+                    q3w = np.asarray(
+                        jax.device_get(encode_window_fused_sharded(
+                            d_stage, mesh=mesh, blocks_h=bh, blocks_w=bw,
+                            rows_per_step=k,
+                        )))
+                else:
+                    q3w = np.asarray(jax.device_get(encode_window_fused(
+                        jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
+                        rows_per_step=k,
+                    )))
             for j in range(count):
                 q3 = q3_pair[fi % 2]
                 np.copyto(q3, q3w[:, j])
@@ -368,7 +383,8 @@ def _encode_frames_device_fused(
                 yield q3
 
     return encode_quantized_frames(
-        quantized(), w, h, max_i_interval, entropy_encode, config
+        quantized(), w, h, max_i_interval, entropy_encode, config,
+        profiler=profiler,
     )
 
 
@@ -380,6 +396,7 @@ def encode_frames_device(
     config: EncodeConfig | None = None,
     mesh=None,
     use_pallas: bool | None = None,
+    profiler=None,
 ) -> bytes:
     """Byte-identical to encode_frames, with the transform on the device.
 
@@ -407,6 +424,7 @@ def encode_frames_device(
     from ..ops import encode_jax
 
     config = config or EncodeConfig()
+    prof = profiler or default_profiler
     if max_i_interval is None:
         max_i_interval = config.max_i_interval
     entropy_encode = _resolve_entropy_encode(entropy_encode, config)
@@ -427,7 +445,7 @@ def encode_frames_device(
         # kernel emits absolute planes; all differencing is in the packer).
         return _encode_frames_device_fused(
             frames_rgb, w, h, nf, max_i_interval, entropy_encode, config,
-            mesh=mesh,
+            mesh=mesh, profiler=profiler,
         )
     names = ("y", "cb", "cr")
     ex = None
