@@ -437,7 +437,9 @@ def encode_frames_device(
     if use_pallas is None:
         import jax
 
-        use_pallas = jax.default_backend() == "tpu" and mesh is None
+        # Auto on TPU, mesh or not: the fused kernel beats the XLA
+        # transform either way, and its sharded wrapper needs no halo.
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         # Fused Pallas FDCT+quantize (ops/encode_fused.py) feeding the
         # shared select-then-pack back half — byte-identical, one HBM pass.

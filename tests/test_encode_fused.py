@@ -104,3 +104,23 @@ def test_encode_window_fused_sharded_and_mesh_device_encoder(rng):
         frames, max_i_interval=4, mesh=mesh, use_pallas=True
     )
     assert a == b
+
+
+def test_pallas_encoded_container_decodes_on_reference(rng):
+    """Cross-check: a container produced by the fused device encoder decodes
+    byte-identically on the COMPILED REFERENCE C decoder (closing the loop
+    device-encode -> reference-decode, not just container equality)."""
+    from tests.oracle import harness
+
+    if not harness.oracle_available():
+        pytest.skip("reference tree or gcc unavailable")
+    h, w, F = 48, 64, 6
+    frames = [
+        rng.integers(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(F)
+    ]
+    mpg = enc.encode_frames_device(frames, max_i_interval=3, use_pallas=True)
+    from mjpeg423_tpu.codec.decoder import decode_stream_array
+
+    ours = np.asarray(decode_stream_array(mpg))
+    ref = np.asarray(harness.Oracle().decode(mpg, F, w, h))
+    np.testing.assert_array_equal(ours, ref)
