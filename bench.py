@@ -273,17 +273,30 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
         seg[:: f_s // n_data] = True
 
         if use_pallas:
-            # Stacked fast path (no per-shard plane re-stack).
-            a3 = jax.device_put(a, NamedSharding(
-                mesh, P(None, DATA_AXIS, BLOCK_AXIS, None)))
+            # Coefficient-major fast path: the cm kernel variant skips the
+            # in-shard transpose AND fits the k=2 fold the block-major
+            # kernel cannot (parallel/decode.decode_transform_sharded_cm);
+            # the host parser emits this layout at no extra cost.
+            from mjpeg423_tpu.parallel import decode_transform_sharded_cm
+            from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+            rk = auto_rows_per_step(bh, bw, f_s // n_data)
+            g, bwe = bh // rk, rk * bw
+            cm = np.ascontiguousarray(
+                np.asarray(a).reshape(3, f_s, g, bwe, 64)
+                .transpose(0, 1, 2, 4, 3)
+            )
+            a3 = jax.device_put(jnp.asarray(cm), NamedSharding(
+                mesh, P(None, DATA_AXIS)))
             seg_d = jax.device_put(
                 seg, NamedSharding(mesh, P(DATA_AXIS)))
             args = (a3, seg_d)
+            _log(f"sharded cm: rows_per_step={rk} ({bwe} lanes)")
 
             @jax.jit
             def run(a3_, s, mesh=mesh):
                 def body(i, tok):
-                    out = decode_transform_sharded3(
+                    out = decode_transform_sharded_cm(
                         a3_ + tok, s, mesh=mesh, blocks_h=bh, blocks_w=bw,
                         raster=False,
                     )

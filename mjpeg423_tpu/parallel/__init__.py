@@ -3,6 +3,7 @@ from .decode import (
     decode_stream_sharded,
     decode_transform_sharded,
     decode_transform_sharded3,
+    decode_transform_sharded_cm,
     shard_inputs,
 )
 from .encode import encode_transform_sharded
@@ -16,6 +17,7 @@ __all__ = [
     "encode_transform_sharded",
     "decode_transform_sharded",
     "decode_transform_sharded3",
+    "decode_transform_sharded_cm",
     "shard_inputs",
     "sharded_segmented_scan",
 ]

@@ -129,7 +129,8 @@ def decode_transform_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "blocks_h", "blocks_w", "interpret", "raster"),
+    static_argnames=("mesh", "blocks_h", "blocks_w", "interpret", "raster",
+                     "rows_per_step"),
 )
 def decode_transform_sharded3(
     amps3: jnp.ndarray,
@@ -140,6 +141,7 @@ def decode_transform_sharded3(
     blocks_w: int,
     interpret: bool | None = None,
     raster: bool = False,
+    rows_per_step: int = 0,
 ) -> jnp.ndarray:
     """GOP-aligned fused sharded decode on a pre-stacked (3, F, B, 64) input.
 
@@ -158,6 +160,21 @@ def decode_transform_sharded3(
             f"blocks_h {blocks_h} must divide by block-axis size {n_block}"
         )
     local_rows = blocks_h // n_block
+    if rows_per_step <= 0:
+        # Lane-fold for the BLOCK-MAJOR fused kernel on the per-shard
+        # geometry.  Its VMEM ceiling is lower than the cm variant's
+        # (1080p W=16 k=2 OOMs block-major but compiles cm), so the budget
+        # here is tighter than auto_rows_per_step's: smallest fold
+        # reaching >= 320 lanes with W*k*bw under the measured boundary.
+        w_frames = max(1, int(amps3.shape[1]) // max(n_data, 1))
+        lmax = max(blocks_w, int(5_800_000 // (1280 * w_frames)))
+        rows_per_step = 1
+        for k in range(1, local_rows + 1):
+            if local_rows % k or k * blocks_w > lmax:
+                continue
+            rows_per_step = k
+            if k * blocks_w >= 320:
+                break
 
     def body(a3, seg):
         local_b = a3.shape[2]
@@ -165,7 +182,7 @@ def decode_transform_sharded3(
         frames, _ = transform_fused.decode_window_fused(
             a3, seg, carry,
             blocks_h=local_rows, blocks_w=blocks_w, interpret=interpret,
-            raster=raster,
+            raster=raster, rows_per_step=rows_per_step,
         )
         return frames
 
@@ -181,6 +198,66 @@ def decode_transform_sharded3(
         check_vma=False,
     )
     return fn(amps3, is_iframe)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "blocks_h", "blocks_w", "interpret", "raster"),
+)
+def decode_transform_sharded_cm(
+    amps_cm: jnp.ndarray,
+    is_iframe: jnp.ndarray,
+    *,
+    mesh: Mesh,
+    blocks_h: int,
+    blocks_w: int,
+    interpret: bool | None = None,
+    raster: bool = False,
+) -> jnp.ndarray:
+    """GOP-aligned sharded decode on COEFFICIENT-MAJOR input.
+
+    amps_cm: (3, F, bh/k, 64, k*bw) int16 — the native parser's
+    decode_batch_cm layout (the fold k is implied by the last dim).  The
+    cm kernel variant both skips the in-shard transpose pass and fits
+    folds the block-major kernel cannot (1080p k=2 compiles cm but OOMs
+    block-major), so this is the fastest sharded entry when the caller
+    holds cm data — which the host parser emits at no extra cost.
+    Frames shard over "data"; requires n_block == 1 (the fold already
+    owns the row grouping) and GOP-aligned shards.
+    """
+    if mesh.shape[BLOCK_AXIS] != 1:
+        raise ValueError("cm sharded entry requires a block axis of 1")
+    n_data = mesh.shape[DATA_AXIS]
+    _, f, groups, _, bw_eff = amps_cm.shape
+    k = bw_eff // blocks_w
+    if groups * k != blocks_h or k * blocks_w != bw_eff:
+        raise ValueError(
+            f"cm layout {amps_cm.shape} inconsistent with "
+            f"blocks_h={blocks_h} blocks_w={blocks_w}"
+        )
+    if f % n_data:
+        raise ValueError(f"frames {f} must divide by data shards {n_data}")
+
+    def body(a, seg):
+        carry = jnp.zeros((3, groups, 64, bw_eff), jnp.int16)
+        frames, _ = transform_fused.decode_window_fused_cm(
+            a, seg, carry, blocks_h=blocks_h, blocks_w=blocks_w,
+            interpret=interpret, raster=raster, rows_per_step=k,
+        )
+        return frames
+
+    out_spec = (
+        P(DATA_AXIS, None, None) if raster
+        else P(DATA_AXIS, None, None, None, None)
+    )
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None, None, None), P(DATA_AXIS)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return fn(amps_cm, is_iframe)
 
 
 def decode_stream_sharded(
@@ -292,7 +369,9 @@ def decode_stream_sharded(
         # permutation is a host memcpy (~45x cheaper than on device).
         from ..ops.transform_fused import blocked_to_raster_host
 
-        host = blocked_to_raster_host(host)
+        # Pass the true geometry: sharded3's auto fold can return a
+        # rows_per_step > 1 blocked layout.
+        host = blocked_to_raster_host(host, blocks_h, blocks_w)
     for p in parts:
         out[p.frame_lo:p.frame_hi] = host[
             p.host * fmax:p.host * fmax + p.num_frames

@@ -242,7 +242,9 @@ def test_sharded3_stacked_input_bit_exact(stream):
     ))
     from mjpeg423_tpu.ops.transform_fused import blocked_to_raster_host
 
-    raster = blocked_to_raster_host(blocked)
+    raster = blocked_to_raster_host(
+        blocked, index.header.blocks_h, index.header.blocks_w
+    )
     for p in parts:
         np.testing.assert_array_equal(
             raster[p.host * fmax:p.host * fmax + p.num_frames],

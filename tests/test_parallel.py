@@ -113,3 +113,31 @@ def test_decode_stream_sharded_convenience(stream):
     mesh = make_mesh(n_data=4, n_block=2)
     got = np.asarray(decode_stream_sharded(data, mesh))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_cm_matches_sharded3(rng):
+    """The coefficient-major sharded entry produces the same raster as the
+    block-major stacked entry on GOP-aligned shards."""
+    import jax.numpy as jnp
+
+    from mjpeg423_tpu.parallel import (
+        decode_transform_sharded3, decode_transform_sharded_cm, make_mesh,
+    )
+
+    bh, bw, f, k = 4, 4, 8, 2
+    b = bh * bw
+    mesh = make_mesh(n_data=8, n_block=1)
+    amps = np.zeros((3, f, b, 64), np.int16)
+    amps[..., :6] = rng.integers(-40, 40, (3, f, b, 6))
+    seg = np.ones(f, bool)  # every shard (1 frame each) starts at an I-frame
+    a3 = jnp.asarray(amps)
+    out3 = np.asarray(decode_transform_sharded3(
+        a3, jnp.asarray(seg), mesh=mesh, blocks_h=bh, blocks_w=bw,
+        interpret=True, raster=True,
+    ))
+    cm = amps.reshape(3, f, bh // k, k * bw, 64).transpose(0, 1, 2, 4, 3)
+    out_cm = np.asarray(decode_transform_sharded_cm(
+        jnp.asarray(np.ascontiguousarray(cm)), jnp.asarray(seg), mesh=mesh,
+        blocks_h=bh, blocks_w=bw, interpret=True, raster=True,
+    ))
+    np.testing.assert_array_equal(out_cm, out3)
