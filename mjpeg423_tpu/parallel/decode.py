@@ -333,17 +333,57 @@ def decode_stream_sharded(
     parts = partition_gops(gop_starts, nf, n_data)
     fmax = max(p.num_frames for p in parts)
     nb = index.header.blocks_per_plane
-    amps = np.zeros((3, n_data * fmax, nb, 64), dtype=np.int16)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    from ..native import centropy as _centropy
+
+    use_cm = (
+        use_pallas
+        and mesh.shape[BLOCK_AXIS] == 1
+        and _centropy.native_available()
+    )
     seg = np.zeros(n_data * fmax, dtype=bool)
     for p in parts:
-        local = parse_range(p.frame_lo, p.frame_hi)
-        amps[:, p.host * fmax:p.host * fmax + p.num_frames] = local
         seg[p.host * fmax:p.host * fmax + p.num_frames] = (
             index.is_iframe[p.frame_lo:p.frame_hi]
         )
-    if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if use_cm:
+        # Coefficient-major fast path: the native parser emits the fused
+        # kernel's own layout (no in-shard transposes), and the cm variant
+        # fits the k=2 lane fold the block-major kernel OOMs on at 1080p.
+        from ..runtime.pipeline import auto_rows_per_step
+
+        k = auto_rows_per_step(blocks_h, blocks_w, fmax)
+        g, bwe = blocks_h // k, k * blocks_w
+        amps_cm = np.zeros((3, n_data * fmax, g, 64, bwe), np.int16)
+        for p in parts:
+            if p.num_frames <= 0:
+                continue
+            sl = slice(p.frame_lo, p.frame_hi)
+            offs = index.plane_off[:, sl].reshape(-1)
+            lens_ = index.plane_len[:, sl].reshape(-1)
+            is_p = np.broadcast_to(
+                index.frame_type[sl] != 0, (3, p.num_frames)
+            ).reshape(-1)
+            cm = _centropy.decode_batch_cm(data, offs, lens_, is_p, nb, bwe)
+            amps_cm[:, p.host * fmax:p.host * fmax + p.num_frames] = (
+                cm.reshape(3, p.num_frames, g, 64, bwe)
+            )
+        a3 = jax.device_put(
+            amps_cm, NamedSharding(mesh, P(None, DATA_AXIS))
+        )
+        seg_d = jax.device_put(seg, NamedSharding(mesh, P(DATA_AXIS)))
+        padded = decode_transform_sharded_cm(
+            a3, seg_d, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
+            interpret=interpret, raster=False,
+        )
+        amps = None
+    else:
+        amps = np.zeros((3, n_data * fmax, nb, 64), dtype=np.int16)
+        for p in parts:
+            local = parse_range(p.frame_lo, p.frame_hi)
+            amps[:, p.host * fmax:p.host * fmax + p.num_frames] = local
+    if use_pallas and not use_cm:
         # Stacked fast path: the amps buffer above is already (3, F, B, 64)
         # — ship it as-is and skip the per-shard plane re-stack.
         a3 = jax.device_put(
@@ -354,7 +394,7 @@ def decode_stream_sharded(
             a3, seg_d, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
             interpret=interpret, raster=False,
         )
-    else:
+    elif not use_pallas:
         args = shard_inputs(mesh, amps[0], amps[1], amps[2], seg)
         padded = decode_transform_sharded(
             *args, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
