@@ -280,14 +280,13 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
             from mjpeg423_tpu.parallel import decode_transform_sharded_cm
             from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
 
+            from mjpeg423_tpu.ops.transform_fused import to_cm
+
             rk = auto_rows_per_step(bh, bw, f_s // n_data)
             g, bwe = bh // rk, rk * bw
-            cm = np.ascontiguousarray(
-                np.asarray(a).reshape(3, f_s, g, bwe, 64)
-                .transpose(0, 1, 2, 4, 3)
-            )
-            a3 = jax.device_put(jnp.asarray(cm), NamedSharding(
-                mesh, P(None, DATA_AXIS)))
+            a3 = jax.device_put(
+                jnp.asarray(to_cm(a, bh, bw, rk)),
+                NamedSharding(mesh, P(None, DATA_AXIS)))
             seg_d = jax.device_put(
                 seg, NamedSharding(mesh, P(DATA_AXIS)))
             args = (a3, seg_d)
@@ -569,8 +568,9 @@ def main():
         if bh % rk:
             ap.error(f"--rows-per-step {rk} does not divide blocks_h {bh}")
         g, bwe = bh // rk, rk * bw
-        f_cm = amps.reshape(3, f, g, bwe, 64).transpose(0, 1, 2, 4, 3)
-        d_cm = jax.device_put(jnp.asarray(np.ascontiguousarray(f_cm)))
+        from mjpeg423_tpu.ops.transform_fused import to_cm
+
+        d_cm = jax.device_put(jnp.asarray(to_cm(amps, bh, bw, rk)))
         d_carry_cm = jax.device_put(jnp.zeros((3, g, 64, bwe), jnp.int16))
         _log(f"cm path: rows_per_step={rk} ({bwe} lanes)")
 

@@ -416,8 +416,10 @@ def encode_frames_device(
     frames at once); output is byte-identical to the windowed path.
 
     use_pallas: run the fused FDCT+quantize kernel (ops/encode_fused.py)
-    instead of the XLA transform; None (default) auto-enables it on TPU.
-    Single-device only — combining with mesh= raises.
+    instead of the XLA transform; None (default) auto-enables it on TPU
+    when the native C packer is available (the fused path packs through
+    encode_quantized_frames, whose fast path is the C codec).  Works with
+    mesh= too: frames shard over "data" with zero collectives.
     """
     import jax.numpy as jnp
 
@@ -439,7 +441,12 @@ def encode_frames_device(
 
         # Auto on TPU, mesh or not: the fused kernel beats the XLA
         # transform either way, and its sharded wrapper needs no halo.
-        use_pallas = jax.default_backend() == "tpu"
+        # Requires the native packer — the fused path's select-then-pack
+        # back half is serial in pure Python, which would silently drop
+        # the XLA path's thread-pooled entropy packing.
+        use_pallas = (
+            jax.default_backend() == "tpu" and centropy.native_available()
+        )
     if use_pallas:
         # Fused Pallas FDCT+quantize (ops/encode_fused.py) feeding the
         # shared select-then-pack back half — byte-identical, one HBM pass.
@@ -467,17 +474,19 @@ def encode_frames_device(
             bits_p: dict = {}
             for ws in range(0, nf, W):
                 count = min(W, nf - ws)
-                for k in range(count):
-                    yb, cbb, crb = _rgb_to_blocked_planes(
-                        frames_rgb[ws + k], scratch
+                with prof.time("encode/convert"):
+                    for k in range(count):
+                        yb, cbb, crb = _rgb_to_blocked_planes(
+                            frames_rgb[ws + k], scratch
+                        )
+                        np.copyto(stage["y"][k + 1], yb)
+                        np.copyto(stage["cb"][k + 1], cbb)
+                        np.copyto(stage["cr"][k + 1], crb)
+                with prof.time("encode/device_transform"):
+                    ci_d, cp_d = encode_jax.encode_transform(
+                        jnp.asarray(stage["y"]), jnp.asarray(stage["cb"]),
+                        jnp.asarray(stage["cr"]),
                     )
-                    np.copyto(stage["y"][k + 1], yb)
-                    np.copyto(stage["cb"][k + 1], cbb)
-                    np.copyto(stage["cr"][k + 1], crb)
-                ci_d, cp_d = encode_jax.encode_transform(
-                    jnp.asarray(stage["y"]), jnp.asarray(stage["cb"]),
-                    jnp.asarray(stage["cr"]),
-                )
                 # ci rows 1..count = frames ws..ws+count-1; cp row k is
                 # batch frame k+1 vs k = global frame ws+k vs predecessor
                 # (the halo makes row 0 valid for every window but the
@@ -499,12 +508,13 @@ def encode_frames_device(
                     fi, n = job
                     return entropy_encode(_cp[n][fi - _ws])
 
-                if ex is not None:
-                    bits_i.update(zip(jobs_i, ex.map(_enc_i, jobs_i)))
-                    bits_p.update(zip(jobs_p, ex.map(_enc_p, jobs_p)))
-                else:
-                    bits_i.update((j, _enc_i(j)) for j in jobs_i)
-                    bits_p.update((j, _enc_p(j)) for j in jobs_p)
+                with prof.time("encode/pack"):
+                    if ex is not None:
+                        bits_i.update(zip(jobs_i, ex.map(_enc_i, jobs_i)))
+                        bits_p.update(zip(jobs_p, ex.map(_enc_p, jobs_p)))
+                    else:
+                        bits_i.update((j, _enc_i(j)) for j in jobs_i)
+                        bits_p.update((j, _enc_p(j)) for j in jobs_p)
                 for n in names:  # halo for the next window
                     np.copyto(stage[n][0], stage[n][count])
         else:
@@ -543,12 +553,13 @@ def encode_frames_device(
                 fi, n = job
                 return entropy_encode(cand_p[n][fi])
 
-            if ex is not None:
-                bits_i = dict(zip(jobs_i, ex.map(_enc_i, jobs_i)))
-                bits_p = dict(zip(jobs_p, ex.map(_enc_p, jobs_p)))
-            else:
-                bits_i = {j: _enc_i(j) for j in jobs_i}
-                bits_p = {j: _enc_p(j) for j in jobs_p}
+            with prof.time("encode/pack"):
+                if ex is not None:
+                    bits_i = dict(zip(jobs_i, ex.map(_enc_i, jobs_i)))
+                    bits_p = dict(zip(jobs_p, ex.map(_enc_p, jobs_p)))
+                else:
+                    bits_i = {j: _enc_i(j) for j in jobs_i}
+                    bits_p = {j: _enc_p(j) for j in jobs_p}
     finally:
         if ex is not None:
             ex.shutdown()

@@ -85,14 +85,9 @@ def auto_rows_per_step_encode(blocks_h: int, blocks_w: int) -> int:
     wider: measured @1080p (bw=240) — k=2: 5.3 ms, k=8: 4.25 ms,
     k=17 (4080 lanes): 4.3 ms per 16-frame batch.  Smallest fold reaching
     >= 1920 lanes, capped at 4096 (k=17's 4080 compiled and ran)."""
-    best = 1
-    for k in range(1, blocks_h + 1):
-        if blocks_h % k or k * blocks_w > 4096:
-            continue
-        best = k
-        if k * blocks_w >= 1920:
-            return k
-    return best
+    from .transform_fused import pick_fold
+
+    return pick_fold(blocks_h, blocks_w, target=1920, lane_cap=4096)
 
 
 def _kernel(quants_ref, samples_ref, out_ref):

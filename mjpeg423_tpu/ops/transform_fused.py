@@ -527,6 +527,42 @@ def decode_window_fused_i8(
     ), new_carry
 
 
+def pick_fold(rows: int, bw: int, *, target: int, lane_cap: int) -> int:
+    """Shared block-row fold selector (rows_per_step = k, lane width k*bw).
+
+    Smallest k dividing `rows` with k*bw <= lane_cap, stopping at the first
+    k whose lane width reaches `target`; the largest fitting fold otherwise.
+    The three calibrations (decode streaming, block-major sharded, encode)
+    differ ONLY in (target, lane_cap) — keeping the selection loop in one
+    place so a VMEM-model fix can't silently miss a copy.
+    """
+    best = 1
+    for k in range(1, rows + 1):
+        if rows % k or k * bw > lane_cap:
+            continue
+        best = k
+        if k * bw >= target:
+            return k
+    return best
+
+
+def to_cm(amps, blocks_h: int, blocks_w: int, rows_per_step: int = 1):
+    """Block-major (..., B, 64) -> the cm kernel layout (..., bh/k, 64, k*bw).
+
+    Host-side reference for the layout decode_window_fused_cm consumes (the
+    native parser's decode_batch_cm emits it directly with no extra cost);
+    bench/tests use this so they can never drift from the kernel's layout.
+    """
+    import numpy as np
+
+    k = rows_per_step
+    g, bwe = blocks_h // k, k * blocks_w
+    a = np.asarray(amps)
+    return np.ascontiguousarray(
+        a.reshape(a.shape[:-2] + (g, bwe, 64)).swapaxes(-1, -2)
+    )
+
+
 def blocked_to_raster_host(
     blocked: "np.ndarray",  # noqa: F821
     blocks_h: int | None = None,

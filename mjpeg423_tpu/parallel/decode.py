@@ -168,13 +168,9 @@ def decode_transform_sharded3(
         # reaching >= 320 lanes with W*k*bw under the measured boundary.
         w_frames = max(1, int(amps3.shape[1]) // max(n_data, 1))
         lmax = max(blocks_w, int(5_800_000 // (1280 * w_frames)))
-        rows_per_step = 1
-        for k in range(1, local_rows + 1):
-            if local_rows % k or k * blocks_w > lmax:
-                continue
-            rows_per_step = k
-            if k * blocks_w >= 320:
-                break
+        rows_per_step = transform_fused.pick_fold(
+            local_rows, blocks_w, target=320, lane_cap=lmax
+        )
 
     def body(a3, seg):
         local_b = a3.shape[2]

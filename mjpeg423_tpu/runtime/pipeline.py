@@ -54,16 +54,11 @@ def auto_rows_per_step(
     compiles, W=24 k=2 (11520) does not — the budget constant encodes
     that measured boundary.  Falls back to the largest fold under the cap
     when no fold reaches 320 lanes (narrow geometries)."""
+    from ..ops.transform_fused import pick_fold
+
     budget = int(10_000_000 // (1024 * max(window, 1)))
     lmax = max(256, min(512, budget))
-    best = 1
-    for k in range(1, blocks_h + 1):
-        if blocks_h % k or k * blocks_w > lmax:
-            continue
-        best = k
-        if k * blocks_w >= 320:
-            return k
-    return best
+    return pick_fold(blocks_h, blocks_w, target=320, lane_cap=lmax)
 
 
 class _StageError:

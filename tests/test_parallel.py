@@ -135,9 +135,10 @@ def test_sharded_cm_matches_sharded3(rng):
         a3, jnp.asarray(seg), mesh=mesh, blocks_h=bh, blocks_w=bw,
         interpret=True, raster=True,
     ))
-    cm = amps.reshape(3, f, bh // k, k * bw, 64).transpose(0, 1, 2, 4, 3)
+    from mjpeg423_tpu.ops.transform_fused import to_cm
+
     out_cm = np.asarray(decode_transform_sharded_cm(
-        jnp.asarray(np.ascontiguousarray(cm)), jnp.asarray(seg), mesh=mesh,
+        jnp.asarray(to_cm(amps, bh, bw, k)), jnp.asarray(seg), mesh=mesh,
         blocks_h=bh, blocks_w=bw, interpret=True, raster=True,
     ))
     np.testing.assert_array_equal(out_cm, out3)
