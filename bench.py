@@ -701,7 +701,7 @@ def main():
         # 2100 s: every stage (3 device compiles x 540 s cap + parse) fits
         # even when the remote compile service degrades — a 540 s sharded
         # timeout must not also starve e2e/encode (observed in rehearsal).
-        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "2100"))
+        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "2700"))
         per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "540"))
         extra = []
         if cli.small:
@@ -719,9 +719,9 @@ def main():
                 _log(f"stage budget exhausted, skipping {stage}+")
                 break
             cap = per_stage_cap
-            if stage == "encode_transform":
-                # Its 1080p chain's first remote compile alone runs ~7 min;
-                # it is last in the loop, so let it use what's left.
+            if stage in ("sharded", "encode_transform"):
+                # Their 1080p chains' first remote compiles alone run
+                # ~7 min; the budget bounds the total either way.
                 cap = max(per_stage_cap, 720)
             stages[stage] = _run_stage_subprocess(
                 stage, min(remaining, cap), extra
