@@ -1,0 +1,131 @@
+"""Corruption-fuzz campaign against the native codec (opt-in, long-running).
+
+For each round: build a random container (random geometry/content/GOP
+structure), then hammer the native parse surfaces with byte corruptions:
+
+  * every parse must either succeed or raise ValueError — never crash the
+    process (ctypes: a native fault kills Python) and never hang;
+  * uncorrupted parses must stay byte-exact vs the Python oracle;
+  * the container indexer must reject corrupt frame chains.
+
+Usage: python scripts/fuzz_native.py [rounds] [seed]
+The pytest suite runs a bounded version (tests/test_fuzz_native.py); this
+script is the soak — run it for as long as you like, it prints a line per
+round and exits nonzero on the first invariant violation.
+"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from mjpeg423_tpu.codec import decoder, encoder
+from mjpeg423_tpu.core import format as fmt
+from mjpeg423_tpu.native import centropy
+from mjpeg423_tpu.ops import entropy_ref
+
+
+def one_round(rng: np.random.Generator) -> dict:
+    h = 8 * int(rng.integers(1, 7))
+    w = 8 * int(rng.integers(1, 9))
+    nf = int(rng.integers(1, 9))
+    maxi = int(rng.integers(1, 6))
+    nb = (h // 8) * (w // 8)
+    frames = []
+    base = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    for i in range(nf):
+        if rng.random() < 0.3:
+            base = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        else:
+            base = base.copy()
+            base[rng.integers(0, h)] ^= int(rng.integers(1, 32))
+        frames.append(base)
+    data = bytearray(encoder.encode_frames(frames, max_i_interval=maxi))
+    index = fmt.index_frames(bytes(data))
+
+    stats = {"ok": 0, "raised": 0, "decoded_differently": 0}
+    # clean parse must match the oracle
+    for p in range(3):
+        for fi in range(nf):
+            o = int(index.plane_off[p, fi])
+            ln = int(index.plane_len[p, fi])
+            is_p = bool(index.frame_type[fi])
+            got = centropy.decode_plane(bytes(data[o:o + ln]), nb, is_p)
+            want = entropy_ref.decode_plane(bytes(data[o:o + ln]), nb, is_p)
+            assert (got == want).all(), "clean parse diverged from oracle"
+
+    # corruption hammering: flip/zero/truncate random plane bytes
+    for _ in range(60):
+        p = int(rng.integers(0, 3))
+        fi = int(rng.integers(0, nf))
+        o = int(index.plane_off[p, fi])
+        ln = int(index.plane_len[p, fi])
+        if ln == 0:
+            continue
+        blob = bytearray(data[o:o + ln])
+        mode = rng.integers(0, 4)
+        if mode == 0:
+            blob[int(rng.integers(0, len(blob)))] ^= int(rng.integers(1, 256))
+        elif mode == 1:
+            blob = blob[: int(rng.integers(0, len(blob)))]
+        elif mode == 2:
+            for _k in range(int(rng.integers(1, 6))):
+                blob[int(rng.integers(0, max(1, len(blob))))] = 0xFF
+        else:
+            blob = bytearray(rng.integers(0, 256, len(blob)).astype(np.uint8))
+        is_p = bool(index.frame_type[fi])
+        try:
+            got = centropy.decode_plane(bytes(blob), nb, is_p)
+        except ValueError:
+            stats["raised"] += 1
+            continue
+        # A parse that "succeeds" on corrupt input must equal the oracle's
+        # parse of the same bytes (both see the same stream).
+        try:
+            want = entropy_ref.decode_plane(bytes(blob), nb, is_p)
+        except ValueError:
+            raise AssertionError(
+                "native accepted a stream the oracle rejects"
+            )
+        assert (got == want).all(), "corrupt-parse divergence"
+        stats["ok"] += 1
+
+        # speculative decoder must agree or fall back, never crash
+        spec = centropy.decode_plane_spec(bytes(blob), nb, is_p, 3)
+        assert (spec == got).all(), "speculative decoder diverged"
+
+    # whole-container corruption: the pipeline/decoder must raise or give
+    # byte-exact output, never crash or silently truncate
+    for _ in range(10):
+        mut = bytearray(data)
+        pos = int(rng.integers(20, len(mut)))
+        mut[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = decoder.decode_stream_array(bytes(mut))
+            if out.shape[0] != nf:
+                raise AssertionError("silent truncation on corrupt container")
+            stats["ok"] += 1
+        except (ValueError, AssertionError) as e:
+            if isinstance(e, AssertionError):
+                raise
+            stats["raised"] += 1
+    return stats
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    seed = int(sys.argv[2]) if len(sys.argv) > 2 else int(time.time())
+    print(f"fuzzing {rounds} rounds, seed {seed}")
+    rng = np.random.default_rng(seed)
+    t0 = time.time()
+    for r in range(rounds):
+        stats = one_round(rng)
+        print(f"round {r}: {stats} ({time.time() - t0:.0f}s)", flush=True)
+    print("ALL ROUNDS CLEAN")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
