@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -486,6 +487,29 @@ def main():
             res = bench_encode(rng, min(f, 8), b, h, w)
         print(json.dumps(res if res is not None else {}))
         return 0
+
+    if not cli.cpu:
+        # Fail fast if the TPU tunnel is down: in-process backend init
+        # hangs indefinitely (observed: jax.devices() blocked >25 min),
+        # which would leave the driver with NO bench artifact at all.
+        # Probe in a subprocess with a hard timeout and emit an honest
+        # zero line instead of hanging.
+        probe_s = float(os.environ.get("BENCH_BACKEND_PROBE_S", "300"))
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices()"],
+                timeout=probe_s, capture_output=True, check=True,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            _log(f"backend probe failed ({type(e).__name__}) — TPU "
+                 "unreachable; emitting zero headline instead of hanging")
+            print(json.dumps({
+                "metric": "decode_1920x1088_frames_per_s_single_chip",
+                "value": 0, "unit": "frames/s", "vs_baseline": 0,
+                "note": "TPU backend unreachable at bench time",
+            }))
+            return 1
 
     import jax
 
