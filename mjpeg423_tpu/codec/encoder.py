@@ -97,6 +97,7 @@ def encode_quantized_frames(
     config: EncodeConfig | None = None,
     exact_tail: bool = False,
     profiler=None,
+    strict_range: bool = False,
 ) -> bytes:
     """Pack absolute quantized planes into an .MPG container.
 
@@ -116,6 +117,13 @@ def encode_quantized_frames(
     7 tail bits when the last block is dense).  Only valid with the default
     packers; the transcoder passes True so re-GOP stays lossless on ALL
     content.
+
+    strict_range: raise ValueError if any value of the CHOSEN candidate
+    exceeds the VLI's 11-bit range (|v| > 2047) — the format clamps such
+    values (reference encode_VLI, lossless_encode.c:121-138), which is
+    lossy.  Unreachable from the RGB encoder on valid input; the
+    transcoder passes True so a corrupt/extreme source stream fails
+    loudly instead of silently re-GOPping to different pixels.
     """
     config = config or EncodeConfig()
     prof = profiler or default_profiler
@@ -158,7 +166,12 @@ def encode_quantized_frames(
         for fi, q3 in enumerate(q3_frames):
             nf = fi + 1
             with prof.time("encode/sizes"):
-                sizes = centropy.candidate_sizes(q3, prev_q3)
+                if strict_range:
+                    sizes, clamped = centropy.candidate_sizes(
+                        q3, prev_q3, want_clamped=True
+                    )
+                else:
+                    sizes = centropy.candidate_sizes(q3, prev_q3)
             size_i = sum(sizes[:3])
             size_p = sum(sizes[3:]) if prev_q3 is not None else None
             pick_i = (
@@ -167,6 +180,14 @@ def encode_quantized_frames(
                 or size_i <= size_p
                 or fi - last_iframe >= max_i_interval
             )
+            if strict_range and any(
+                clamped[:3] if pick_i else clamped[3:]
+            ):
+                raise ValueError(
+                    f"frame {fi}: values exceed the VLI 11-bit range "
+                    "(|v| > 2047) — the format clamps these (lossy); "
+                    "refusing strict_range encode"
+                )
             psz = sizes[:3] if pick_i else sizes[3:]
             raw = FRAME_HEADER_BYTES + psz[0] + psz[1] + psz[2]
             frame_size = raw + (-raw) % 4
@@ -203,7 +224,14 @@ def encode_quantized_frames(
     for fi, q3 in enumerate(q3_frames):
         bits_i: dict[str, bytes] = {}
         bits_p: dict[str, bytes | None] = {}
+        clamp_i = clamp_p = False
         for i, name in enumerate(names):
+            if strict_range:
+                di = encode_ref.diff_dc_i(q3[i])
+                clamp_i = clamp_i or int(np.abs(di).max(initial=0)) > 2047
+                if prev_q3 is not None:
+                    dp = encode_ref.diff_p(q3[i], prev_q3[i])
+                    clamp_p = clamp_p or int(np.abs(dp).max(initial=0)) > 2047
             bi, bp = _encode_plane_candidates(
                 q3[i],
                 prev_q3[i] if prev_q3 is not None else None,
@@ -225,6 +253,12 @@ def encode_quantized_frames(
             or size_i <= size_p
             or fi - last_iframe >= max_i_interval
         )
+        if strict_range and (clamp_i if pick_i else clamp_p):
+            raise ValueError(
+                f"frame {fi}: values exceed the VLI 11-bit range "
+                "(|v| > 2047) — the format clamps these (lossy); "
+                "refusing strict_range encode"
+            )
         if pick_i:
             last_iframe = fi
             out_frames.append(

@@ -78,7 +78,9 @@ def regop(
     3 * window * blocks * 64 int16 amplitudes resident at once).
 
     Returns the new container; decoding it yields bit-identical RGBA to
-    decoding the input.
+    decoding the input.  Raises ValueError when the source's amplitude
+    state exceeds the VLI's encodable range (only corrupt or adversarial
+    streams do) — such a stream cannot be re-GOP'd losslessly.
     """
     index = fmt.index_frames(data)
     hdr = index.header
@@ -117,7 +119,10 @@ def regop(
     # the last block is dense — re-packing must not re-roll that dice, so
     # the transcoder always writes the true tail bits (decodes identically
     # in the reference decoder; tests/test_transcode.py proves it).
+    # strict_range: a corrupt/extreme source whose amplitude state needs
+    # >11-bit VLIs cannot re-encode losslessly (the format clamps, matching
+    # the reference) — fail loudly rather than emit different pixels.
     return encode_quantized_frames(
         quantized(), hdr.width, hdr.height, max_i_interval, None, config,
-        exact_tail=True,
+        exact_tail=True, strict_range=True,
     )

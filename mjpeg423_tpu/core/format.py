@@ -156,6 +156,7 @@ def parse_frame_at(buf: bytes, offset: int) -> tuple[Frame, int]:
         frame_size < FRAME_HEADER_BYTES
         or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
         or body_end > len(buf)
+        or frame_type > 1  # only I (0) and P (1) exist (mjpeg423_types.h)
     ):
         raise ValueError(f"corrupt frame at offset {offset}")
     y_bits = buf[body_start:body_start + y_size]
@@ -296,6 +297,7 @@ def index_frames(data: bytes) -> FrameIndex:
             frame_size < FRAME_HEADER_BYTES
             or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
             or pos + frame_size > len(data)
+            or frame_type > 1  # only I (0) and P (1) exist
         ):
             raise ValueError(f"corrupt frame chain at frame {fi}")
         ftype[fi] = frame_type

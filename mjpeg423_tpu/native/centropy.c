@@ -677,7 +677,8 @@ MJ_EXPORT int mj423_index_frames(const uint8_t* data, size_t len,
     uint64_t frame_size = hdr[0];
     uint64_t y_size = hdr[2], cb_size = hdr[3];
     if (frame_size < 16 || pos + frame_size > len ||
-        16 + y_size + cb_size > frame_size)
+        16 + y_size + cb_size > frame_size ||
+        hdr[1] > 1 /* only I (0) and P (1) exist (mjpeg423_types.h) */)
       return -(1 + i);
     uint64_t body = pos + 16;
     uint64_t cr_size = frame_size - 16 - y_size - cb_size;
@@ -1473,12 +1474,19 @@ MJ_EXPORT int mj423_encode_candidates(const int16_t* q3,
  * natural-order coefficients.  Bit length via the float exponent field
  * (exact for |v| < 2^24; int32 abs first so -32768 widens cleanly — both
  * give the same capped 11 the scalar clz path does). */
-static inline int mj_vli_bits_sum64(const int16_t* v) {
+/* ac_clamp (optional): set to 1 when any AC coefficient (natural index
+ * 1..63) has |v| > 2047 — i.e. its VLI size hit the 11-bit cap and the
+ * emitted code is LOSSY (the reference's encode_VLI clamps identically,
+ * lossless_encode.c:121-138).  The DC slot is excluded: its emitted VLI
+ * is the caller's chain diff, checked separately. */
+static inline int mj_vli_bits_sum64(const int16_t* v, int* ac_clamp) {
 #if defined(__AVX2__)
   const __m256i c126 = _mm256_set1_epi32(126);
   const __m256i c11 = _mm256_set1_epi32(11);
   const __m256i zero = _mm256_setzero_si256();
   __m256i acc = zero;
+  __m256i over = zero;
+  const __m256i lim = _mm256_set1_epi32(2047);
   for (int g = 0; g < 4; g++) {
     __m256i a = _mm256_loadu_si256((const __m256i*)(v + 16 * g));
     __m256i half[2];
@@ -1486,6 +1494,11 @@ static inline int mj_vli_bits_sum64(const int16_t* v) {
     half[1] = _mm256_cvtepi16_epi32(_mm256_extracti128_si256(a, 1));
     for (int h = 0; h < 2; h++) {
       __m256i ax = _mm256_abs_epi32(half[h]);
+      if (ac_clamp) {
+        __m256i o = _mm256_cmpgt_epi32(ax, lim);
+        if (g == 0 && h == 0) o = _mm256_blend_epi32(o, zero, 1); /* DC */
+        over = _mm256_or_si256(over, o);
+      }
       __m256i e =
           _mm256_srli_epi32(_mm256_castps_si256(_mm256_cvtepi32_ps(ax)), 23);
       e = _mm256_min_epi32(
@@ -1493,6 +1506,7 @@ static inline int mj_vli_bits_sum64(const int16_t* v) {
       acc = _mm256_add_epi32(acc, e);
     }
   }
+  if (ac_clamp && !_mm256_testz_si256(over, over)) *ac_clamp = 1;
   __m128i s = _mm_add_epi32(_mm256_castsi256_si128(acc),
                             _mm256_extracti128_si256(acc, 1));
   s = _mm_add_epi32(s, _mm_shuffle_epi32(s, 0x4E));
@@ -1505,6 +1519,7 @@ static inline int mj_vli_bits_sum64(const int16_t* v) {
     if (ax) {
       int s = 32 - __builtin_clz((uint32_t)ax);
       t += s > 11 ? 11 : s;
+      if (ac_clamp && k > 0 && ax > 2047) *ac_clamp = 1;
     }
   }
   return t;
@@ -1525,10 +1540,10 @@ static inline long mj_dc_bits(int32_t dc) {
  * last entry IS (7,7)), and ZRLs — which need zigzag gaps — are impossible
  * whenever the block has fewer than 16 zero ACs, so the zigzag scatter
  * runs only on sparse blocks where its set-bit loop is short anyway. */
-static inline long mj_block_ac_bits(const int16_t* v) {
+static inline long mj_block_ac_bits(const int16_t* v, int* ac_clamp) {
   const uint64_t nm = mj_mask_nat(v);
   const int pop_ac = __builtin_popcountll(nm & ~1ull);
-  long bits = 8L * pop_ac + mj_vli_bits_sum64(v);
+  long bits = 8L * pop_ac + mj_vli_bits_sum64(v, ac_clamp);
   if (v[0]) { /* DC's VLI is counted by the caller via mj_dc_bits */
     int32_t ax = v[0] < 0 ? -v[0] : v[0];
     int s = 32 - __builtin_clz((uint32_t)ax);
@@ -1557,10 +1572,14 @@ static inline long mj_block_ac_bits(const int16_t* v) {
  * Parallelized over (item, block-chunk); the I-DC chain contributes only
  * dc = q[b][0] - q[b-1][0], computable anywhere in the plane. */
 MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
-                                     int num_blocks, long* bits) {
+                                     int num_blocks, long* bits,
+                                     long* clamped) {
   const int n_items = qprev3 ? 6 : 3;
   if (num_blocks <= 0) { /* degenerate: empty planes encode to 0 bits */
-    for (int i = 0; i < n_items; i++) bits[i] = 0;
+    for (int i = 0; i < n_items; i++) {
+      bits[i] = 0;
+      if (clamped) clamped[i] = 0;
+    }
     return;
   }
   enum { NSEG = 8 };
@@ -1568,7 +1587,9 @@ MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
   if (n_seg > num_blocks) n_seg = num_blocks;
   const int seg_blocks = (num_blocks + n_seg - 1) / n_seg;
   long part[6 * NSEG];
+  long part_c[6 * NSEG];
   memset(part, 0, sizeof part);
+  memset(part_c, 0, sizeof part_c);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic) collapse(2)
 #endif
@@ -1587,6 +1608,7 @@ MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
           (i < 3 && start > 0) ? q3[((size_t)p * num_blocks + start - 1) * 64]
                                : 0;
       long acc = 0;
+      int clamp = 0;
       int16_t vd[64];
       for (int b = 0; b < count; b++) {
         const int16_t* row = q + (size_t)b * 64;
@@ -1602,15 +1624,22 @@ MJ_EXPORT void mj423_candidate_sizes(const int16_t* q3, const int16_t* qprev3,
         } else {
           dc = v[0];
         }
-        acc += mj_dc_bits(dc) + mj_block_ac_bits(v);
+        if (clamped && (dc > 2047 || dc < -2047)) clamp = 1;
+        acc += mj_dc_bits(dc) +
+               mj_block_ac_bits(v, clamped ? &clamp : NULL);
       }
       part[i * NSEG + s] = acc;
+      part_c[i * NSEG + s] = clamp;
     }
   }
   for (int i = 0; i < n_items; i++) {
-    long t = 0;
-    for (int s = 0; s < NSEG; s++) t += part[i * NSEG + s];
+    long t = 0, c = 0;
+    for (int s = 0; s < NSEG; s++) {
+      t += part[i * NSEG + s];
+      c |= part_c[i * NSEG + s];
+    }
     bits[i] = t;
+    if (clamped) clamped[i] = c;
   }
 }
 

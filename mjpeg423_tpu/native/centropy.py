@@ -187,6 +187,7 @@ def _load() -> ctypes.CDLL | None:
         lib.mj423_candidate_sizes.argtypes = [
             ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
             ctypes.c_int, ctypes.POINTER(ctypes.c_long),
+            ctypes.POINTER(ctypes.c_long),
         ]
         lib.mj423_encode_candidates_into.restype = ctypes.c_int
         lib.mj423_encode_candidates_into.argtypes = [
@@ -646,15 +647,22 @@ def encode_candidates(
 
 
 def candidate_sizes(
-    q3: np.ndarray, qprev3: np.ndarray | None
-) -> list[int] | None:
+    q3: np.ndarray, qprev3: np.ndarray | None,
+    want_clamped: bool = False,
+):
     """Exact encoded BYTE length of each candidate plane, without packing.
 
     Returns [I_y, I_cb, I_cr] (+ [P_y, P_cb, P_cr] when qprev3 is given);
     None when the native codec is unavailable.  The smaller-wins frame-type
     rule (mjpeg423_encoder.c:154-185) needs only these sizes, so the
     encoder selects first and packs only the winning candidate — the size
-    scan costs ~1/5 of a pack (no bit writer, no output traffic)."""
+    scan costs ~1/5 of a pack (no bit writer, no output traffic).
+
+    want_clamped: also return a per-item bool list — True when some value
+    of that candidate exceeds the VLI's 11-bit range (|v| > 2047), i.e.
+    packing it is LOSSY (the reference's encode_VLI clamps identically,
+    lossless_encode.c:121-138).  Only reachable via corrupt/extreme
+    streams; the transcoder uses it to refuse silent degradation."""
     lib = _load()
     if lib is None:
         return None
@@ -662,6 +670,8 @@ def candidate_sizes(
     _, nb, _ = q.shape
     n = 3 if qprev3 is None else 6
     bits = np.zeros(6, np.dtype(ctypes.c_long))
+    clamped = np.zeros(6, np.dtype(ctypes.c_long))
+    lp = ctypes.POINTER(ctypes.c_long)
     i16p = ctypes.POINTER(ctypes.c_int16)
     if qprev3 is None:
         prev_ptr = ctypes.cast(None, i16p)
@@ -671,9 +681,13 @@ def candidate_sizes(
         prev_ptr = _keep.ctypes.data_as(i16p)
     lib.mj423_candidate_sizes(
         q.ctypes.data_as(i16p), prev_ptr, nb,
-        bits.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        bits.ctypes.data_as(lp),
+        clamped.ctypes.data_as(lp) if want_clamped else ctypes.cast(None, lp),
     )
-    return [int(b + 7) // 8 for b in bits[:n]]
+    sizes = [int(b + 7) // 8 for b in bits[:n]]
+    if want_clamped:
+        return sizes, [bool(c) for c in clamped[:n]]
+    return sizes
 
 
 def encode_candidates_into(

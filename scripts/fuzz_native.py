@@ -20,6 +20,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
+from struct import error as struct_error
 
 from mjpeg423_tpu.codec import decoder, encoder
 from mjpeg423_tpu.core import format as fmt
@@ -98,6 +99,8 @@ def one_round(rng: np.random.Generator) -> dict:
 
     # whole-container corruption: the pipeline/decoder must raise or give
     # byte-exact output, never crash or silently truncate
+    from mjpeg423_tpu.codec.transcode import regop
+
     for _ in range(10):
         mut = bytearray(data)
         pos = int(rng.integers(20, len(mut)))
@@ -111,6 +114,31 @@ def one_round(rng: np.random.Generator) -> dict:
             if isinstance(e, AssertionError):
                 raise
             stats["raised"] += 1
+        # the indexer must reject corrupt chains with ValueError, not crash
+        try:
+            fmt.index_frames(bytes(mut))
+        except ValueError:
+            pass
+        # the lossless transcoder must raise or stay decode-identical
+        try:
+            re = regop(bytes(mut), max_i_interval=3)
+        except (ValueError, struct_error):
+            stats["raised"] += 1
+        else:
+            try:
+                a = decoder.decode_stream_array(bytes(mut))
+            except ValueError:
+                raise AssertionError(
+                    "regop accepted a container the decoder rejects"
+                )
+            b = decoder.decode_stream_array(re)
+            # regop runs strict_range: it must RAISE when the stream's
+            # amplitude state exceeds the VLI's 11-bit range, so any
+            # successful transcode must be decode-identical.
+            assert (np.asarray(a) == np.asarray(b)).all(), (
+                "regop succeeded but changed decoded output"
+            )
+            stats["ok"] += 1
     return stats
 
 

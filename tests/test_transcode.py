@@ -126,3 +126,53 @@ def test_exact_tail_preserves_dense_block_tail(rng):
             for p in range(3)
         ]
         assert blobs == want  # native exact-tail == oracle exact-tail
+
+
+def test_strict_range_raises_on_unencodable_amplitudes():
+    """Values outside the VLI's 11-bit range (only corrupt/adversarial
+    streams produce them) clamp lossily at pack time — the reference's
+    encode_VLI does the same (lossless_encode.c:121-138).  regop runs
+    encode_quantized_frames(strict_range=True), which must REFUSE such
+    frames instead of silently emitting different pixels."""
+    import pytest
+
+    from mjpeg423_tpu.codec.encoder import encode_quantized_frames
+
+    q3 = np.zeros((3, 6, 64), np.int16)
+    q3[0, 2, 5] = 3000  # AC beyond +-2047
+    with pytest.raises(ValueError, match="VLI"):
+        encode_quantized_frames([q3], 16, 24, strict_range=True)
+    # non-strict still encodes (reference clamp semantics), native == oracle
+    from mjpeg423_tpu.ops import entropy_ref
+
+    a = encode_quantized_frames([q3], 16, 24)
+    b = encode_quantized_frames(
+        [q3], 16, 24, entropy_encode=entropy_ref.encode_plane
+    )
+    assert a == b
+
+    # DC chain diffs beyond the range must trip it too
+    q3b = np.zeros((3, 6, 64), np.int16)
+    q3b[1, 0, 0] = -1500
+    q3b[1, 1, 0] = 1500  # chain diff 3000
+    with pytest.raises(ValueError, match="VLI"):
+        encode_quantized_frames([q3b], 16, 24, strict_range=True)
+
+
+def test_corrupt_frame_type_rejected():
+    """frame_type other than I(0)/P(1) must raise ValueError at parse and
+    index time, not overflow or silently decode as P (fuzzer regression)."""
+    import pytest
+
+    from mjpeg423_tpu.codec.encoder import encode_frames
+    from mjpeg423_tpu.core import format as fmt
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)] * 3
+    data = bytearray(encode_frames(frames, max_i_interval=2))
+    # frame 0's frame_type field is at offset 20 + 4
+    data[24] = 0xAA
+    with pytest.raises(ValueError):
+        fmt.parse_file(bytes(data))
+    with pytest.raises(ValueError):
+        fmt.index_frames(bytes(data))
