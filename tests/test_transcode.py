@@ -158,6 +158,14 @@ def test_strict_range_raises_on_unencodable_amplitudes():
     with pytest.raises(ValueError, match="VLI"):
         encode_quantized_frames([q3b], 16, 24, strict_range=True)
 
+    # the pure-Python packer path enforces it too
+    for bad in (q3, q3b):
+        with pytest.raises(ValueError, match="VLI"):
+            encode_quantized_frames(
+                [bad], 16, 24, entropy_encode=entropy_ref.encode_plane,
+                strict_range=True,
+            )
+
 
 def test_corrupt_frame_type_rejected():
     """frame_type other than I(0)/P(1) must raise ValueError at parse and
