@@ -256,10 +256,9 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from mjpeg423_tpu.parallel import (
-        decode_transform_sharded, decode_transform_sharded3, make_mesh,
-        shard_inputs,
+        decode_transform_sharded, make_mesh, shard_inputs,
     )
-    from mjpeg423_tpu.parallel.mesh import BLOCK_AXIS, DATA_AXIS
+    from mjpeg423_tpu.parallel.mesh import DATA_AXIS
 
     n = len(jax.devices())
     use_pallas = on_tpu
@@ -277,37 +276,61 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
         seg[:: f_s // n_data] = True
 
         if use_pallas:
-            # Coefficient-major fast path: the cm kernel variant skips the
-            # in-shard transpose AND fits the k=2 fold the block-major
-            # kernel cannot (parallel/decode.decode_transform_sharded_cm);
-            # the host parser emits this layout at no extra cost.
-            from mjpeg423_tpu.parallel import decode_transform_sharded_cm
+            # Coefficient-major fast path, chained through the per-device
+            # coefficient CARRY exactly like the production mesh pipeline
+            # step (runtime/pipeline._get_mesh_step): the input stays
+            # device-resident and read-only across iterations, the data
+            # dependency between iterations is the carry — no full-input
+            # re-materialization per step (which used to cost ~2x here).
+            from mjpeg423_tpu.ops.transform_fused import (
+                decode_window_fused_cm, to_cm,
+            )
             from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
 
-            from mjpeg423_tpu.ops.transform_fused import to_cm
-
-            rk = auto_rows_per_step(bh, bw, f_s // n_data)
+            wl = f_s // n_data  # frames per device partition
+            rk = auto_rows_per_step(bh, bw, wl)
             g, bwe = bh // rk, rk * bw
-            a3 = jax.device_put(
-                jnp.asarray(to_cm(a, bh, bw, rk)),
-                NamedSharding(mesh, P(None, DATA_AXIS)))
-            seg_d = jax.device_put(
-                seg, NamedSharding(mesh, P(DATA_AXIS)))
-            args = (a3, seg_d)
-            _log(f"sharded cm: rows_per_step={rk} ({bwe} lanes)")
+            # Leading device axis; each device owns a GOP-aligned
+            # contiguous frame partition (multihost.partition_gops shape).
+            a_nd = np.stack([
+                to_cm(a[:, d * wl:(d + 1) * wl], bh, bw, rk)
+                for d in range(n_data)
+            ])
+            seg_nd = seg[:f_s].reshape(n_data, wl)
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            d_a = jax.device_put(jnp.asarray(a_nd), sh)
+            d_s = jax.device_put(jnp.asarray(seg_nd), sh)
+            d_c = jax.device_put(
+                jnp.zeros((n_data, 3, g, 64, bwe), jnp.int16), sh)
+            _log(f"sharded cm: rows_per_step={rk} ({bwe} lanes), "
+                 f"{wl} frames/device")
 
-            @jax.jit
-            def run(a3_, s, mesh=mesh):
-                def body(i, tok):
-                    out = decode_transform_sharded_cm(
-                        a3_ + tok, s, mesh=mesh, blocks_h=bh, blocks_w=bw,
-                        raster=False,
-                    )
-                    return jnp.sum(
-                        out[0, 0, 0, 0, :64].astype(jnp.int32)
-                    ).astype(jnp.int16)
-                return jax.lax.fori_loop(
-                    0, 32, body, jnp.int16(0)).astype(jnp.int32)
+            def make_chain(iters):
+                def body(a_, s_, c_):
+                    def it(_, cc):
+                        _, nc = decode_window_fused_cm(
+                            a_[0], s_[0], cc[0], blocks_h=bh, blocks_w=bw,
+                            rows_per_step=rk, raster=False,
+                        )
+                        return nc[None]
+                    final = jax.lax.fori_loop(0, iters, it, c_)
+                    return jnp.sum(final.astype(jnp.int32))[None]
+
+                spec = P(DATA_AXIS)
+                run = jax.jit(jax.shard_map(
+                    body, mesh=mesh, in_specs=(spec, spec, spec),
+                    out_specs=spec,
+                    # pallas_call out_shapes carry no varying-mesh-axis
+                    # info (see parallel/decode.py).
+                    check_vma=False,
+                ))
+                return lambda: jnp.sum(run(d_a, d_s, d_c))
+
+            dt = bench_chained(make_chain, f_s)
+            times[n_data] = dt / f_s
+            _log(f"sharded n_data={n_data} (gop-aligned, fused, "
+                 f"carry-chained): {dt * 1e3:.2f} ms/{f_s}-frame batch, "
+                 f"{f_s / dt:.1f} frames/s")
         else:
             args = shard_inputs(
                 mesh, a[0], a[1], a[2], jnp.asarray(seg)
@@ -327,14 +350,14 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
                 return jax.lax.fori_loop(
                     0, 32, body, jnp.int16(0)).astype(jnp.int32)
 
-        float(run(*args))  # warm
-        t0 = time.perf_counter()
-        float(run(*args))
-        dt = (time.perf_counter() - t0) / 32
-        times[n_data] = dt / f_s  # per-frame (batch sizes differ per n)
-        _log(f"sharded n_data={n_data} (gop-aligned, "
-             f"{'fused' if use_pallas else 'xla'}): {dt * 1e3:.2f} ms/"
-             f"{f_s}-frame batch, {f_s / dt:.1f} frames/s")
+            float(run(*args))  # warm
+            t0 = time.perf_counter()
+            float(run(*args))
+            dt = (time.perf_counter() - t0) / 32
+            times[n_data] = dt / f_s  # per-frame (batches differ per n)
+            _log(f"sharded n_data={n_data} (gop-aligned, xla): "
+                 f"{dt * 1e3:.2f} ms/{f_s}-frame batch, "
+                 f"{f_s / dt:.1f} frames/s")
     if not times:
         return None
     result = {
