@@ -33,9 +33,14 @@ except ImportError:  # pragma: no cover
         from numpy.core.multiarray import _set_madvise_hugepage
     except ImportError:
         _set_madvise_hugepage = None
-if _set_madvise_hugepage is not None and _os.environ.get(
-    "MJPEG423_MADVISE_HUGEPAGE", "0"
-) != "1":
+if (
+    _set_madvise_hugepage is not None
+    # Respect an explicit user opt-in through EITHER knob: the package
+    # one, or numpy's own env var if the user set it before we imported
+    # (we must not silently defeat a deliberate process-wide choice).
+    and _os.environ.get("MJPEG423_MADVISE_HUGEPAGE", "0") != "1"
+    and _os.environ.get("NUMPY_MADVISE_HUGEPAGE", "0") != "1"
+):
     _set_madvise_hugepage(False)
 
 __version__ = "0.1.0"

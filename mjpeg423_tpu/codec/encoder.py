@@ -75,19 +75,6 @@ def _rgb_to_blocked_planes(
     return raster_to_blocks(y), raster_to_blocks(cb), raster_to_blocks(cr)
 
 
-def _encode_plane_candidates(
-    q: np.ndarray,
-    q_prev: np.ndarray | None,
-    encode_plane: Callable[[np.ndarray], bytes],
-) -> tuple[bytes, bytes | None]:
-    """Return (I-candidate bits, P-candidate bits or None)."""
-    bits_i = encode_plane(encode_ref.diff_dc_i(q))
-    bits_p = None
-    if q_prev is not None:
-        bits_p = encode_plane(encode_ref.diff_p(q, q_prev))
-    return bits_i, bits_p
-
-
 def encode_quantized_frames(
     q3_frames,
     width: int,
@@ -226,19 +213,20 @@ def encode_quantized_frames(
         bits_p: dict[str, bytes | None] = {}
         clamp_i = clamp_p = False
         for i, name in enumerate(names):
-            if strict_range:
-                di = encode_ref.diff_dc_i(q3[i])
-                clamp_i = clamp_i or int(np.abs(di).max(initial=0)) > 2047
-                if prev_q3 is not None:
-                    dp = encode_ref.diff_p(q3[i], prev_q3[i])
-                    clamp_p = clamp_p or int(np.abs(dp).max(initial=0)) > 2047
-            bi, bp = _encode_plane_candidates(
-                q3[i],
-                prev_q3[i] if prev_q3 is not None else None,
-                entropy_encode,
+            # Difference once; the clamp test and the entropy pack share
+            # the same tensors (recomputing them doubled the dominant
+            # numpy work of this fallback path).
+            di = encode_ref.diff_dc_i(q3[i])
+            dp = (
+                encode_ref.diff_p(q3[i], prev_q3[i])
+                if prev_q3 is not None else None
             )
-            bits_i[name] = bi
-            bits_p[name] = bp
+            if strict_range:
+                clamp_i = clamp_i or int(np.abs(di).max(initial=0)) > 2047
+                if dp is not None:
+                    clamp_p = clamp_p or int(np.abs(dp).max(initial=0)) > 2047
+            bits_i[name] = entropy_encode(di)
+            bits_p[name] = entropy_encode(dp) if dp is not None else None
 
         size_i = sum(len(b) for b in bits_i.values())
         size_p = (

@@ -97,7 +97,11 @@ def regop(
             np.zeros((3, nb, 64), np.int16),
         ]
         flat = np.empty((3 * window, nb, 64), np.int16)
-        prev = None
+        # A stream whose FIRST frame is a P-frame is accepted by the
+        # decoder (delta accumulated into the zeroed initial carry —
+        # lossless_decode.c zeroes buffers only on I); mirror that by
+        # starting the amplitude state at zeros instead of crashing.
+        prev = np.zeros((3, nb, 64), np.int16)
         for ws in range(0, nf, window):
             count = min(window, nf - ws)
             _parse_window_amps(data, index, ws, count, flat)

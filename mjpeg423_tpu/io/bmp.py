@@ -101,9 +101,12 @@ def _decode_rle(data: bytes, offset: int, w: int, h: int, rle4: bool
                 if len(take) < val:
                     raise ValueError("truncated RLE8 absolute run")
                 end = min(x + val, w)
-                out[y, x:end] = np.frombuffer(
-                    take, dtype=np.uint8
-                )[: end - x]
+                if end > x:  # x may already be past the row width
+                    # (corrupt/overlong runs clamp, like the encoded-run
+                    # path — not a broadcast error)
+                    out[y, x:end] = np.frombuffer(
+                        take, dtype=np.uint8
+                    )[: end - x]
                 i += val + (val & 1)  # word-aligned
                 x += val
     return out[::-1]  # RLE rows are stored bottom-up

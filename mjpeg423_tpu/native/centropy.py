@@ -738,7 +738,11 @@ def encode_candidates_into(
     offs_a = np.asarray(offs, np.dtype(ctypes.c_long))
     caps_a = np.asarray(sizes, np.dtype(ctypes.c_long))
     lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))
-    assert dst.dtype == np.uint8 and dst.flags.c_contiguous
+    if dst.dtype != np.uint8 or not dst.flags.c_contiguous:
+        # The C stitch writes through dst.ctypes.data assuming a contiguous
+        # byte buffer — a wrong layout corrupts unrelated memory, so this
+        # must survive python -O (not an assert).
+        raise ValueError("dst must be a C-contiguous uint8 array")
     for p in range(3):  # the C stitch trusts these — never let it OOB
         if offs_a[p] < 0 or caps_a[p] < 0 or offs_a[p] + caps_a[p] > dst.size:
             raise ValueError(

@@ -382,12 +382,7 @@ class DecodePipeline:
             frames, _ = step(("i8", dc, ac), self._put(seg), carry)
             frames.block_until_ready()
             return
-        want_cm = (
-            use_pallas and self.config.coef_major
-            and not (use_pallas and self.config.pack_i8)
-            and self.config.spec_segments <= 1
-            and self.config.use_native_entropy and centropy.native_available()
-        )
+        want_cm = self._want_cm()
         if want_cm:
             kk = auto_rows_per_step(bh, bw, w)
             amps = ("cm", self._put(
@@ -450,14 +445,10 @@ class DecodePipeline:
 
         use_pallas = self._use_pallas()
         want_packed = use_pallas and cfg.pack_i8
-        # Mirror parse_window's actual fast-path conditions (spec_segments
-        # and the pure-Python fallback both emit block-major) so the carry
-        # layout below starts out right.
-        want_cm = (
-            use_pallas and cfg.coef_major and not want_packed
-            and cfg.spec_segments <= 1 and cfg.use_native_entropy
-            and centropy.native_available()
-        )
+        # _want_cm mirrors parse_window's actual fast-path conditions
+        # (spec_segments and the pure-Python fallback both emit block-major)
+        # so the carry layout below starts out right.
+        want_cm = self._want_cm()
 
         def producer():
             err: BaseException | None = None
@@ -606,19 +597,26 @@ class DecodePipeline:
 
     # ----- Mesh-sharded streaming (multi-chip pipeline) ------------------
 
+    def _want_cm(self, ignore_i8: bool = False) -> bool:
+        """THE coefficient-major fast-path predicate — the single source of
+        truth for whether parse_window emits (and the device step consumes)
+        the cm layout.  Duplicated copies of this condition drifting apart
+        was a round-1 carry-layout bug (ADVICE.md item 4); warmup(),
+        decode(), and _mesh_fmt() all call this one definition.
+        ignore_i8: the mesh path never packs int8 (the sharded step
+        standardizes on one array format), so it skips that exclusion."""
+        cfg = self.config
+        return (
+            self._use_pallas() and cfg.coef_major
+            and (ignore_i8 or not cfg.pack_i8)
+            and cfg.spec_segments <= 1
+            and cfg.use_native_entropy and centropy.native_available()
+        )
+
     def _mesh_fmt(self) -> str:
         """Device input layout for the mesh path: coefficient-major when the
-        native parser can emit it for the fused kernel, else block-major.
-        pack_i8 is single-device-only (the sharded step standardizes on one
-        array format)."""
-        cfg = self.config
-        if (
-            self._use_pallas() and cfg.coef_major
-            and cfg.spec_segments <= 1 and cfg.use_native_entropy
-            and centropy.native_available()
-        ):
-            return "cm"
-        return "bm"
+        native parser can emit it for the fused kernel, else block-major."""
+        return "cm" if self._want_cm(ignore_i8=True) else "bm"
 
     def _get_mesh_step(self, blocks_h: int, blocks_w: int, fmt: str):
         use_pallas = self._use_pallas()

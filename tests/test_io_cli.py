@@ -393,3 +393,17 @@ def test_cli_info_verify(tmp_path, stream, capsys):
     meta = json.loads(capsys.readouterr().out)
     assert meta["verify"]["corrupt"]["frame"] == fi
     assert meta["verify"]["corrupt"]["plane"] == "cb"
+
+
+def test_bmp_rle8_absolute_run_overshoot(tmp_path):
+    """An RLE8 absolute run starting past the row width must clamp like the
+    encoded-run path does, not raise a numpy broadcast error (review
+    regression: negative slice length)."""
+    palette = [(i, i, i) for i in range(256)]
+    # 8x1: encoded run of 10 (overshoots the 8-px row), then an absolute
+    # run of 4 while x=10 > w, then EOL, EOB.
+    rle = bytes([10, 5, 0, 4, 1, 2, 3, 4, 0, 0, 0, 1])
+    p = str(tmp_path / "r8over.bmp")
+    _bmp_file(p, 8, 1, 8, 1, palette, rle)
+    img = bmp.read_bmp(p)
+    np.testing.assert_array_equal(img[0, :, 0], [5] * 8)

@@ -184,3 +184,18 @@ def test_corrupt_frame_type_rejected():
         fmt.parse_file(bytes(data))
     with pytest.raises(ValueError):
         fmt.index_frames(bytes(data))
+
+
+def test_regop_p_first_frame():
+    """A stream whose FIRST frame is a P-frame is accepted by the decoder
+    (delta accumulated into the zeroed initial carry); regop must mirror
+    that semantic — zero initial amplitude state — not crash (review
+    regression: prev=None reached np.add)."""
+    rng = np.random.default_rng(11)
+    frames = [rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)] * 4
+    data = bytearray(encode_frames(frames, max_i_interval=2))
+    data[24] = 1  # frame 0's frame_type word: I -> P
+    data = bytes(data)
+    want = decode_stream_array(data)  # the decoder accepts P-first
+    new = regop(data, max_i_interval=2)
+    np.testing.assert_array_equal(want, decode_stream_array(new))
