@@ -143,6 +143,30 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_thumbs(args) -> int:
+    """Decode only the I-frames (the trailer's seek points) — the preview
+    strip of an archive at a fraction of a full decode."""
+    from .io import bmp
+    from .runtime import DecodePipeline
+    from .utils.config import DecodeConfig
+
+    data = _load_stream(args.input)
+    kw = {} if args.batch is None else {"frames_per_batch": args.batch}
+    cfg = DecodeConfig(use_pallas=False if args.no_pallas else None, **kw)
+    pipe = DecodePipeline(cfg)
+    os.makedirs(args.outdir, exist_ok=True)
+    t0 = time.perf_counter()
+    n = 0
+    for fi, frame in pipe.decode_iframes(data):
+        bmp.write_bmp32(
+            os.path.join(args.outdir, f"{args.prefix}{fi:06d}.bmp"), frame
+        )
+        n += 1
+    dt = time.perf_counter() - t0
+    print(f"wrote {n} I-frame thumbnails in {dt:.3f}s", file=sys.stderr)
+    return 0
+
+
 def cmd_encode(args) -> int:
     from .codec import encoder
     from .io import bmp
@@ -395,6 +419,16 @@ def main(argv=None) -> int:
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timing aggregates when done")
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser(
+        "thumbs", help="decode only the I-frames (preview/thumbnail strip)"
+    )
+    p.add_argument("input")
+    p.add_argument("-o", "--outdir", default=".")
+    p.add_argument("--prefix", default="thumb")
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--no-pallas", action="store_true")
+    p.set_defaults(fn=cmd_thumbs)
 
     p = sub.add_parser("encode", help="encode BMP/npy frames to .mpg")
     p.add_argument("inputs", nargs="+")

@@ -215,8 +215,13 @@ class DecodePipeline:
         self, data: bytes, index: fmt.FrameIndex, start: int, count: int,
         want_packed: bool = False,
         want_cm: bool = False,
+        frames: np.ndarray | None = None,
     ):
         """Entropy-decode frames [start, start+count).
+
+        frames: an explicit array of frame indices overrides start/count —
+        the windows need not be contiguous (decode_iframes batches GOP
+        heads this way).
 
         Returns (3, count, B, 64) int16 amplitudes, or — when want_packed
         and every AC amplitude fits int8 — the compressed
@@ -225,6 +230,11 @@ class DecodePipeline:
         traffic; the native decoder emits it directly at no extra parse
         cost and signals fallback when a stream needs the full range).
         """
+        if frames is None:
+            fsel = np.arange(start, start + count)
+        else:
+            fsel = np.asarray(frames)
+            count = len(fsel)
         nb = index.header.blocks_per_plane
         spec = self.config.spec_segments
         with self.profiler.time("parse/window"):
@@ -234,7 +244,7 @@ class DecodePipeline:
                 out = np.empty((3, count, nb, 64), dtype=np.int16)
                 for p in range(3):
                     for i in range(count):
-                        fi = start + i
+                        fi = int(fsel[i])
                         o = int(index.plane_off[p, fi])
                         l = int(index.plane_len[p, fi])
                         out[p, i] = centropy.decode_plane_spec(
@@ -245,11 +255,10 @@ class DecodePipeline:
                 return out
             if self._decode_plane_fn() is None:
                 # One native call over all count*3 plane bitstreams.
-                sl = slice(start, start + count)
-                offs = index.plane_off[:, sl].reshape(-1)
-                lens = index.plane_len[:, sl].reshape(-1)
+                offs = index.plane_off[:, fsel].reshape(-1)
+                lens = index.plane_len[:, fsel].reshape(-1)
                 is_p = np.broadcast_to(
-                    index.frame_type[sl] != 0, (3, count)
+                    index.frame_type[fsel] != 0, (3, count)
                 ).reshape(-1)
                 if want_cm:
                     bh = index.header.blocks_h
@@ -284,7 +293,7 @@ class DecodePipeline:
             fn = self._decode_plane_fn()
             for p in range(3):
                 for i in range(count):
-                    fi = start + i
+                    fi = int(fsel[i])
                     o = int(index.plane_off[p, fi])
                     l = int(index.plane_len[p, fi])
                     out[p, i] = fn(
@@ -535,30 +544,7 @@ class DecodePipeline:
                         else carry_to_bm(carry)
                     )
                     carry_layout = fmt_tag
-                if isinstance(amps, tuple) and amps[0] == "cm":
-                    cm = amps[1]
-                    if c < w:  # pad tail (zero deltas repeat last frame)
-                        pcm = np.zeros(
-                            (3, w) + cm.shape[2:], dtype=np.int16
-                        )
-                        pcm[:, :c] = cm
-                        cm = pcm
-                    dev_amps = ("cm", self._put(cm))
-                elif isinstance(amps, tuple):  # packed ("i8", dc, ac8)
-                    _, dc, ac = amps
-                    if c < w:
-                        pdc = np.zeros((3, w, nb), dtype=np.int16)
-                        pac = np.zeros((3, w, nb, 64), dtype=np.int8)
-                        pdc[:, :c] = dc
-                        pac[:, :c] = ac
-                        dc, ac = pdc, pac
-                    dev_amps = ("i8", self._put(dc), self._put(ac))
-                else:
-                    if c < w:
-                        pad = np.zeros((3, w, nb, 64), dtype=np.int16)
-                        pad[:, :c] = amps
-                        amps = pad
-                    dev_amps = self._put(amps)
+                dev_amps = self._put_window(amps, c, w, nb)
                 seg = np.zeros(w, dtype=bool)
                 seg[: min(c, w)] = index.is_iframe[s:s + c]
                 with self.profiler.time("device/dispatch"):
@@ -848,6 +834,122 @@ class DecodePipeline:
                 th.join(timeout=1.0)
                 if not th.is_alive():
                     break
+
+    def _put_window(self, amps, c: int, w: int, nb: int):
+        """Pad a parsed window to the jit window length (zero deltas repeat
+        the last frame; padded rows are dropped at drain) and device_put it,
+        preserving the parse layout tag ("cm"/"i8"/block-major)."""
+        if isinstance(amps, tuple) and amps[0] == "cm":
+            cm = amps[1]
+            if c < w:
+                pcm = np.zeros((3, w) + cm.shape[2:], dtype=np.int16)
+                pcm[:, :c] = cm
+                cm = pcm
+            return ("cm", self._put(cm))
+        if isinstance(amps, tuple):  # packed ("i8", dc, ac8)
+            _, dc, ac = amps
+            if c < w:
+                pdc = np.zeros((3, w, nb), dtype=np.int16)
+                pac = np.zeros((3, w, nb, 64), dtype=np.int8)
+                pdc[:, :c] = dc
+                pac[:, :c] = ac
+                dc, ac = pdc, pac
+            return ("i8", self._put(dc), self._put(ac))
+        if c < w:
+            pad = np.zeros((3, w, nb, 64), dtype=np.int16)
+            pad[:, :c] = amps
+            amps = pad
+        return self._put(amps)
+
+    def decode_iframes(
+        self, data: bytes, stop: Callable[[], bool] | None = None,
+    ) -> Iterator[tuple[int, np.ndarray]]:
+        """Decode ONLY the stream's I-frames (thumbnail / preview strip).
+
+        Every I-frame resets all decoder state (lossless_decode.c:76-78),
+        so GOP heads decode with zero carry and batch into full windows —
+        a whole archive's preview costs only its I-frame bitstreams (the
+        trailer indexes them; the same property the reference exploits for
+        seek, playback.c:136-152).  Yields (frame_index, (H, W) uint32
+        packed BGRA) in stream order.
+        """
+        if self.mesh is not None:
+            raise ValueError(
+                "decode_iframes is single-device; GOP heads are a small "
+                "fraction of the stream (shard whole streams instead)"
+            )
+        cfg = self.config
+        index = fmt.index_frames(data)
+        hdr = index.header
+        bh, bw = hdr.blocks_h, hdr.blocks_w
+        nb = hdr.blocks_per_plane
+        w = cfg.frames_per_batch
+        step = self._get_step(bh, bw)
+        use_pallas = self._use_pallas()
+        want_packed = use_pallas and cfg.pack_i8
+        want_cm = self._want_cm()
+        sel = np.flatnonzero(index.is_iframe)
+
+        zero_carries: dict[str, object] = {}
+
+        def zero_carry(tag: str):
+            # All selected frames are I-frames: the carry never
+            # contributes, it only has to match the window layout.
+            if tag not in zero_carries:
+                if tag == "cm":
+                    kk = auto_rows_per_step(bh, bw, w)
+                    zero_carries[tag] = self._put(np.zeros(
+                        (3, bh // kk, 64, kk * bw), np.int16
+                    ))
+                else:
+                    zero_carries[tag] = self._put(
+                        np.zeros((3, nb, 64), np.int16)
+                    )
+            return zero_carries[tag]
+
+        def emit(item):
+            chunk, c, frames = item
+            with self.profiler.time("output/transfer"):
+                host = np.asarray(frames)
+            host = self._to_raster(host, bh, bw)
+            for i in range(c):
+                yield int(chunk[i]), host[i]
+
+        pending: list[tuple[np.ndarray, int, object]] = []
+        ring = max(1, cfg.num_output_buffers)
+        for s in range(0, len(sel), w):
+            if stop is not None and stop():
+                return
+            chunk = sel[s:s + w]
+            c = len(chunk)
+            amps = self.parse_window(
+                data, index, 0, c, want_packed, want_cm, frames=chunk
+            )
+            tag = (
+                "cm" if isinstance(amps, tuple) and amps[0] == "cm"
+                else "bm"
+            )
+            dev_amps = self._put_window(amps, c, w, nb)
+            seg = np.zeros(w, dtype=bool)
+            seg[:c] = True
+            with self.profiler.time("device/dispatch"):
+                frames, _ = step(dev_amps, self._put(seg), zero_carry(tag))
+            pending.append((chunk, c, frames))
+            while len(pending) > ring:
+                yield from emit(pending.pop(0))
+        while pending:
+            yield from emit(pending.pop(0))
+
+    def decode_iframes_array(
+        self, data: bytes,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All I-frames at once: (indices (K,), frames (K, H, W) uint32)."""
+        pairs = list(self.decode_iframes(data))
+        if not pairs:
+            return (np.zeros(0, np.int64),
+                    np.zeros((0, 0, 0), dtype=np.uint32))
+        idx = np.array([i for i, _ in pairs], dtype=np.int64)
+        return idx, np.stack([f for _, f in pairs])
 
     def _drain(self, item, blocks_h: int, blocks_w: int) -> DecodedWindow:
         s, c, frames = item

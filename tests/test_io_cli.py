@@ -407,3 +407,17 @@ def test_bmp_rle8_absolute_run_overshoot(tmp_path):
     _bmp_file(p, 8, 1, 8, 1, palette, rle)
     img = bmp.read_bmp(p)
     np.testing.assert_array_equal(img[0, :, 0], [5] * 8)
+
+
+def test_cli_thumbs(tmp_path, stream, capsys):
+    import glob as _glob
+
+    data, _ = stream
+    mpg = str(tmp_path / "t.mpg")
+    open(mpg, "wb").write(data)
+    outdir = str(tmp_path / "thumbs")
+    assert cli.main(["thumbs", mpg, "-o", outdir, "--no-pallas"]) == 0
+    from mjpeg423_tpu.core import format as fmt
+
+    n_if = int(fmt.index_frames(data).is_iframe.sum())
+    assert len(_glob.glob(outdir + "/thumb*.bmp")) == n_if

@@ -294,3 +294,53 @@ def test_pipeline_decodes_mmap_buffer(tmp_path):
         got = pipe.decode_array(mm)
         mm.close()
     np.testing.assert_array_equal(got, want)
+
+
+class TestDecodeIframes:
+    """I-frame-only decode (thumbnail extraction): GOP heads batch into
+    windows with zero carry (every I-frame resets all state)."""
+
+    def test_matches_full_decode(self, stream):
+        data, want = stream
+        from mjpeg423_tpu.core import format as fmt
+
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=5, use_pallas=False)
+        )
+        idx, thumbs = pipe.decode_iframes_array(data)
+        index = fmt.index_frames(data)
+        np.testing.assert_array_equal(idx, np.flatnonzero(index.is_iframe))
+        np.testing.assert_array_equal(thumbs, want[idx])
+
+    def test_window_not_aligned_to_iframe_count(self, stream):
+        data, want = stream
+        # batch 3 does not divide the I-frame count (noise content makes
+        # smaller-wins insert extra I's): exercises the padded tail window
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=3, use_pallas=False)
+        )
+        idx, thumbs = pipe.decode_iframes_array(data)
+        assert len(idx) % 3 != 0 and len(idx) > 3
+        np.testing.assert_array_equal(thumbs, want[idx])
+
+    def test_stop_predicate(self, stream):
+        data, _ = stream
+        pipe = DecodePipeline(DecodeConfig(
+            frames_per_batch=2, use_pallas=False, num_output_buffers=1,
+        ))
+        n_if = len(pipe.decode_iframes_array(data)[0])
+        got = []
+        it = pipe.decode_iframes(data, stop=lambda: len(got) >= 2)
+        for fi, _f in it:
+            got.append(fi)
+        assert 2 <= len(got) < n_if  # stops at a window boundary
+
+    def test_mesh_rejected(self, stream):
+        data, _ = stream
+        import jax
+
+        from mjpeg423_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=len(jax.devices()), n_block=1)
+        with pytest.raises(ValueError, match="single-device"):
+            next(DecodePipeline(mesh=mesh).decode_iframes(data))
