@@ -27,7 +27,7 @@ import dataclasses
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator
+from typing import Callable, Iterator, Sequence
 
 import numpy as np
 
@@ -939,6 +939,152 @@ class DecodePipeline:
                 yield from emit(pending.pop(0))
         while pending:
             yield from emit(pending.pop(0))
+
+    def decode_streams(
+        self,
+        datas: Sequence[bytes],
+        stop: Callable[[], bool] | None = None,
+    ) -> Iterator[tuple[int, int, np.ndarray]]:
+        """Batch-decode MANY same-geometry containers through ONE window
+        stream (the small-clip serving path).
+
+        Frames from consecutive containers pack into shared device windows:
+        a window may hold [tail of clip A | all of clip B | head of clip C].
+        The temporal recurrence is a SEGMENTED scan, so marking every
+        stream's first frame as a segment start resets the coefficient
+        state exactly at the seams — a P-first stream decodes as
+        0 + delta, identical to its standalone zero-carry decode.  Compared
+        to per-stream decode() calls this wastes no window slots on short
+        tails and pays one jit dispatch per window, not per clip (the
+        reference's NextVideo loop, batched; core1/main.c:166-219).
+
+        Seam windows parse block-major (mixed fast-path formats cannot
+        concatenate); windows fully inside one stream use the configured
+        fast path.  Yields (stream_idx, frame_idx, (H, W) uint32 frame)
+        in global order.
+        """
+        if self.mesh is not None:
+            raise ValueError(
+                "decode_streams is single-device; use StreamPool to spread "
+                "clips over chips, or one mesh pipeline per long stream"
+            )
+        cfg = self.config
+        indices = [fmt.index_frames(d) for d in datas]
+        if not indices:
+            return
+        hdr = indices[0].header
+        for ix in indices[1:]:
+            if (ix.header.width, ix.header.height) != (
+                hdr.width, hdr.height,
+            ):
+                raise ValueError(
+                    "decode_streams requires same-geometry containers "
+                    f"({ix.header.width}x{ix.header.height} != "
+                    f"{hdr.width}x{hdr.height})"
+                )
+        bh, bw = hdr.blocks_h, hdr.blocks_w
+        nb = hdr.blocks_per_plane
+        w = cfg.frames_per_batch
+        step = self._get_step(bh, bw)
+        use_pallas = self._use_pallas()
+        want_packed = use_pallas and cfg.pack_i8
+        want_cm = self._want_cm()
+
+        # Global frame list in stream order; each window is a slice of it.
+        entries = [
+            (si, fi)
+            for si, ix in enumerate(indices)
+            for fi in range(ix.num_frames)
+        ]
+        carry = self._put(np.zeros((3, nb, 64), np.int16))
+        carry_layout = "bm"
+
+        import jax.numpy as jnp
+
+        kk = auto_rows_per_step(bh, bw, w)
+
+        def carry_to_cm(cbm):
+            return jnp.swapaxes(
+                cbm.reshape(3, bh // kk, kk * bw, 64), -1, -2
+            )
+
+        def carry_to_bm(ccm):
+            return jnp.swapaxes(ccm, -1, -2).reshape(3, nb, 64)
+
+        def emit(item):
+            ents, c, frames = item
+            with self.profiler.time("output/transfer"):
+                host = np.asarray(frames)
+            host = self._to_raster(host, bh, bw)
+            for i in range(c):
+                si, fi = ents[i]
+                yield si, fi, host[i]
+
+        pending: list[tuple[list, int, object]] = []
+        ring = max(1, cfg.num_output_buffers)
+        for s in range(0, len(entries), w):
+            if stop is not None and stop():
+                break
+            ents = entries[s:s + w]
+            c = len(ents)
+            # Contiguous per-stream runs inside this window.
+            runs: list[tuple[int, int, int]] = []  # (si, fi_start, count)
+            for si, fi in ents:
+                if runs and runs[-1][0] == si:
+                    runs[-1] = (si, runs[-1][1], runs[-1][2] + 1)
+                else:
+                    runs.append((si, fi, 1))
+            seam = len(runs) > 1
+            if seam:
+                # Mixed formats cannot concatenate: parse block-major.
+                amps = np.concatenate([
+                    self.parse_window(datas[si], indices[si], f0, rc)
+                    for si, f0, rc in runs
+                ], axis=1)
+            else:
+                si, f0, rc = runs[0]
+                amps = self.parse_window(
+                    datas[si], indices[si], f0, rc, want_packed, want_cm
+                )
+            fmt_tag = (
+                "cm" if isinstance(amps, tuple) and amps[0] == "cm"
+                else "bm"
+            )
+            if fmt_tag != carry_layout:
+                carry = (
+                    carry_to_cm(carry) if fmt_tag == "cm"
+                    else carry_to_bm(carry)
+                )
+                carry_layout = fmt_tag
+            dev_amps = self._put_window(amps, c, w, nb)
+            seg = np.zeros(w, dtype=bool)
+            for i, (si, fi) in enumerate(ents):
+                # Stream starts are segment resets regardless of their
+                # frame type (0 + delta == standalone zero-carry decode).
+                seg[i] = fi == 0 or bool(indices[si].is_iframe[fi])
+            with self.profiler.time("device/dispatch"):
+                frames, carry = step(dev_amps, self._put(seg), carry)
+            pending.append((ents, c, frames))
+            while len(pending) > ring:
+                yield from emit(pending.pop(0))
+        while pending:
+            yield from emit(pending.pop(0))
+
+    def decode_streams_arrays(
+        self, datas: Sequence[bytes],
+    ) -> list[np.ndarray]:
+        """decode_streams, reassembled into one (F, H, W) array per clip."""
+        per: dict[int, dict[int, np.ndarray]] = {}
+        for si, fi, frame in self.decode_streams(datas):
+            per.setdefault(si, {})[fi] = frame
+        out = []
+        for si in range(len(datas)):
+            d = per.get(si, {})
+            out.append(
+                np.stack([d[k] for k in sorted(d)])
+                if d else np.zeros((0, 0, 0), np.uint32)
+            )
+        return out
 
     def decode_iframes_array(
         self, data: bytes,

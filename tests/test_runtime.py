@@ -344,3 +344,60 @@ class TestDecodeIframes:
         mesh = make_mesh(n_data=len(jax.devices()), n_block=1)
         with pytest.raises(ValueError, match="single-device"):
             next(DecodePipeline(mesh=mesh).decode_iframes(data))
+
+
+class TestDecodeStreams:
+    """Packed multi-stream decode: many same-geometry clips through one
+    window stream; seams reset the segmented scan."""
+
+    def _clips(self, rng, lengths, h=24, w=32):
+        clips = []
+        for n in lengths:
+            frames = make_test_frames(rng, num_frames=n, h=h, w=w)
+            clips.append(encoder.encode_frames(frames, max_i_interval=6))
+        return clips
+
+    @pytest.mark.parametrize("batch", [3, 5, 8])
+    def test_matches_per_clip_decode(self, rng, batch):
+        clips = self._clips(rng, [7, 2, 11, 1, 4])
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=batch, use_pallas=False)
+        )
+        got = pipe.decode_streams_arrays(clips)
+        for data, g in zip(clips, got):
+            np.testing.assert_array_equal(
+                g, decoder.decode_stream_array(data)
+            )
+
+    def test_p_first_clip_at_a_seam(self, rng):
+        """A doctored P-first clip mid-batch must decode exactly like its
+        standalone zero-carry decode — the seam seg reset must not leak the
+        previous clip's coefficient state into it."""
+        clips = self._clips(rng, [5, 4, 3])
+        mid = bytearray(clips[1])
+        mid[24] = 1  # frame 0: I -> P (decoder accepts: delta from zero)
+        clips[1] = bytes(mid)
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=4, use_pallas=False)
+        )
+        got = pipe.decode_streams_arrays(clips)
+        for data, g in zip(clips, got):
+            np.testing.assert_array_equal(
+                g, decoder.decode_stream_array(data)
+            )
+
+    def test_geometry_mismatch_rejected(self, rng):
+        a = self._clips(rng, [3], h=24, w=32)[0]
+        b = self._clips(rng, [3], h=32, w=32)[0]
+        pipe = DecodePipeline(DecodeConfig(use_pallas=False))
+        with pytest.raises(ValueError, match="same-geometry"):
+            next(pipe.decode_streams([a, b]))
+
+    def test_empty_and_order(self, rng):
+        clips = self._clips(rng, [2, 3])
+        pipe = DecodePipeline(
+            DecodeConfig(frames_per_batch=4, use_pallas=False)
+        )
+        seen = [(si, fi) for si, fi, _ in pipe.decode_streams(clips)]
+        assert seen == [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2)]
+        assert pipe.decode_streams_arrays([]) == []
