@@ -373,7 +373,10 @@ def cmd_serve(args) -> int:
 
         devices = jax.devices()
     pool = StreamPool(cfg, devices=devices)
-    stats = pool.decode_all(streams, max_concurrent=args.concurrent)
+    if args.packed:
+        stats = pool.decode_all_packed(streams)
+    else:
+        stats = pool.decode_all(streams, max_concurrent=args.concurrent)
     print(
         f"decoded {stats.streams} streams / {stats.frames} frames in "
         f"{stats.wall_s:.3f}s ({stats.frames_per_s:.1f} frames/s, "
@@ -478,6 +481,10 @@ def main(argv=None) -> int:
     p.add_argument("--all-devices", action="store_true",
                    help="spread streams over every local chip (one pinned "
                         "pipeline per device)")
+    p.add_argument("--packed", action="store_true",
+                   help="pack same-geometry clips into shared device "
+                        "windows (small-clip mode: no padded tails, one "
+                        "dispatch per window instead of per clip)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

@@ -64,6 +64,32 @@ class StreamPool:
             self.pipelines = [DecodePipeline(self.config, self.profiler)]
         self.pipeline = self.pipelines[0]  # back-compat alias
 
+    @staticmethod
+    def _make_deliver(sink):
+        """Adapt a 2- or 3-positional-arg sink to deliver(si, win, attempt).
+
+        Only parameters that can take the third POSITIONAL argument count
+        (a `def sink(si, win, **kw)` must keep getting 2)."""
+        if sink is None:
+            return None
+        import inspect
+
+        try:
+            params = inspect.signature(sink).parameters.values()
+            n_pos = sum(
+                1 for p in params
+                if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            )
+            has_varargs = any(p.kind == p.VAR_POSITIONAL for p in params)
+        except (TypeError, ValueError):
+            n_pos, has_varargs = 2, False
+        if n_pos >= 3 or has_varargs:
+            return sink
+
+        def deliver(si, win, attempt, _sink=sink):
+            _sink(si, win)
+        return deliver
+
     def decode_all(
         self,
         streams: list[bytes],
@@ -90,26 +116,7 @@ class StreamPool:
         lock = threading.Lock()
         sem = threading.Semaphore(max_concurrent)
         errors: list[Exception] = []
-        deliver = None
-        if sink is not None:
-            import inspect
-
-            # Count only parameters that can take the third POSITIONAL
-            # argument (a `def sink(si, win, **kw)` must keep getting 2).
-            try:
-                params = inspect.signature(sink).parameters.values()
-                n_pos = sum(
-                    1 for p in params
-                    if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                )
-                has_varargs = any(p.kind == p.VAR_POSITIONAL for p in params)
-            except (TypeError, ValueError):
-                n_pos, has_varargs = 2, False
-            if n_pos >= 3 or has_varargs:
-                deliver = sink
-            else:
-                def deliver(si, win, attempt, _sink=sink):
-                    _sink(si, win)
+        deliver = self._make_deliver(sink)
 
         def worker(si: int, data: bytes):
             pipe = self.pipelines[si % len(self.pipelines)]
@@ -135,6 +142,89 @@ class StreamPool:
         threads = [
             threading.Thread(target=worker, args=(i, d), daemon=True)
             for i, d in enumerate(streams)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats.wall_s = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        return stats
+
+    def decode_all_packed(
+        self,
+        streams: list[bytes],
+        sink=None,
+        retries: int = 1,
+    ) -> ServeStats:
+        """Small-clip mode: same-geometry streams pack into SHARED device
+        windows (DecodePipeline.decode_streams) instead of running
+        concurrently — the right call when clips are much shorter than the
+        device window, where per-clip decode() wastes most window slots on
+        padded tails (100 6-frame clips at window 24: packed uses 25 full
+        windows where concurrent uses 100 quarter-full ones — 4x the
+        device work) and pays a dispatch per clip.  Streams bucket by
+        geometry; buckets round-robin over the pool's pipelines.  The sink
+        contract matches decode_all: sink(stream_idx, DecodedWindow[,
+        attempt]), windows split at clip seams.
+        """
+        import numpy as np
+
+        from .pipeline import DecodedWindow
+
+        stats = ServeStats(streams=len(streams))
+        lock = threading.Lock()
+        errors: list[Exception] = []
+        deliver = self._make_deliver(sink)
+
+        from ..core import format as fmt
+
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, d in enumerate(streams):
+            hdr = fmt.FileHeader.unpack(d)
+            buckets.setdefault((hdr.width, hdr.height), []).append(i)
+
+        def worker(bi: int, members: list[int]):
+            pipe = self.pipelines[bi % len(self.pipelines)]
+            datas = [streams[i] for i in members]
+            for attempt in range(retries + 1):
+                frames = pixels = 0
+                try:
+                    cur = None  # (global_si, start_frame, [frames])
+
+                    def flush():
+                        nonlocal frames, pixels
+                        if cur is None:
+                            return
+                        gsi, start, buf = cur
+                        win = DecodedWindow(start, len(buf), np.stack(buf))
+                        if deliver is not None:
+                            deliver(gsi, win, attempt)
+                        h, w = win.frames.shape[1:3]
+                        frames += win.count
+                        pixels += win.count * h * w
+
+                    for si, fi, frame in pipe.decode_streams(datas):
+                        gsi = members[si]
+                        if cur is not None and cur[0] == gsi:
+                            cur[2].append(frame)
+                        else:
+                            flush()
+                            cur = (gsi, fi, [frame])
+                    flush()
+                    with lock:
+                        stats.frames += frames
+                        stats.pixels += pixels
+                    return
+                except Exception as e:  # noqa: BLE001 — retried, re-raised
+                    if attempt == retries:
+                        errors.append(e)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=worker, args=(bi, m), daemon=True)
+            for bi, m in enumerate(buckets.values())
         ]
         for t in threads:
             t.start()

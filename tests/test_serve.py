@@ -120,3 +120,37 @@ def test_pool_kwargs_sink_gets_two_args():
     pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
     stats = pool.decode_all([data], sink=sink)
     assert sum(seen) == stats.frames == 4
+
+
+def test_decode_all_packed_matches(rng):
+    """Packed small-clip serving: same output, seam-split windows."""
+    from mjpeg423_tpu.codec import decoder
+
+    clips = []
+    for n in (5, 2, 7, 1):
+        frames = make_test_frames(rng, num_frames=n, h=24, w=32)
+        clips.append(encoder.encode_frames(frames, max_i_interval=4))
+    got: dict[tuple[int, int], np.ndarray] = {}
+
+    def sink(si, win):
+        for i in range(win.count):
+            got[(si, win.start_frame + i)] = win.frames[i]
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    stats = pool.decode_all_packed(clips, sink=sink)
+    assert stats.frames == 15
+    for si, data in enumerate(clips):
+        want = decoder.decode_stream_array(data)
+        for fi in range(want.shape[0]):
+            np.testing.assert_array_equal(got[(si, fi)], want[fi])
+
+
+def test_decode_all_packed_buckets_geometries(rng):
+    """Mixed geometries split into buckets instead of failing."""
+    a = encoder.encode_frames(
+        make_test_frames(rng, num_frames=3, h=24, w=32), max_i_interval=4)
+    b = encoder.encode_frames(
+        make_test_frames(rng, num_frames=2, h=16, w=16), max_i_interval=4)
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    stats = pool.decode_all_packed([a, b, a])
+    assert stats.frames == 8
