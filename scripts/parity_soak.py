@@ -109,6 +109,28 @@ def one_round(rng, mesh):
         ref = np.asarray(ORACLE.decode(a, nf, w, h))
         assert (want == ref).all(), "oracle decoder mismatch vs reference C"
 
+    # --- segmented-scan serving modes ---
+    idx, thumbs = p2.decode_iframes_array(a)
+    assert (thumbs == want[idx]).all(), "decode_iframes mismatch"
+    if nf >= 3:
+        # Split the clip at random cuts and decode the pieces PACKED into
+        # shared windows; each piece must equal its standalone decode.
+        k = int(rng.integers(1, min(3, nf - 1) + 1))
+        cuts = np.sort(rng.choice(np.arange(1, nf), size=k, replace=False))
+        clips = [
+            encoder.encode_frames(
+                [frames[int(i)] for i in part], max_i_interval=maxi
+            )
+            for part in np.split(np.arange(nf), cuts)
+        ]
+        pk = DecodePipeline(DecodeConfig(
+            use_pallas=bool(rng.integers(0, 2)),
+            frames_per_batch=int(rng.integers(2, 6)),
+        ))
+        for cdata, g in zip(clips, pk.decode_streams_arrays(clips)):
+            ww = np.asarray(decoder.decode_stream_array(cdata))
+            assert (g == ww).all(), "packed decode_streams mismatch"
+
     # --- lossless re-GOP ---
     re = regop(a, max_i_interval=max(1, maxi // 2))
     assert (np.asarray(decoder.decode_stream_array(re)) == want).all(), \
