@@ -454,6 +454,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--frames", type=int, default=None)
+    ap.add_argument("--width", type=int, default=0,
+                    help="pixel width (multiple of 8) for a geometry sweep")
+    ap.add_argument("--height", type=int, default=0,
+                    help="pixel height (multiple of 8) for a geometry sweep")
     ap.add_argument("--stage",
                     choices=("parse", "encode", "transcode", "e2e", "sharded",
                              "encode_transform"),
@@ -547,7 +551,15 @@ def main():
     _log(f"backend={backend} devices={len(jax.devices())}")
 
     small = cli.small or not on_tpu
-    if small:
+    if cli.width or cli.height:
+        # Explicit geometry sweep (multiples of 8; frames default low to
+        # bound VMEM at large rasters).
+        w = cli.width or 1920
+        h = cli.height or 1088
+        if w % 8 or h % 8:
+            ap.error("--width/--height must be multiples of 8")
+        f = cli.frames or max(4, min(20, (1920 * 1088 * 20) // (w * h)))
+    elif small:
         h, w, f = 272, 480, cli.frames or 8
     else:
         # 20-frame windows: the largest window whose k=2 lane fold fits

@@ -184,6 +184,12 @@ class StreamPool:
         for i, d in enumerate(streams):
             hdr = fmt.FileHeader.unpack(d)
             buckets.setdefault((hdr.width, hdr.height), []).append(i)
+        # Split each geometry bucket across the pool's pipelines so a
+        # single-geometry farm still uses every device.
+        work: list[list[int]] = []
+        for members in buckets.values():
+            n = min(len(self.pipelines), len(members))
+            work.extend(members[j::n] for j in range(n))
 
         def worker(bi: int, members: list[int]):
             pipe = self.pipelines[bi % len(self.pipelines)]
@@ -224,7 +230,7 @@ class StreamPool:
         t0 = time.perf_counter()
         threads = [
             threading.Thread(target=worker, args=(bi, m), daemon=True)
-            for bi, m in enumerate(buckets.values())
+            for bi, m in enumerate(work)
         ]
         for t in threads:
             t.start()

@@ -154,3 +154,31 @@ def test_decode_all_packed_buckets_geometries(rng):
     pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
     stats = pool.decode_all_packed([a, b, a])
     assert stats.frames == 8
+
+
+def test_decode_all_packed_splits_single_geometry_over_pipelines(rng):
+    """One geometry bucket must still fan out over all pool pipelines."""
+    from mjpeg423_tpu.codec import decoder
+    import jax
+
+    clips = []
+    for n in (3, 2, 4, 2, 3):
+        frames = make_test_frames(rng, num_frames=n, h=16, w=16)
+        clips.append(encoder.encode_frames(frames, max_i_interval=3))
+    d = jax.devices()[0]
+    pool = StreamPool(
+        DecodeConfig(frames_per_batch=3, use_pallas=False), devices=[d, d]
+    )
+    assert len(pool.pipelines) == 2
+    got: dict[tuple[int, int], np.ndarray] = {}
+
+    def sink(si, win):
+        for i in range(win.count):
+            got[(si, win.start_frame + i)] = win.frames[i]
+
+    stats = pool.decode_all_packed(clips, sink=sink)
+    assert stats.frames == 14
+    for si, data in enumerate(clips):
+        want = decoder.decode_stream_array(data)
+        for fi in range(want.shape[0]):
+            np.testing.assert_array_equal(got[(si, fi)], want[fi])
