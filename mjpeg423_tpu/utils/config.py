@@ -80,9 +80,11 @@ class DecodeConfig:
                                        # count is below the core count;
                                        # disables the coef-major fast layout)
 
-    # Multi-chip execution is explicit, not config-driven: batch callers use
-    # parallel.decode_stream_sharded(data, mesh); streaming playback runs
-    # per-device (shard streams across chips via runtime.serve.StreamPool).
+    # Multi-chip execution is explicit, not config-driven: pass a mesh to
+    # DecodePipeline(mesh=...) for GOP-sharded streaming, use
+    # parallel.decode_stream_sharded(data, mesh) for batch decode, or
+    # runtime.serve.StreamPool(devices=...) to spread whole streams/clip
+    # farms over chips.
 
     @property
     def frame_period_us(self) -> float:
