@@ -731,7 +731,16 @@ def encode_candidates_into(
     n_seg = 1
     if nb >= 4096:
         ncpu = os.cpu_count() or 1
-        n_seg = max(1, round(2 * ncpu / 3))
+        # Byte-proportional segmentation (the exact plane sizes are already
+        # known here): ~32 KB of output per segment task.  Isolated pack
+        # A/B on the 4-core dev box vs the old fixed 2*ncpu/3 = 3 rule:
+        # dense 1080p (780 KB/plane -> 23 segments) 2.72 -> 2.39 ms,
+        # sparse synthetic (440 KB -> 13) 1.33 -> 1.24 ms — finer dynamic
+        # load balance; truly sparse planes (tens of KB) stay nearly
+        # unsegmented, avoiding per-segment stitch overhead.  Caps:
+        # 8 tasks/core in flight, >= 256 blocks/segment.
+        avg_bytes = max(1, int(sum(int(s) for s in sizes[:3])) // 3)
+        n_seg = max(1, min(avg_bytes // 32768, 8 * ncpu, nb // 256))
     seg_blocks = (nb + n_seg - 1) // n_seg
     seg_cap = seg_blocks * 64 * 3 + 72
     seg_buf = _scratch_buf(scratch, "cand_seg", (6 * n_seg, seg_cap), np.uint8)
