@@ -871,79 +871,21 @@ class DecodePipeline:
         a whole archive's preview costs only its I-frame bitstreams (the
         trailer indexes them; the same property the reference exploits for
         seek, playback.c:136-152).  Yields (frame_index, (H, W) uint32
-        packed BGRA) in stream order.
+        packed BGRA) in stream order.  Thin wrapper over
+        decode_streams([data], iframes_only=True); thumbnail FARMS pass
+        many archives to decode_streams directly (or use
+        StreamPool.decode_all_packed).
         """
-        if self.mesh is not None:
-            raise ValueError(
-                "decode_iframes is single-device; GOP heads are a small "
-                "fraction of the stream (shard whole streams instead)"
-            )
-        cfg = self.config
-        index = fmt.index_frames(data)
-        hdr = index.header
-        bh, bw = hdr.blocks_h, hdr.blocks_w
-        nb = hdr.blocks_per_plane
-        w = cfg.frames_per_batch
-        step = self._get_step(bh, bw)
-        use_pallas = self._use_pallas()
-        want_packed = use_pallas and cfg.pack_i8
-        want_cm = self._want_cm()
-        sel = np.flatnonzero(index.is_iframe)
-
-        zero_carries: dict[str, object] = {}
-
-        def zero_carry(tag: str):
-            # All selected frames are I-frames: the carry never
-            # contributes, it only has to match the window layout.
-            if tag not in zero_carries:
-                if tag == "cm":
-                    kk = auto_rows_per_step(bh, bw, w)
-                    zero_carries[tag] = self._put(np.zeros(
-                        (3, bh // kk, 64, kk * bw), np.int16
-                    ))
-                else:
-                    zero_carries[tag] = self._put(
-                        np.zeros((3, nb, 64), np.int16)
-                    )
-            return zero_carries[tag]
-
-        def emit(item):
-            chunk, c, frames = item
-            with self.profiler.time("output/transfer"):
-                host = np.asarray(frames)
-            host = self._to_raster(host, bh, bw)
-            for i in range(c):
-                yield int(chunk[i]), host[i]
-
-        pending: list[tuple[np.ndarray, int, object]] = []
-        ring = max(1, cfg.num_output_buffers)
-        for s in range(0, len(sel), w):
-            if stop is not None and stop():
-                return
-            chunk = sel[s:s + w]
-            c = len(chunk)
-            amps = self.parse_window(
-                data, index, 0, c, want_packed, want_cm, frames=chunk
-            )
-            tag = (
-                "cm" if isinstance(amps, tuple) and amps[0] == "cm"
-                else "bm"
-            )
-            dev_amps = self._put_window(amps, c, w, nb)
-            seg = np.zeros(w, dtype=bool)
-            seg[:c] = True
-            with self.profiler.time("device/dispatch"):
-                frames, _ = step(dev_amps, self._put(seg), zero_carry(tag))
-            pending.append((chunk, c, frames))
-            while len(pending) > ring:
-                yield from emit(pending.pop(0))
-        while pending:
-            yield from emit(pending.pop(0))
+        for _si, fi, frame in self.decode_streams(
+            [data], stop=stop, iframes_only=True
+        ):
+            yield fi, frame
 
     def decode_streams(
         self,
         datas: Sequence[bytes],
         stop: Callable[[], bool] | None = None,
+        iframes_only: bool = False,
     ) -> Iterator[tuple[int, int, np.ndarray]]:
         """Batch-decode MANY same-geometry containers through ONE window
         stream (the small-clip serving path).
@@ -957,6 +899,10 @@ class DecodePipeline:
         to per-stream decode() calls this wastes no window slots on short
         tails and pays one jit dispatch per window, not per clip (the
         reference's NextVideo loop, batched; core1/main.c:166-219).
+
+        iframes_only=True decodes just the GOP heads of every container —
+        the thumbnail-farm mode (every selected frame is an I-frame, so all
+        windows are pure resets and the carry never contributes).
 
         Seam windows parse block-major (mixed fast-path formats cannot
         concatenate); windows fully inside one stream use the configured
@@ -992,9 +938,12 @@ class DecodePipeline:
 
         # Global frame list in stream order; each window is a slice of it.
         entries = [
-            (si, fi)
+            (si, int(fi))
             for si, ix in enumerate(indices)
-            for fi in range(ix.num_frames)
+            for fi in (
+                np.flatnonzero(ix.is_iframe) if iframes_only
+                else range(ix.num_frames)
+            )
         ]
         carry = self._put(np.zeros((3, nb, 64), np.int16))
         carry_layout = "bm"
@@ -1027,24 +976,29 @@ class DecodePipeline:
                 break
             ents = entries[s:s + w]
             c = len(ents)
-            # Contiguous per-stream runs inside this window.
-            runs: list[tuple[int, int, int]] = []  # (si, fi_start, count)
+            # Per-stream runs inside this window (frame indices may be
+            # non-contiguous in iframes_only mode — parse_window takes
+            # explicit selections).
+            runs: list[tuple[int, list[int]]] = []  # (si, frame indices)
             for si, fi in ents:
                 if runs and runs[-1][0] == si:
-                    runs[-1] = (si, runs[-1][1], runs[-1][2] + 1)
+                    runs[-1][1].append(fi)
                 else:
-                    runs.append((si, fi, 1))
-            seam = len(runs) > 1
-            if seam:
+                    runs.append((si, [fi]))
+            if len(runs) > 1:
                 # Mixed formats cannot concatenate: parse block-major.
                 amps = np.concatenate([
-                    self.parse_window(datas[si], indices[si], f0, rc)
-                    for si, f0, rc in runs
+                    self.parse_window(
+                        datas[si], indices[si], 0, 0,
+                        frames=np.asarray(fis),
+                    )
+                    for si, fis in runs
                 ], axis=1)
             else:
-                si, f0, rc = runs[0]
+                si, fis = runs[0]
                 amps = self.parse_window(
-                    datas[si], indices[si], f0, rc, want_packed, want_cm
+                    datas[si], indices[si], 0, 0, want_packed, want_cm,
+                    frames=np.asarray(fis),
                 )
             fmt_tag = (
                 "cm" if isinstance(amps, tuple) and amps[0] == "cm"

@@ -401,3 +401,24 @@ class TestDecodeStreams:
         seen = [(si, fi) for si, fi, _ in pipe.decode_streams(clips)]
         assert seen == [(0, 0), (0, 1), (1, 0), (1, 1), (1, 2)]
         assert pipe.decode_streams_arrays([]) == []
+
+
+def test_decode_streams_iframes_only_thumbnail_farm(rng):
+    """GOP heads of MANY archives pack into shared windows (thumbnail
+    farm); each archive's thumbs equal its standalone I-frame decode."""
+    from mjpeg423_tpu.core import format as fmt
+
+    clips = []
+    for n in (9, 4, 7):
+        frames = make_test_frames(rng, num_frames=n, h=24, w=32)
+        clips.append(encoder.encode_frames(frames, max_i_interval=3))
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    per: dict[int, dict[int, np.ndarray]] = {}
+    for si, fi, frame in pipe.decode_streams(clips, iframes_only=True):
+        per.setdefault(si, {})[fi] = frame
+    for si, data in enumerate(clips):
+        want = decoder.decode_stream_array(data)
+        iframes = np.flatnonzero(fmt.index_frames(data).is_iframe)
+        assert sorted(per[si]) == list(iframes)
+        for fi in iframes:
+            np.testing.assert_array_equal(per[si][fi], want[fi])
