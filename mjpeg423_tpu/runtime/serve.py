@@ -157,6 +157,7 @@ class StreamPool:
         streams: list[bytes],
         sink=None,
         retries: int = 1,
+        iframes_only: bool = False,
     ) -> ServeStats:
         """Small-clip mode: same-geometry streams pack into SHARED device
         windows (DecodePipeline.decode_streams) instead of running
@@ -167,7 +168,9 @@ class StreamPool:
         device work) and pays a dispatch per clip.  Streams bucket by
         geometry; buckets round-robin over the pool's pipelines.  The sink
         contract matches decode_all: sink(stream_idx, DecodedWindow[,
-        attempt]), windows split at clip seams.
+        attempt]), windows split at clip seams.  iframes_only=True turns
+        the pool into a thumbnail farm: only every archive's GOP heads
+        decode, still packed into full windows.
         """
         import numpy as np
 
@@ -211,9 +214,16 @@ class StreamPool:
                         frames += win.count
                         pixels += win.count * h * w
 
-                    for si, fi, frame in pipe.decode_streams(datas):
+                    for si, fi, frame in pipe.decode_streams(
+                        datas, iframes_only=iframes_only
+                    ):
                         gsi = members[si]
-                        if cur is not None and cur[0] == gsi:
+                        # Extend only while frame indices stay contiguous
+                        # (iframes_only yields gaps: each run of GOP heads
+                        # must become its own window for the
+                        # start_frame+i contract to hold).
+                        if (cur is not None and cur[0] == gsi
+                                and fi == cur[1] + len(cur[2])):
                             cur[2].append(frame)
                         else:
                             flush()

@@ -182,3 +182,30 @@ def test_decode_all_packed_splits_single_geometry_over_pipelines(rng):
         want = decoder.decode_stream_array(data)
         for fi in range(want.shape[0]):
             np.testing.assert_array_equal(got[(si, fi)], want[fi])
+
+
+def test_decode_all_packed_iframes_only(rng):
+    """Thumbnail-farm mode: only GOP heads decode, packed."""
+    from mjpeg423_tpu.codec import decoder
+    from mjpeg423_tpu.core import format as fmt
+
+    clips = []
+    for n in (7, 4):
+        frames = make_test_frames(rng, num_frames=n, h=16, w=16)
+        clips.append(encoder.encode_frames(frames, max_i_interval=3))
+    got: dict[tuple[int, int], np.ndarray] = {}
+
+    def sink(si, win):
+        for i in range(win.count):
+            got[(si, win.start_frame + i)] = win.frames[i]
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
+    stats = pool.decode_all_packed(clips, sink=sink, iframes_only=True)
+    n_if = 0
+    for si, data in enumerate(clips):
+        want = decoder.decode_stream_array(data)
+        iframes = np.flatnonzero(fmt.index_frames(data).is_iframe)
+        n_if += len(iframes)
+        for fi in iframes:
+            np.testing.assert_array_equal(got[(si, fi)], want[fi])
+    assert stats.frames == n_if == len(got)
