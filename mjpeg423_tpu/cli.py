@@ -374,7 +374,9 @@ def cmd_serve(args) -> int:
         devices = jax.devices()
     pool = StreamPool(cfg, devices=devices)
     if args.packed:
-        stats = pool.decode_all_packed(streams)
+        stats = pool.decode_all_packed(
+            streams, max_concurrent=args.concurrent
+        )
     else:
         stats = pool.decode_all(streams, max_concurrent=args.concurrent)
     print(

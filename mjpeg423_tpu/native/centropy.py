@@ -743,7 +743,17 @@ def encode_candidates_into(
         n_seg = max(1, min(avg_bytes // 32768, 8 * ncpu, nb // 256))
     seg_blocks = (nb + n_seg - 1) // n_seg
     seg_cap = seg_blocks * 64 * 3 + 72
-    seg_buf = _scratch_buf(scratch, "cand_seg", (6 * n_seg, seg_cap), np.uint8)
+    # n_seg varies with CONTENT (byte-proportional above), so the segment
+    # workspace is carved from one max-size pool: a shape-keyed scratch
+    # would miss on nearly every frame (I vs P sizes differ) and re-fault
+    # the ~6*nb*192 B buffer each time — the THP first-touch pathology the
+    # scratch system exists to avoid.
+    n_cap = 1
+    if nb >= 4096:
+        n_cap = max(1, min(8 * (os.cpu_count() or 1), nb // 256))
+    pool_bytes = 6 * ((nb + n_cap) * 64 * 3 + n_cap * 72)
+    pool = _scratch_buf(scratch, "cand_seg_pool", (pool_bytes,), np.uint8)
+    seg_buf = pool[: 6 * n_seg * seg_cap].reshape(6 * n_seg, seg_cap)
     offs_a = np.asarray(offs, np.dtype(ctypes.c_long))
     caps_a = np.asarray(sizes, np.dtype(ctypes.c_long))
     lens = _scratch_buf(scratch, "cand_lens", (6,), np.dtype(ctypes.c_long))

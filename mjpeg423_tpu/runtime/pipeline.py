@@ -969,13 +969,7 @@ class DecodePipeline:
                 si, fi = ents[i]
                 yield si, fi, host[i]
 
-        pending: list[tuple[list, int, object]] = []
-        ring = max(1, cfg.num_output_buffers)
-        for s in range(0, len(entries), w):
-            if stop is not None and stop():
-                break
-            ents = entries[s:s + w]
-            c = len(ents)
+        def parse_ents(ents):
             # Per-stream runs inside this window (frame indices may be
             # non-contiguous in iframes_only mode — parse_window takes
             # explicit selections).
@@ -987,42 +981,65 @@ class DecodePipeline:
                     runs.append((si, [fi]))
             if len(runs) > 1:
                 # Mixed formats cannot concatenate: parse block-major.
-                amps = np.concatenate([
+                return np.concatenate([
                     self.parse_window(
                         datas[si], indices[si], 0, 0,
                         frames=np.asarray(fis),
                     )
                     for si, fis in runs
                 ], axis=1)
-            else:
-                si, fis = runs[0]
-                amps = self.parse_window(
-                    datas[si], indices[si], 0, 0, want_packed, want_cm,
-                    frames=np.asarray(fis),
-                )
-            fmt_tag = (
-                "cm" if isinstance(amps, tuple) and amps[0] == "cm"
-                else "bm"
+            si, fis = runs[0]
+            return self.parse_window(
+                datas[si], indices[si], 0, 0, want_packed, want_cm,
+                frames=np.asarray(fis),
             )
-            if fmt_tag != carry_layout:
-                carry = (
-                    carry_to_cm(carry) if fmt_tag == "cm"
-                    else carry_to_bm(carry)
+
+        windows = [entries[s:s + w] for s in range(0, len(entries), w)]
+        pending: list[tuple[list, int, object]] = []
+        ring = max(1, cfg.num_output_buffers)
+        ahead = max(1, cfg.prefetch_batches)
+        # Bounded look-ahead: window N+1's host parse overlaps window N's
+        # device compute and drain (the decode() producer pattern, sized
+        # down to one worker — parse_window is OpenMP-parallel inside).
+        ex = ThreadPoolExecutor(max_workers=1)
+        futs: list = [ex.submit(parse_ents, e) for e in windows[:ahead]]
+        nxt = len(futs)
+        try:
+            for wi, ents in enumerate(windows):
+                if stop is not None and stop():
+                    break
+                amps = futs[wi].result()
+                futs[wi] = None  # free the parsed window once consumed
+                if nxt < len(windows):
+                    futs.append(ex.submit(parse_ents, windows[nxt]))
+                    nxt += 1
+                c = len(ents)
+                fmt_tag = (
+                    "cm" if isinstance(amps, tuple) and amps[0] == "cm"
+                    else "bm"
                 )
-                carry_layout = fmt_tag
-            dev_amps = self._put_window(amps, c, w, nb)
-            seg = np.zeros(w, dtype=bool)
-            for i, (si, fi) in enumerate(ents):
-                # Stream starts are segment resets regardless of their
-                # frame type (0 + delta == standalone zero-carry decode).
-                seg[i] = fi == 0 or bool(indices[si].is_iframe[fi])
-            with self.profiler.time("device/dispatch"):
-                frames, carry = step(dev_amps, self._put(seg), carry)
-            pending.append((ents, c, frames))
-            while len(pending) > ring:
+                if fmt_tag != carry_layout:
+                    carry = (
+                        carry_to_cm(carry) if fmt_tag == "cm"
+                        else carry_to_bm(carry)
+                    )
+                    carry_layout = fmt_tag
+                dev_amps = self._put_window(amps, c, w, nb)
+                seg = np.zeros(w, dtype=bool)
+                for i, (si, fi) in enumerate(ents):
+                    # Stream starts are segment resets regardless of their
+                    # frame type (0 + delta == standalone zero-carry
+                    # decode).
+                    seg[i] = fi == 0 or bool(indices[si].is_iframe[fi])
+                with self.profiler.time("device/dispatch"):
+                    frames, carry = step(dev_amps, self._put(seg), carry)
+                pending.append((ents, c, frames))
+                while len(pending) > ring:
+                    yield from emit(pending.pop(0))
+            while pending:
                 yield from emit(pending.pop(0))
-        while pending:
-            yield from emit(pending.pop(0))
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     def decode_streams_arrays(
         self, datas: Sequence[bytes],

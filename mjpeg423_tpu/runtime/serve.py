@@ -158,6 +158,7 @@ class StreamPool:
         sink=None,
         retries: int = 1,
         iframes_only: bool = False,
+        max_concurrent: int = 4,
     ) -> ServeStats:
         """Small-clip mode: same-geometry streams pack into SHARED device
         windows (DecodePipeline.decode_streams) instead of running
@@ -168,9 +169,16 @@ class StreamPool:
         device work) and pays a dispatch per clip.  Streams bucket by
         geometry; buckets round-robin over the pool's pipelines.  The sink
         contract matches decode_all: sink(stream_idx, DecodedWindow[,
-        attempt]), windows split at clip seams.  iframes_only=True turns
-        the pool into a thumbnail farm: only every archive's GOP heads
-        decode, still packed into full windows.
+        attempt]), windows split at clip seams and bounded by
+        frames_per_batch (long clips stream bounded windows, they are not
+        buffered whole).  iframes_only=True turns the pool into a
+        thumbnail farm: only every archive's GOP heads decode, still
+        packed into full windows.  max_concurrent bounds in-flight bucket
+        workers.  Failures isolate per clip: completed clips stay
+        delivered/counted once; the failing clip replays from its own
+        start with attempt > 0 (decode_all's contract) and, on the final
+        attempt, remaining clips decode individually so one corrupt
+        container cannot take down the healthy clips packed behind it.
         """
         import numpy as np
 
@@ -194,48 +202,92 @@ class StreamPool:
             n = min(len(self.pipelines), len(members))
             work.extend(members[j::n] for j in range(n))
 
+        w_cap = max(1, self.config.frames_per_batch)
+        sem = threading.Semaphore(max_concurrent)
+
+        def run_packed(pipe, subset: list[int], attempt: int,
+                       done: set[int]) -> None:
+            """Decode `subset` packed; commit stats + mark each clip done as
+            its LAST frame passes.  Raises mid-clip on failure — clips
+            already completed stay committed and are never re-delivered."""
+            cur = None       # window accumulator (gsi, start_fi, [frames])
+            open_gsi = None  # clip currently streaming
+            open_frames = open_pixels = 0
+
+            def flush_window():
+                nonlocal cur
+                if cur is None:
+                    return
+                gsi, start, buf = cur
+                win = DecodedWindow(start, len(buf), np.stack(buf))
+                if deliver is not None:
+                    deliver(gsi, win, attempt)
+                cur = None
+
+            def complete_clip():
+                nonlocal open_gsi, open_frames, open_pixels
+                if open_gsi is None:
+                    return
+                with lock:
+                    stats.frames += open_frames
+                    stats.pixels += open_pixels
+                done.add(open_gsi)
+                open_gsi, open_frames, open_pixels = None, 0, 0
+
+            datas = [streams[i] for i in subset]
+            for si, fi, frame in pipe.decode_streams(
+                datas, iframes_only=iframes_only
+            ):
+                gsi = subset[si]
+                if gsi != open_gsi:
+                    flush_window()
+                    complete_clip()
+                    open_gsi = gsi
+                # Extend only while frame indices stay contiguous
+                # (iframes_only yields gaps: each run of GOP heads must be
+                # its own window for the start_frame+i contract) and the
+                # window stays bounded (a long stream must NOT accumulate
+                # whole-clip frame lists in host RAM).
+                if (cur is not None and cur[0] == gsi
+                        and fi == cur[1] + len(cur[2])
+                        and len(cur[2]) < w_cap):
+                    cur[2].append(frame)
+                else:
+                    flush_window()
+                    cur = (gsi, fi, [frame])
+                open_frames += 1
+                open_pixels += frame.shape[0] * frame.shape[1]
+            flush_window()
+            complete_clip()
+
         def worker(bi: int, members: list[int]):
             pipe = self.pipelines[bi % len(self.pipelines)]
-            datas = [streams[i] for i in members]
-            for attempt in range(retries + 1):
-                frames = pixels = 0
-                try:
-                    cur = None  # (global_si, start_frame, [frames])
-
-                    def flush():
-                        nonlocal frames, pixels
-                        if cur is None:
+            # done = clips fully delivered + counted; retries resume after
+            # them so a failure never re-delivers another clip's windows
+            # (a failing clip's own partial windows replay from its start
+            # with attempt+1 — decode_all's documented per-stream replay
+            # contract, scoped to the failing clip).
+            done: set[int] = set()
+            with sem:
+                for attempt in range(retries + 1):
+                    left = [i for i in members if i not in done]
+                    if not left:
+                        return
+                    try:
+                        run_packed(pipe, left, attempt, done)
+                        return
+                    except Exception as e:  # noqa: BLE001 — isolated below
+                        if attempt == retries:
+                            # Final attempt: isolate the failure per clip so
+                            # one corrupt container cannot take down the
+                            # healthy clips packed behind it.
+                            for i in [m for m in members if m not in done]:
+                                try:
+                                    run_packed(pipe, [i], attempt, done)
+                                except Exception as e2:  # noqa: BLE001
+                                    errors.append(e2)
                             return
-                        gsi, start, buf = cur
-                        win = DecodedWindow(start, len(buf), np.stack(buf))
-                        if deliver is not None:
-                            deliver(gsi, win, attempt)
-                        h, w = win.frames.shape[1:3]
-                        frames += win.count
-                        pixels += win.count * h * w
-
-                    for si, fi, frame in pipe.decode_streams(
-                        datas, iframes_only=iframes_only
-                    ):
-                        gsi = members[si]
-                        # Extend only while frame indices stay contiguous
-                        # (iframes_only yields gaps: each run of GOP heads
-                        # must become its own window for the
-                        # start_frame+i contract to hold).
-                        if (cur is not None and cur[0] == gsi
-                                and fi == cur[1] + len(cur[2])):
-                            cur[2].append(frame)
-                        else:
-                            flush()
-                            cur = (gsi, fi, [frame])
-                    flush()
-                    with lock:
-                        stats.frames += frames
-                        stats.pixels += pixels
-                    return
-                except Exception as e:  # noqa: BLE001 — retried, re-raised
-                    if attempt == retries:
-                        errors.append(e)
+                        del e
 
         t0 = time.perf_counter()
         threads = [

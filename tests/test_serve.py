@@ -209,3 +209,41 @@ def test_decode_all_packed_iframes_only(rng):
         for fi in iframes:
             np.testing.assert_array_equal(got[(si, fi)], want[fi])
     assert stats.frames == n_if == len(got)
+
+
+def test_decode_all_packed_windows_bounded(rng):
+    """A long clip must stream bounded windows, not one whole-clip merge."""
+    frames = make_test_frames(rng, num_frames=13, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)
+    counts = []
+    pool = StreamPool(DecodeConfig(frames_per_batch=3, use_pallas=False))
+    pool.decode_all_packed([data], sink=lambda si, win: counts.append(win.count))
+    assert max(counts) <= 3 and sum(counts) == 13
+
+
+def test_decode_all_packed_isolates_corrupt_clip(rng):
+    """One corrupt clip in a bucket: healthy clips deliver EXACTLY once and
+    stay counted; the call still raises for the corrupt one."""
+    clips = []
+    for n in (4, 3, 5):
+        frames = make_test_frames(rng, num_frames=n, h=16, w=16)
+        clips.append(encoder.encode_frames(frames, max_i_interval=3))
+    # Corrupt clip 1's frame chain: frame 0's frame_size walks out of
+    # bounds -> index_frames raises ValueError.
+    bad = bytearray(clips[1])
+    bad[20:24] = b"\xff\xff\xff\xff"
+    clips[1] = bytes(bad)
+    seen: list[tuple[int, int, int]] = []
+
+    def sink(si, win, attempt):
+        for i in range(win.count):
+            seen.append((si, win.start_frame + i, attempt))
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    with pytest.raises(Exception):
+        pool.decode_all_packed(clips, sink=sink, retries=1)
+    healthy = [(si, fi) for si, fi, _ in seen if si != 1]
+    assert sorted(set(healthy)) == sorted(healthy), "healthy clip re-delivered"
+    assert {si for si, _ in healthy} == {0, 2}
+    assert len([1 for si, fi in healthy if si == 0]) == 4
+    assert len([1 for si, fi in healthy if si == 2]) == 5
