@@ -410,6 +410,7 @@ class DecodePipeline:
         start_frame: int = 0,
         stop: Callable[[], bool] | None = None,
         end_frame: int | None = None,
+        device_resident: bool = False,
     ) -> Iterator[DecodedWindow]:
         """Decode frames [start_frame, end_frame) , yielding frame windows.
 
@@ -419,11 +420,22 @@ class DecodePipeline:
         partition case (multihost.local_partition) decodes exactly its
         [frame_lo, frame_hi) range with no wasted tail work.
 
+        device_resident=True yields windows whose .frames is the DEVICE
+        array (blocked kernel layout unless config.raster_on_device; rows
+        beyond .count are pad) — zero device->host transfer, for consumers
+        that feed the frames straight into another on-device computation
+        (examples/device_consumer.py).  Single-device mode only.
+
         Note: with mesh=..., windows are yielded in per-step order across
         device partitions, NOT in global frame order; consumers key on
         DecodedWindow.start_frame (decode_array reassembles by index).
         """
         if self.mesh is not None:
+            if device_resident:
+                raise ValueError(
+                    "device_resident decode is single-device (mesh windows "
+                    "are sharded; consume them inside shard_map instead)"
+                )
             yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
         import jax
@@ -557,12 +569,13 @@ class DecodePipeline:
                 # ring, ece423_vid_ctl.c:96-116); drain the oldest beyond it.
                 ring = max(1, cfg.num_output_buffers)
                 while len(pending) > ring:
-                    yield self._drain(pending.pop(0), bh, bw)
+                    yield self._drain(pending.pop(0), bh, bw,
+                                      device_resident)
                     if stop is not None and stop():
                         stop_flag.set()
                         return
             while pending:
-                yield self._drain(pending.pop(0), bh, bw)
+                yield self._drain(pending.pop(0), bh, bw, device_resident)
                 if stop is not None and stop():
                     return
         finally:
@@ -1068,8 +1081,16 @@ class DecodePipeline:
         idx = np.array([i for i, _ in pairs], dtype=np.int64)
         return idx, np.stack([f for _, f in pairs])
 
-    def _drain(self, item, blocks_h: int, blocks_w: int) -> DecodedWindow:
+    def _drain(
+        self, item, blocks_h: int, blocks_w: int,
+        device_resident: bool = False,
+    ) -> DecodedWindow:
         s, c, frames = item
+        if device_resident:
+            # Serving-to-model path: the window stays on device (blocked
+            # kernel layout unless raster_on_device) — no transfer, no
+            # host raster pass.  `frames` rows beyond `c` are pad.
+            return DecodedWindow(s, c, frames)
         with self.profiler.time("output/transfer"):
             host = np.asarray(frames)
         host = self._to_raster(host, blocks_h, blocks_w)

@@ -422,3 +422,16 @@ def test_decode_streams_iframes_only_thumbnail_farm(rng):
         assert sorted(per[si]) == list(iframes)
         for fi in iframes:
             np.testing.assert_array_equal(per[si][fi], want[fi])
+
+
+def test_decode_device_resident(stream):
+    """device_resident=True yields device arrays (no host transfer); the
+    reassembled + rasterized frames match the standard decode."""
+    data, want = stream
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=5, use_pallas=False))
+    got = np.empty_like(want)
+    for win in pipe.decode(data, device_resident=True):
+        host = np.asarray(win.frames)  # consumer-side transfer
+        host = pipe._to_raster(host, 48 // 8, 64 // 8)
+        got[win.start_frame:win.start_frame + win.count] = host[:win.count]
+    np.testing.assert_array_equal(got, want)
