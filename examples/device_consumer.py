@@ -80,6 +80,24 @@ def main():
     assert logits.shape == (F, 5)
     print("ok: decode -> model consumed", F, "frames device-resident")
 
+    # The same configuration through the PRODUCTION pipeline API: the
+    # streaming decoder keeps every window on device
+    # (decode(device_resident=True)); the consumer jit reads the blocked
+    # frames directly and only its scalar output is fetched.
+    from mjpeg423_tpu.runtime import DecodePipeline
+
+    @jax.jit
+    def consume(frames):  # frames: (W, 8, bh, 8, bw) uint32, padded rows ok
+        return (frames & 0xFF).astype(jnp.float32).mean()
+
+    pipe = DecodePipeline()
+    outs = [
+        (win.count, float(consume(win.frames)))
+        for win in pipe.decode(data, device_resident=True)
+    ]
+    assert sum(c for c, _ in outs) == F
+    print("ok: streaming pipeline, device-resident windows:", outs)
+
 
 if __name__ == "__main__":
     main()
