@@ -435,3 +435,29 @@ def test_decode_device_resident(stream):
         host = pipe._to_raster(host, 48 // 8, 64 // 8)
         got[win.start_frame:win.start_frame + win.count] = host[:win.count]
     np.testing.assert_array_equal(got, want)
+
+
+def test_decode_streams_abandoned_generator_cleans_up(rng):
+    """Abandoning the generator mid-farm must not leak the look-ahead
+    worker thread."""
+    import threading
+
+    clips = []
+    for n in (6, 6, 6):
+        frames = make_test_frames(rng, num_frames=n, h=16, w=16)
+        clips.append(encoder.encode_frames(frames, max_i_interval=3))
+    base = threading.active_count()
+    pipe = DecodePipeline(
+        DecodeConfig(frames_per_batch=2, use_pallas=False,
+                     prefetch_batches=2)
+    )
+    gen = pipe.decode_streams(clips)
+    next(gen)
+    gen.close()  # runs the generator's finally: executor shutdown
+    import time as _t
+
+    for _ in range(50):
+        if threading.active_count() <= base:
+            break
+        _t.sleep(0.05)
+    assert threading.active_count() <= base + 1
