@@ -375,7 +375,8 @@ def cmd_serve(args) -> int:
     pool = StreamPool(cfg, devices=devices)
     if args.packed:
         stats = pool.decode_all_packed(
-            streams, max_concurrent=args.concurrent
+            streams, max_concurrent=args.concurrent,
+            iframes_only=args.thumbs,
         )
     else:
         stats = pool.decode_all(streams, max_concurrent=args.concurrent)
@@ -487,6 +488,9 @@ def main(argv=None) -> int:
                    help="pack same-geometry clips into shared device "
                         "windows (small-clip mode: no padded tails, one "
                         "dispatch per window instead of per clip)")
+    p.add_argument("--thumbs", action="store_true",
+                   help="with --packed: decode only every archive's "
+                        "I-frames (thumbnail farm)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

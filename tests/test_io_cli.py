@@ -421,3 +421,14 @@ def test_cli_thumbs(tmp_path, stream, capsys):
 
     n_if = int(fmt.index_frames(data).is_iframe.sum())
     assert len(_glob.glob(outdir + "/thumb*.bmp")) == n_if
+
+
+def test_cli_serve_packed_thumbs(tmp_path, stream, capsys):
+    data, _ = stream
+    p1 = str(tmp_path / "a.mpg")
+    p2 = str(tmp_path / "b.mpg")
+    open(p1, "wb").write(data)
+    open(p2, "wb").write(data)
+    assert cli.main([
+        "serve", p1, p2, "--packed", "--thumbs", "--no-pallas",
+    ]) == 0
