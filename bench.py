@@ -280,7 +280,9 @@ def bench_e2e_device(rng, f, b, h, w, use_pallas):
         last = None
         for win in pipe.decode(data, device_resident=True):
             last = win.frames
-        return float(np.asarray(last)[0].ravel()[0])  # completion fence
+        # Completion fence: device-side index, SCALAR fetch — the whole
+        # point of this stage is that no window crosses to the host.
+        return float(last[(0,) * last.ndim])
 
     run()  # warm: compile + one pass
     times = []

@@ -92,7 +92,9 @@ def main():
 
     pipe = DecodePipeline()
     outs = [
-        (win.count, float(consume(win.frames)))
+        # Rows beyond win.count are PAD (repeats of the last frame) —
+        # device-resident consumers must slice to .count.
+        (win.count, float(consume(win.frames[:win.count])))
         for win in pipe.decode(data, device_resident=True)
     ]
     assert sum(c for c, _ in outs) == F

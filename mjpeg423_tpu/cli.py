@@ -372,6 +372,9 @@ def cmd_serve(args) -> int:
         import jax
 
         devices = jax.devices()
+    if args.thumbs and not args.packed:
+        print("serve: --thumbs requires --packed", file=sys.stderr)
+        return 2
     pool = StreamPool(cfg, devices=devices)
     if args.packed:
         stats = pool.decode_all_packed(

@@ -728,19 +728,23 @@ def encode_candidates_into(
     else:
         _keep = np.ascontiguousarray(qprev3, dtype=np.int16)
         prev_ptr = _keep.ctypes.data_as(i16p)
-    n_seg = 1
+    # Upper bound on segment count (ONE definition — pool sizing below
+    # depends on n_seg never exceeding it): 8 tasks/core in flight,
+    # >= 256 blocks/segment, small planes serial.
+    n_cap = 1
     if nb >= 4096:
-        ncpu = os.cpu_count() or 1
+        n_cap = max(1, min(8 * (os.cpu_count() or 1), nb // 256))
+    n_seg = 1
+    if n_cap > 1:
         # Byte-proportional segmentation (the exact plane sizes are already
         # known here): ~32 KB of output per segment task.  Isolated pack
         # A/B on the 4-core dev box vs the old fixed 2*ncpu/3 = 3 rule:
         # dense 1080p (780 KB/plane -> 23 segments) 2.72 -> 2.39 ms,
         # sparse synthetic (440 KB -> 13) 1.33 -> 1.24 ms — finer dynamic
         # load balance; truly sparse planes (tens of KB) stay nearly
-        # unsegmented, avoiding per-segment stitch overhead.  Caps:
-        # 8 tasks/core in flight, >= 256 blocks/segment.
+        # unsegmented, avoiding per-segment stitch overhead.
         avg_bytes = max(1, int(sum(int(s) for s in sizes[:3])) // 3)
-        n_seg = max(1, min(avg_bytes // 32768, 8 * ncpu, nb // 256))
+        n_seg = max(1, min(avg_bytes // 32768, n_cap))
     seg_blocks = (nb + n_seg - 1) // n_seg
     seg_cap = seg_blocks * 64 * 3 + 72
     # n_seg varies with CONTENT (byte-proportional above), so the segment
@@ -748,9 +752,6 @@ def encode_candidates_into(
     # would miss on nearly every frame (I vs P sizes differ) and re-fault
     # the ~6*nb*192 B buffer each time — the THP first-touch pathology the
     # scratch system exists to avoid.
-    n_cap = 1
-    if nb >= 4096:
-        n_cap = max(1, min(8 * (os.cpu_count() or 1), nb // 256))
     pool_bytes = 6 * ((nb + n_cap) * 64 * 3 + n_cap * 72)
     pool = _scratch_buf(scratch, "cand_seg_pool", (pool_bytes,), np.uint8)
     seg_buf = pool[: 6 * n_seg * seg_cap].reshape(6 * n_seg, seg_cap)

@@ -1103,6 +1103,12 @@ class DecodePipeline:
         window per device partition per step); reassembly is by
         start_frame index.
         """
+        if kw.get("device_resident"):
+            raise ValueError(
+                "decode_array assembles HOST raster frames; consume "
+                "device-resident windows from decode(device_resident=True) "
+                "directly (blocked layout, rows beyond .count are pad)"
+            )
         wins = list(self.decode(data, **kw))
         if not wins:
             return np.zeros((0, 0, 0), dtype=np.uint32)

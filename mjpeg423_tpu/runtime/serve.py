@@ -234,7 +234,20 @@ class StreamPool:
                 done.add(open_gsi)
                 open_gsi, open_frames, open_pixels = None, 0, 0
 
+            from ..core import format as fmt
+
             datas = [streams[i] for i in subset]
+            # Expected frame count per clip: completion is detected on the
+            # clip's OWN last frame, not when the next clip happens to
+            # start — a failure at the seam must not re-deliver a clip
+            # whose every frame already went out.
+            expect = []
+            for d in datas:
+                ix = fmt.index_frames(d)
+                expect.append(
+                    int(ix.is_iframe.sum()) if iframes_only
+                    else ix.num_frames
+                )
             for si, fi, frame in pipe.decode_streams(
                 datas, iframes_only=iframes_only
             ):
@@ -257,6 +270,9 @@ class StreamPool:
                     cur = (gsi, fi, [frame])
                 open_frames += 1
                 open_pixels += frame.shape[0] * frame.shape[1]
+                if open_frames == expect[si]:
+                    flush_window()
+                    complete_clip()
             flush_window()
             complete_clip()
 
@@ -283,7 +299,11 @@ class StreamPool:
                             # healthy clips packed behind it.
                             for i in [m for m in members if m not in done]:
                                 try:
-                                    run_packed(pipe, [i], attempt, done)
+                                    # attempt+1: this is a REPLAY for any
+                                    # clip that already delivered windows
+                                    # in the failed packed pass — keep the
+                                    # attempt-based dedup contract honest.
+                                    run_packed(pipe, [i], attempt + 1, done)
                                 except Exception as e2:  # noqa: BLE001
                                     errors.append(e2)
                             return

@@ -247,3 +247,46 @@ def test_decode_all_packed_isolates_corrupt_clip(rng):
     assert {si for si, _ in healthy} == {0, 2}
     assert len([1 for si, fi in healthy if si == 0]) == 4
     assert len([1 for si, fi in healthy if si == 2]) == 5
+
+
+def test_decode_all_packed_midstream_failure_no_redelivery(rng):
+    """A clip whose bitstream fails MID-decode (after earlier clips already
+    delivered) must not cause healthy clips to re-deliver: completion is
+    detected on each clip's own last frame, and the isolation replay uses
+    a fresh attempt number."""
+    from mjpeg423_tpu.core import format as fmt
+
+    def clip(n):
+        frames = make_test_frames(rng, num_frames=n, h=32, w=32)
+        return encoder.encode_frames(frames, max_i_interval=3)
+
+    clips = [clip(4), clip(8), clip(4)]
+    # Corrupt a clip-1 plane in its second window with run-15/size-15
+    # symbols: the zig-zag overruns (needs >= ~12 bytes of 0xFF to raise
+    # before the bit reader pads zeros) -> decode ValueError AFTER clip 0
+    # has fully delivered.
+    ix = fmt.index_frames(clips[1])
+    fi_bad = next(
+        f for f in range(4, 8) if int(ix.plane_len[0, f]) >= 12
+    )
+    o, ln = int(ix.plane_off[0, fi_bad]), int(ix.plane_len[0, fi_bad])
+    bad = bytearray(clips[1])
+    bad[o:o + ln] = b"\xff" * ln
+    clips[1] = bytes(bad)
+
+    seen: list[tuple[int, int, int]] = []
+
+    def sink(si, win, attempt):
+        for i in range(win.count):
+            seen.append((si, win.start_frame + i, attempt))
+
+    pool = StreamPool(DecodeConfig(
+        frames_per_batch=4, use_pallas=False,
+        num_output_buffers=1, prefetch_batches=1,
+    ))
+    with pytest.raises(ValueError):
+        pool.decode_all_packed(clips, sink=sink, retries=1)
+    healthy = [(si, fi) for si, fi, _ in seen if si != 1]
+    assert sorted(set(healthy)) == sorted(healthy), "healthy re-delivered"
+    assert len([1 for si, _ in healthy if si == 0]) == 4
+    assert len([1 for si, _ in healthy if si == 2]) == 4
