@@ -281,14 +281,26 @@ def read_ppm(path: str) -> np.ndarray:
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read BMP or PPM by extension/magic -> (H, W, 3) uint8 RGB."""
+    """Read an image by magic -> (H, W, 3) uint8 RGB.
+
+    BMP (incl. paletted/RLE/16bpp — the libnsbmp analog, decode_bmp.c) and
+    PPM are native; any other format (PNG, JPEG, ...) is read through PIL
+    when it is importable — gated, not required."""
     with open(path, "rb") as f:
         magic = f.read(2)
     if magic == b"BM":
         return read_bmp(path)
     if magic == b"P6":
         return read_ppm(path)
-    raise ValueError(f"unrecognized image format in {path}")
+    try:
+        from PIL import Image
+    except ImportError:
+        raise ValueError(
+            f"unrecognized image format in {path} (not BMP/PPM, and PIL "
+            "is not installed for other formats)"
+        ) from None
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
 def packed_to_rgb(frame: np.ndarray) -> np.ndarray:

@@ -432,3 +432,20 @@ def test_cli_serve_packed_thumbs(tmp_path, stream, capsys):
     assert cli.main([
         "serve", p1, p2, "--packed", "--thumbs", "--no-pallas",
     ]) == 0
+
+
+def test_read_image_png_via_pil(tmp_path):
+    """Non-BMP/PPM formats route through PIL when available: a real PNG
+    round-trips through encode -> decode."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    from PIL import Image
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    Image.fromarray(rgb).save(p)
+    got = bmp.read_image(p)
+    np.testing.assert_array_equal(got, rgb)  # PNG is lossless
+    # and it flows through the encoder CLI path
+    out = str(tmp_path / "x.mpg")
+    assert cli.main(["encode", p, p, "-o", out, "--no-device"]) == 0
