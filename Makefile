@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: install test bench selftest native clean tpu-check
+.PHONY: install test bench selftest soak native clean tpu-check
 
 install:
 	$(PY) -m pip install -e . --no-build-isolation
@@ -17,6 +17,11 @@ bench:
 
 selftest:
 	$(PY) -m mjpeg423_tpu.cli selftest
+
+# Randomized cross-path equivalence + corruption soaks (CPU virtual mesh).
+soak:
+	$(PY) scripts/parity_soak.py 30
+	$(PY) scripts/fuzz_native.py 30
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:
