@@ -102,7 +102,8 @@ def cmd_decode(args) -> int:
 
     from .utils.profile import Profiler
 
-    data = _load_stream(args.input)
+    live = args.input == "-"
+    data = None if live else _load_stream(args.input)
     kw = {} if args.batch is None else {"frames_per_batch": args.batch}
     cfg = DecodeConfig(
         use_pallas=False if args.no_pallas else None, **kw
@@ -110,6 +111,10 @@ def cmd_decode(args) -> int:
     profiler = Profiler()
     mesh = None
     if args.all_devices:
+        if live:
+            print("decode -: live stdin ingest is single-device",
+                  file=sys.stderr)
+            return 2
         import jax
 
         from .parallel import make_mesh
@@ -121,7 +126,18 @@ def cmd_decode(args) -> int:
     n = 0
     npy_frames = {} if args.npy else None  # by index: mesh windows arrive
     #                                        in per-partition order
-    for win in pipe.decode(data, start_frame=args.start_frame):
+    if live:
+        if args.start_frame:
+            print("decode -: live ingest has no random access; "
+                  "--start-frame requires a stored container",
+                  file=sys.stderr)
+            return 2
+        from .runtime import decode_live
+
+        wins = decode_live(sys.stdin.buffer, pipeline=pipe)
+    else:
+        wins = pipe.decode(data, start_frame=args.start_frame)
+    for win in wins:
         for i in range(win.count):
             fi = win.start_frame + i
             if args.npy:
@@ -413,7 +429,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("decode", help="decode .mpg to BMP frames / npy")
-    p.add_argument("input")
+    p.add_argument("input",
+                   help='container path, or "-" for live stdin ingest '
+                        "(pipe/socket; no trailer needed, open-ended "
+                        "num_frames=0 streams supported)")
     p.add_argument("-o", "--outdir", default=".")
     p.add_argument("--prefix", default="frame")
     p.add_argument("--npy", action="store_true")

@@ -1,4 +1,14 @@
+from .live import LiveWriter, decode_live, decode_live_array, live_stream_bytes
 from .pipeline import DecodedWindow, DecodePipeline
 from .playback import PlaybackStats, Player
 
-__all__ = ["DecodePipeline", "DecodedWindow", "Player", "PlaybackStats"]
+__all__ = [
+    "DecodePipeline",
+    "DecodedWindow",
+    "LiveWriter",
+    "Player",
+    "PlaybackStats",
+    "decode_live",
+    "decode_live_array",
+    "live_stream_bytes",
+]

@@ -1,0 +1,391 @@
+"""Live-ingest decode: a container arriving incrementally, no random access.
+
+Every other decode entry point requires the complete container bytes (or an
+mmap) because it random-accesses the trailer and frame chain.  A LIVE source
+— a pipe, a socket, stdin, a camera encoder, a growing file — delivers bytes
+front-to-back only.  This is the reference's actual operating mode: core1
+streams frame payloads off the SD card strictly forward, one readFrameData at
+a time, and playback never touches bytes it has not read yet (reference:
+core1/software/main.c:135-164 readFrameData, :292-307 OK_TO_READ_NEXT_FRAME).
+
+Stream contract:
+  * A stored container decodes as-is (the trailer at the end is simply never
+    read — the chain walk stops after header.num_frames frames).
+  * An OPEN-ENDED live stream writes num_frames = 0 in the header and no
+    trailer: frames chain until EOF, which must land exactly on a frame
+    boundary (LiveWriter emits this; live_stream_bytes converts a stored
+    container).  A writer feeding a pipe cannot seek back to back-patch
+    num_frames/payload_size the way the stored encoder does (reference:
+    encoder/mjpeg423_encoder.c:214-225), so 0 is the "unknown" sentinel.
+
+Pipeline shape (same three stages as DecodePipeline.decode):
+  reader thread — chains frame headers off the byte source into window-sized
+      contiguous buffers (the core1 analog; backpressure propagates to the
+      source through the bounded queue: a slow consumer stalls the reads,
+      which stalls the pipe writer);
+  parse pool    — native batch entropy decode per window;
+  consumer      — the SAME jit device step with coefficient-state carry.
+
+Latency note: windows are config.frames_per_batch frames; a 24 fps live
+source fills one ~0.8 s window before the device sees it.  Lower
+frames_per_batch (and num_output_buffers) for lower glass-to-glass latency.
+"""
+from __future__ import annotations
+
+import queue
+import struct
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import BinaryIO, Callable, Iterable, Iterator, Union
+
+import numpy as np
+
+from ..core import format as fmt
+from ..utils.config import DecodeConfig
+from ..utils.profile import Profiler
+from .pipeline import (
+    DecodedWindow,
+    DecodePipeline,
+    _StageError,
+    auto_rows_per_step,
+)
+
+ByteSource = Union[BinaryIO, Iterable[bytes]]
+
+_READ_CHUNK = 1 << 20
+
+
+def _chunks(src: ByteSource) -> Iterator[bytes]:
+    """Normalize a byte source: file-like (.read until b'') or iterable."""
+    if hasattr(src, "read"):
+        while True:
+            b = src.read(_READ_CHUNK)
+            if not b:
+                return
+            yield b
+    else:
+        yield from src
+
+
+def _iter_raw_windows(src: ByteSource, window: int):
+    """Chain frames off a live byte source into parse-ready windows.
+
+    Yields (start_frame, count, buf, FrameIndex): buf holds the window's
+    plane bitstreams contiguously (frame headers stripped) and the index
+    addresses them window-locally, so DecodePipeline.parse_window consumes
+    it unchanged.  Validation mirrors the stored-container chain walk
+    (core/format.py index_frames), plus a worst-case frame-size cap — the
+    reference's YBISTREAM_BYTES budget idea (config.h:58-62) — so one
+    corrupt frame_size cannot make the reader buffer gigabytes.
+    """
+    chunks = _chunks(src)
+    buf = bytearray()
+    eof = False
+
+    def ensure(n: int) -> bool:
+        nonlocal buf, eof
+        while len(buf) < n and not eof:
+            try:
+                b = next(chunks)
+            except StopIteration:
+                eof = True
+                break
+            if b:
+                buf += b
+        return len(buf) >= n
+
+    if not ensure(fmt.FILE_HEADER_BYTES):
+        raise ValueError("truncated container: no file header")
+    header = fmt.FileHeader.unpack(bytes(buf[:fmt.FILE_HEADER_BYTES]))
+    del buf[:fmt.FILE_HEADER_BYTES]
+    width, height = header.width, header.height
+    if not width or not height or width % 8 or height % 8:
+        raise ValueError(f"bad live geometry {width}x{height}")
+    nf = header.num_frames  # 0 = open-ended: frames until EOF
+    nb = header.blocks_per_plane
+    # 4 bytes/coefficient/plane is beyond any legal encoding (the VLI caps
+    # at 11 amplitude bits + 8 run/size bits ≈ 2.4 B/coef).
+    max_frame = fmt.FRAME_HEADER_BYTES + 12 * nb * 64
+
+    start = 0
+    done = 0
+    wbuf = bytearray()
+    ftypes: list[int] = []
+    offs: list[tuple[int, int, int, int, int, int]] = []
+
+    def flush():
+        nonlocal wbuf, ftypes, offs, start
+        count = len(ftypes)
+        off = np.empty((3, count), np.uint64)
+        ln = np.empty((3, count), np.uint64)
+        for i, r in enumerate(offs):
+            off[0, i], ln[0, i] = r[0], r[1]
+            off[1, i], ln[1, i] = r[2], r[3]
+            off[2, i], ln[2, i] = r[4], r[5]
+        whdr = fmt.FileHeader(count, width, height, 0, 0)
+        index = fmt.FrameIndex(
+            whdr, np.array(ftypes, np.uint32), off, ln, []
+        )
+        out = (start, count, bytes(wbuf), index)
+        start += count
+        wbuf = bytearray()
+        ftypes = []
+        offs = []
+        return out
+
+    while nf == 0 or done < nf:
+        if not ensure(fmt.FRAME_HEADER_BYTES):
+            if nf == 0 and not buf:
+                break  # clean EOF at a frame boundary ends an open stream
+            raise ValueError(
+                f"truncated stream: frame {done} header incomplete"
+                + ("" if nf == 0 else f" (header promised {nf} frames)")
+            )
+        frame_size, frame_type, y_size, cb_size = struct.unpack_from(
+            "<4I", buf, 0
+        )
+        if (
+            frame_size < fmt.FRAME_HEADER_BYTES
+            or frame_size > max_frame
+            or y_size + cb_size > frame_size - fmt.FRAME_HEADER_BYTES
+            or frame_type > 1  # only I (0) and P (1) exist
+        ):
+            raise ValueError(f"corrupt frame at frame {done}")
+        if not ensure(frame_size):
+            raise ValueError(
+                f"truncated stream: frame {done} body incomplete"
+            )
+        cr_size = frame_size - fmt.FRAME_HEADER_BYTES - y_size - cb_size
+        base = len(wbuf)
+        with memoryview(buf) as mv:
+            wbuf += mv[fmt.FRAME_HEADER_BYTES:frame_size]
+        offs.append((
+            base, y_size,
+            base + y_size, cb_size,
+            # cr_size includes <=3 alignment pad bytes; the bit reader
+            # never consumes past the final coefficient.
+            base + y_size + cb_size, cr_size,
+        ))
+        ftypes.append(frame_type)
+        del buf[:frame_size]
+        done += 1
+        if len(ftypes) == window:
+            yield flush()
+    if ftypes:
+        yield flush()
+
+
+def decode_live(
+    src: ByteSource,
+    *,
+    pipeline: DecodePipeline | None = None,
+    config: DecodeConfig | None = None,
+    profiler: Profiler | None = None,
+    device=None,
+    stop: Callable[[], bool] | None = None,
+    device_resident: bool = False,
+) -> Iterator[DecodedWindow]:
+    """Decode a live byte source, yielding DecodedWindows as frames arrive.
+
+    Pass an existing (warmed-up) DecodePipeline to reuse its compiled step
+    across streams; otherwise one is built from config/profiler/device.
+    Semantics match DecodePipeline.decode byte-for-byte: same carry chain,
+    same window geometry, same output layout (device_resident included).
+    """
+    pipe = pipeline or DecodePipeline(
+        config=config, profiler=profiler, device=device
+    )
+    if pipe.mesh is not None:
+        raise ValueError(
+            "decode_live is single-device (a live source has no random "
+            "access to partition GOPs); run one pipeline per feed"
+        )
+    cfg = pipe.config
+    w = cfg.frames_per_batch
+    want_packed = pipe._use_pallas() and cfg.pack_i8
+    want_cm = pipe._want_cm()
+
+    parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
+    # reader -> deliverer hand-off; its bound is the parse look-ahead.
+    futs_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1) + 1)
+    stop_flag = threading.Event()
+    ex = ThreadPoolExecutor(max_workers=cfg.parse_workers or None)
+
+    def reader():
+        # Chains bytes into windows and submits parse jobs.  Separate from
+        # the deliverer so a completed parse reaches the consumer even
+        # while this thread is blocked reading window N+1 from a slow live
+        # source (unlike decode(), window N+1 may not EXIST yet).
+        err: BaseException | None = None
+        try:
+            for s, c, wbuf, index in _iter_raw_windows(src, w):
+                if stop_flag.is_set():
+                    return
+                futs_q.put((s, c, index, ex.submit(
+                    pipe.parse_window, wbuf, index, 0, c,
+                    want_packed, want_cm,
+                )))
+        except BaseException as e:
+            err = e
+        finally:
+            futs_q.put(_StageError(err) if err is not None else None)
+
+    def deliverer():
+        err: BaseException | None = None
+        try:
+            while True:
+                item = futs_q.get()
+                if item is None:
+                    break
+                if isinstance(item, _StageError):
+                    raise item.exc
+                if stop_flag.is_set():
+                    item[3].cancel()
+                    continue
+                s0, c0, ix0, f0 = item
+                parse_q.put((s0, c0, ix0, f0.result()))
+        except BaseException as e:
+            err = e
+        finally:
+            parse_q.put(_StageError(err) if err is not None else None)
+
+    t_read = threading.Thread(target=reader, daemon=True)
+    t = threading.Thread(target=deliverer, daemon=True)
+    t_read.start()
+    t.start()
+
+    step = None
+    carry = None
+    carry_layout = "cm" if want_cm else "bm"
+    bh = bw = nb = kk = 0
+    pending: list[tuple[int, int, object]] = []
+    try:
+        while True:
+            item = parse_q.get()
+            if item is None:
+                break
+            if isinstance(item, _StageError):
+                raise item.exc
+            s, c, index, amps = item
+            if step is None:
+                hdr = index.header
+                bh, bw = hdr.blocks_h, hdr.blocks_w
+                nb = hdr.blocks_per_plane
+                kk = auto_rows_per_step(bh, bw, w)
+                step = pipe._get_step(bh, bw)
+                if want_cm:
+                    carry = pipe._put(np.zeros(
+                        (3, bh // kk, 64, kk * bw), np.int16
+                    ))
+                else:
+                    carry = pipe._put(np.zeros((3, nb, 64), np.int16))
+            fmt_tag = (
+                "cm" if isinstance(amps, tuple) and amps[0] == "cm"
+                else "bm"
+            )
+            if fmt_tag != carry_layout:
+                carry = pipe._carry_cast(carry, fmt_tag, bh, bw, kk)
+                carry_layout = fmt_tag
+            dev_amps = pipe._put_window(amps, c, w, nb)
+            seg = np.zeros(w, dtype=bool)
+            seg[:c] = index.is_iframe[:c]
+            with pipe.profiler.time("device/dispatch"):
+                frames, carry = step(dev_amps, pipe._put(seg), carry)
+            pending.append((s, c, frames))
+            ring = max(1, cfg.num_output_buffers)
+            while len(pending) > ring:
+                yield pipe._drain(pending.pop(0), bh, bw, device_resident)
+                if stop is not None and stop():
+                    stop_flag.set()
+                    return
+        while pending:
+            yield pipe._drain(pending.pop(0), bh, bw, device_resident)
+            if stop is not None and stop():
+                return
+    finally:
+        stop_flag.set()
+        for _ in range(2):
+            # Drain both queues so reader/deliverer unblock from full puts.
+            # A reader parked on a live read() that never returns cannot be
+            # interrupted — it stays parked (daemon) until the source
+            # yields bytes or closes; everything else shuts down now.
+            for q_ in (parse_q, futs_q):
+                while True:
+                    try:
+                        item = q_.get_nowait()
+                    except queue.Empty:
+                        break
+                    if q_ is futs_q and isinstance(item, tuple):
+                        item[3].cancel()
+            t.join(timeout=1.0)
+            if not t.is_alive():
+                break
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
+def decode_live_array(src: ByteSource, **kw) -> np.ndarray:
+    """decode_live fully materialized into one (F, H, W) uint32 array."""
+    wins = list(decode_live(src, **kw))
+    if not wins:
+        return np.zeros((0, 0, 0), dtype=np.uint32)
+    total = sum(win.count for win in wins)
+    out = np.empty(
+        (total,) + wins[0].frames.shape[1:], wins[0].frames.dtype
+    )
+    for win in wins:
+        out[win.start_frame:win.start_frame + win.count] = win.frames
+    return out
+
+
+class LiveWriter:
+    """Producer side of the open-ended live contract.
+
+    Writes a header with num_frames = 0 (the "unknown" sentinel), then
+    appends packed frames; no trailer, no back-patching — a live writer
+    cannot seek (the stored encoder back-patches after the fact,
+    reference: encoder/mjpeg423_encoder.c:214-225).  Closing is just
+    closing the byte sink: EOF at a frame boundary is the end-of-stream
+    marker decode_live honors.
+    """
+
+    def __init__(self, out: BinaryIO, width: int, height: int):
+        if not width or not height or width % 8 or height % 8:
+            raise ValueError(f"bad live geometry {width}x{height}")
+        self._out = out
+        self.width = width
+        self.height = height
+        self.frames_written = 0
+        out.write(fmt.FileHeader(0, width, height, 0, 0).pack())
+
+    def write_frame(self, frame: fmt.Frame) -> None:
+        self._out.write(frame.pack())
+        self.frames_written += 1
+
+    def write_container(self, data: bytes) -> int:
+        """Re-stream a stored container's frames into the live feed
+        (geometry must match).  Returns the number of frames written."""
+        mpg = fmt.parse_file(data)
+        if (mpg.width, mpg.height) != (self.width, self.height):
+            raise ValueError(
+                f"container is {mpg.width}x{mpg.height}, live feed is "
+                f"{self.width}x{self.height}"
+            )
+        for fr in mpg.frames:
+            self.write_frame(fr)
+        return len(mpg.frames)
+
+
+def live_stream_bytes(data: bytes) -> bytes:
+    """Stored container -> its open-ended live equivalent.
+
+    Rewrites the header with the num_frames = 0 sentinel and drops the
+    trailer + 512-byte pad; the payload bytes pass through untouched.
+    """
+    hdr = fmt.FileHeader.unpack(data)
+    end = fmt.FILE_HEADER_BYTES + hdr.payload_size
+    if end > len(data):
+        raise ValueError("truncated container")
+    return (
+        fmt.FileHeader(0, hdr.width, hdr.height, 0, 0).pack()
+        + data[fmt.FILE_HEADER_BYTES:end]
+    )

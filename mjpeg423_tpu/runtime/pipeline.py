@@ -303,6 +303,24 @@ class DecodePipeline:
 
     # ----- Stage B: device step ----------------------------------------
 
+    def _carry_cast(self, carry, to_tag: str, blocks_h: int, blocks_w: int,
+                    kk: int):
+        """Convert a device-resident coefficient carry between the two
+        parse layouts.  block-major (3, B, 64) <-> coefficient-major
+        (3, bh/k, 64, k*bw): fold k block-rows, transpose in-tile.  Needed
+        when parse_window falls back to a different layout mid-stream
+        (e.g. decode_batch_cm signalling unsupported geometry) so resumed
+        state stays exact."""
+        import jax.numpy as jnp
+
+        if to_tag == "cm":
+            return jnp.swapaxes(
+                carry.reshape(3, blocks_h // kk, kk * blocks_w, 64), -1, -2
+            )
+        return jnp.swapaxes(carry, -1, -2).reshape(
+            3, blocks_h * blocks_w, 64
+        )
+
     def _use_pallas(self) -> bool:
         """Resolve the use_pallas=None auto default: fused kernel on TPU,
         XLA elsewhere.  Forcing True off-TPU runs the Pallas interpreter —
@@ -438,9 +456,6 @@ class DecodePipeline:
                 )
             yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
-        import jax
-        import jax.numpy as jnp
-
         cfg = self.config
         index = fmt.index_frames(data)
         hdr = index.header
@@ -515,17 +530,6 @@ class DecodePipeline:
 
         kk = auto_rows_per_step(hdr.blocks_h, hdr.blocks_w, w)
 
-        def carry_to_cm(cbm):
-            # block-major (3, B, 64) -> coefficient-major
-            # (3, bh/k, 64, k*bw): fold k block-rows, transpose in-tile.
-            return jnp.swapaxes(
-                cbm.reshape(3, hdr.blocks_h // kk, kk * hdr.blocks_w, 64),
-                -1, -2,
-            )
-
-        def carry_to_bm(ccm):
-            return jnp.swapaxes(ccm, -1, -2).reshape(3, nb, 64)
-
         if want_cm:
             carry = self._put(np.zeros(
                 (3, hdr.blocks_h // kk, 64, kk * hdr.blocks_w), np.int16
@@ -551,10 +555,7 @@ class DecodePipeline:
                     else "bm"
                 )
                 if fmt_tag != carry_layout:
-                    carry = (
-                        carry_to_cm(carry) if fmt_tag == "cm"
-                        else carry_to_bm(carry)
-                    )
+                    carry = self._carry_cast(carry, fmt_tag, bh, bw, kk)
                     carry_layout = fmt_tag
                 dev_amps = self._put_window(amps, c, w, nb)
                 seg = np.zeros(w, dtype=bool)
@@ -961,17 +962,7 @@ class DecodePipeline:
         carry = self._put(np.zeros((3, nb, 64), np.int16))
         carry_layout = "bm"
 
-        import jax.numpy as jnp
-
         kk = auto_rows_per_step(bh, bw, w)
-
-        def carry_to_cm(cbm):
-            return jnp.swapaxes(
-                cbm.reshape(3, bh // kk, kk * bw, 64), -1, -2
-            )
-
-        def carry_to_bm(ccm):
-            return jnp.swapaxes(ccm, -1, -2).reshape(3, nb, 64)
 
         def emit(item):
             ents, c, frames = item
@@ -1032,10 +1023,7 @@ class DecodePipeline:
                     else "bm"
                 )
                 if fmt_tag != carry_layout:
-                    carry = (
-                        carry_to_cm(carry) if fmt_tag == "cm"
-                        else carry_to_bm(carry)
-                    )
+                    carry = self._carry_cast(carry, fmt_tag, bh, bw, kk)
                     carry_layout = fmt_tag
                 dev_amps = self._put_window(amps, c, w, nb)
                 seg = np.zeros(w, dtype=bool)

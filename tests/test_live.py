@@ -1,0 +1,231 @@
+"""Live-ingest decode: incremental byte sources, no trailer, no seeking.
+
+The reference's actual operating mode is forward-only streaming off the SD
+card (core1/software/main.c:135-164); these tests feed containers through
+pipes / chunked iterables and require bit-exact agreement with the stored
+whole-buffer decode path.
+"""
+import io
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from conftest import make_test_frames
+from mjpeg423_tpu.codec import encoder
+from mjpeg423_tpu.core import format as fmt
+from mjpeg423_tpu.runtime import (
+    DecodePipeline,
+    LiveWriter,
+    decode_live,
+    decode_live_array,
+    live_stream_bytes,
+)
+from mjpeg423_tpu.utils.config import DecodeConfig
+
+
+@pytest.fixture(scope="module")
+def stream(rng_mod):
+    frames = make_test_frames(rng_mod, num_frames=23, h=48, w=64)
+    return encoder.encode_frames(frames, max_i_interval=6)
+
+
+@pytest.fixture(scope="module")
+def rng_mod():
+    return np.random.default_rng(77)
+
+
+@pytest.fixture(scope="module")
+def stored_frames(stream):
+    return DecodePipeline(DecodeConfig(frames_per_batch=7)).decode_array(
+        stream
+    )
+
+
+def _chunked(data: bytes, sizes):
+    """Yield data split into pseudo-random chunk sizes (stresses partial
+    frame headers / bodies straddling read boundaries)."""
+    i = 0
+    k = 0
+    while i < len(data):
+        n = sizes[k % len(sizes)]
+        yield data[i:i + n]
+        i += n
+        k += 1
+
+
+def test_live_matches_stored_decode(stream, stored_frames):
+    # Awkward chunk sizes: 1-byte reads, sizes straddling the 16-byte
+    # frame header, large gulps.
+    got = decode_live_array(
+        _chunked(stream, [1, 7, 16, 3, 4096, 2, 33]),
+        config=DecodeConfig(frames_per_batch=7),
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_filelike_source(stream, stored_frames):
+    got = decode_live_array(
+        io.BytesIO(stream), config=DecodeConfig(frames_per_batch=5)
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_open_ended_stream(stream, stored_frames):
+    # num_frames = 0 sentinel, no trailer: frames chain until EOF.
+    live = live_stream_bytes(stream)
+    assert fmt.FileHeader.unpack(live).num_frames == 0
+    assert len(live) < len(stream)  # trailer + pad dropped
+    got = decode_live_array(
+        _chunked(live, [13, 256, 5]), config=DecodeConfig(frames_per_batch=6)
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_through_real_pipe(stream, stored_frames):
+    r, w = os.pipe()
+
+    def writer():
+        with open(w, "wb") as f:
+            # Dribble in small writes so the reader sees partial frames.
+            for i in range(0, len(stream), 777):
+                f.write(stream[i:i + 777])
+
+    th = threading.Thread(target=writer)
+    th.start()
+    with open(r, "rb") as f:
+        got = decode_live_array(f, config=DecodeConfig(frames_per_batch=8))
+    th.join()
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_writer_round_trip(stream, stored_frames):
+    hdr = fmt.FileHeader.unpack(stream)
+    sink = io.BytesIO()
+    lw = LiveWriter(sink, hdr.width, hdr.height)
+    n = lw.write_container(stream)
+    assert n == hdr.num_frames == lw.frames_written
+    got = decode_live_array(
+        io.BytesIO(sink.getvalue()), config=DecodeConfig(frames_per_batch=9)
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_writer_frame_by_frame(stream, stored_frames):
+    # Streaming producer: frames written one at a time into a pipe while
+    # the decoder runs concurrently (the camera-encoder shape).
+    mpg = fmt.parse_file(stream)
+    r, w = os.pipe()
+
+    def producer():
+        with open(w, "wb", buffering=0) as f:
+            lw = LiveWriter(f, mpg.width, mpg.height)
+            for fr in mpg.frames:
+                lw.write_frame(fr)
+
+    th = threading.Thread(target=producer)
+    th.start()
+    with open(r, "rb") as f:
+        got = decode_live_array(f, config=DecodeConfig(frames_per_batch=4))
+    th.join()
+    np.testing.assert_array_equal(got, stored_frames)
+
+
+def test_live_reuses_warm_pipeline(stream, stored_frames):
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=7))
+    a = decode_live_array(io.BytesIO(stream), pipeline=pipe)
+    b = decode_live_array(
+        io.BytesIO(live_stream_bytes(stream)), pipeline=pipe
+    )
+    np.testing.assert_array_equal(a, stored_frames)
+    np.testing.assert_array_equal(b, stored_frames)
+    # One compiled step cached, shared across both streams.
+    assert len(pipe._step_cache) == 1
+
+
+def test_live_truncated_mid_frame_raises(stream):
+    # Cut inside a frame body (past the first window so the pipeline is
+    # already running — the error must cross the stage queue).
+    cut = stream[: len(stream) // 2]
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        decode_live_array(
+            io.BytesIO(cut), config=DecodeConfig(frames_per_batch=4)
+        )
+
+
+def test_live_open_ended_truncated_raises(stream):
+    live = live_stream_bytes(stream)
+    # EOF NOT at a frame boundary: drop the last 5 bytes.
+    with pytest.raises(ValueError, match="truncated"):
+        decode_live_array(
+            io.BytesIO(live[:-5]), config=DecodeConfig(frames_per_batch=4)
+        )
+
+
+def test_live_corrupt_frame_type_raises(stream):
+    offs = fmt.frame_offsets(stream)
+    bad = bytearray(stream)
+    # frame_type of frame 1 -> 7 (only 0/1 exist, mjpeg423_types.h)
+    bad[offs[1] + 4:offs[1] + 8] = (7).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_live_array(
+            io.BytesIO(bytes(bad)), config=DecodeConfig(frames_per_batch=4)
+        )
+
+
+def test_live_insane_frame_size_raises(stream):
+    offs = fmt.frame_offsets(stream)
+    bad = bytearray(stream)
+    # frame_size of frame 1 -> ~4 GB: the reader must reject it without
+    # attempting to buffer it (worst-case frame budget, config.h:58-62).
+    bad[offs[1]:offs[1] + 4] = (0xF000_0000).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="corrupt"):
+        decode_live_array(
+            io.BytesIO(bytes(bad)), config=DecodeConfig(frames_per_batch=4)
+        )
+
+
+def test_live_abandoned_generator_shuts_down(stream):
+    before = threading.active_count()
+    gen = decode_live(
+        io.BytesIO(stream), config=DecodeConfig(frames_per_batch=4)
+    )
+    next(gen)
+    gen.close()
+    # Reader/deliverer threads exit (in-memory source never blocks).
+    deadline = 50
+    while threading.active_count() > before and deadline:
+        threading.Event().wait(0.1)
+        deadline -= 1
+    assert threading.active_count() <= before
+
+
+def test_live_stop_predicate(stream):
+    seen = []
+    for win in decode_live(
+        io.BytesIO(stream),
+        config=DecodeConfig(frames_per_batch=4, num_output_buffers=1),
+        stop=lambda: len(seen) >= 2,
+    ):
+        seen.append(win)
+    assert 0 < len(seen) < 6
+
+
+def test_live_rejects_mesh_pipeline(stream):
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=4), mesh=mesh)
+    with pytest.raises(ValueError, match="single-device"):
+        next(decode_live(io.BytesIO(stream), pipeline=pipe))
+
+
+def test_live_bad_header_raises():
+    with pytest.raises(ValueError, match="truncated"):
+        decode_live_array(io.BytesIO(b"\x01\x02"))
+    # 20-byte header with zero geometry
+    hdr = fmt.FileHeader(0, 0, 0, 0, 0).pack()
+    with pytest.raises(ValueError, match="geometry"):
+        decode_live_array(io.BytesIO(hdr))
