@@ -302,6 +302,27 @@ def cmd_play(args) -> int:
 
     cfg = DecodeConfig(fps=args.fps, use_pallas=False if args.no_pallas else None)
     playlist = list(args.inputs)
+    if playlist == ["-"]:
+        # Live stdin playback: paced delivery, no seek (forward-only).
+        if args.interactive:
+            print("play -: stdin carries the stream; interactive keys need "
+                  "a stored container", file=sys.stderr)
+            return 2
+        from .runtime import play_live
+
+        stats = play_live(sys.stdin.buffer, paced=not args.no_pace,
+                          config=cfg)
+        print(
+            f"<stdin>: {stats.frames_delivered} frames in "
+            f"{stats.wall_s:.3f}s ({stats.fps:.2f} fps, "
+            f"{stats.frames_late} late)",
+            file=sys.stderr,
+        )
+        return 0
+    if "-" in playlist:
+        print("play -: live stdin cannot mix with stored playlist entries",
+              file=sys.stderr)
+        return 2
     control: dict = {"player": None, "quit": False}
     tty_token = None
     if args.interactive:

@@ -1,6 +1,6 @@
 from .live import LiveWriter, decode_live, decode_live_array, live_stream_bytes
 from .pipeline import DecodedWindow, DecodePipeline
-from .playback import PlaybackStats, Player
+from .playback import PlaybackStats, Player, play_live
 
 __all__ = [
     "DecodePipeline",
@@ -11,4 +11,5 @@ __all__ = [
     "decode_live",
     "decode_live_array",
     "live_stream_bytes",
+    "play_live",
 ]

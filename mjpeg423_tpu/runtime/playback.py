@@ -33,6 +33,59 @@ from .pipeline import DecodePipeline
 FrameSink = Callable[[int, np.ndarray], None]
 
 
+def play_live(
+    src,
+    sink: FrameSink | None = None,
+    stop: Callable[[], bool] | None = None,
+    paced: bool | None = None,
+    config: DecodeConfig | None = None,
+    profiler: Profiler | None = None,
+    pipeline: DecodePipeline | None = None,
+) -> "PlaybackStats":
+    """Paced playback of a LIVE byte source (pipe/socket/stdin).
+
+    The forward-only counterpart of Player.play: frames deliver to `sink`
+    on the fps grid with late-frame accounting (the "m"-print analog,
+    playback.c:40-48), but there is no seek/FF/RW — a live source has no
+    trailer and no random access.  `stop` is polled between frames; note
+    that stopping abandons the feed mid-stream (the source keeps its end
+    of the pipe).  Pacing never *drops* frames: a slow consumer stalls the
+    pipeline, whose backpressure reaches the source — the live analog of
+    the reference's bounded framebuffer ring (ece423_vid_ctl.c:174-224).
+    """
+    from .live import decode_live
+
+    cfg = config or (pipeline.config if pipeline else DecodeConfig())
+    if paced is None:
+        paced = cfg.force_periodic
+    stats = PlaybackStats()
+    period = 1.0 / cfg.fps
+    t0 = time.perf_counter()
+    next_deadline = t0 + period
+    try:
+        for win in decode_live(
+            src, pipeline=pipeline, config=config, profiler=profiler,
+            stop=stop,
+        ):
+            for i in range(win.count):
+                if stop is not None and stop():
+                    return stats
+                if paced:
+                    now = time.perf_counter()
+                    if now > next_deadline:
+                        stats.frames_late += 1
+                    else:
+                        time.sleep(next_deadline - now)
+                    next_deadline += period
+                if sink is not None:
+                    sink(win.start_frame + i, win.frames[i])
+                stats.frames_delivered += 1
+                stats.wall_s = time.perf_counter() - t0
+        return stats
+    finally:
+        stats.wall_s = time.perf_counter() - t0
+
+
 @dataclasses.dataclass
 class PlaybackStats:
     frames_delivered: int = 0

@@ -152,6 +152,63 @@ class StreamPool:
             raise errors[0]
         return stats
 
+    def decode_all_live(
+        self,
+        feeds: list,
+        sink=None,
+        max_concurrent: int = 8,
+    ) -> ServeStats:
+        """Decode many LIVE byte sources concurrently (sockets, pipes...).
+
+        One decode_live per feed, feeds round-robin over the pool's pinned
+        pipelines (stream-level data parallelism, same as decode_all); the
+        jit step cache is shared per pipeline so same-geometry feeds share
+        one executable.  Sink contract matches decode_all —
+        sink(feed_idx, DecodedWindow[, attempt]) — with attempt always 0:
+        a live source has no random access, so there are NO retries (the
+        replay-from-start elasticity unit needs a stored container).  A
+        failed feed raises after all healthy feeds finish; its frames are
+        not counted.
+        """
+        from .live import decode_live
+
+        stats = ServeStats(streams=len(feeds))
+        lock = threading.Lock()
+        sem = threading.Semaphore(max_concurrent)
+        errors: list[Exception] = []
+        deliver = self._make_deliver(sink)
+
+        def worker(si: int, src):
+            pipe = self.pipelines[si % len(self.pipelines)]
+            frames = pixels = 0
+            try:
+                with sem:
+                    for win in decode_live(src, pipeline=pipe):
+                        if deliver is not None:
+                            deliver(si, win, 0)
+                        h, w = win.frames.shape[1:3]
+                        frames += win.count
+                        pixels += win.count * h * w
+                with lock:
+                    stats.frames += frames
+                    stats.pixels += pixels
+            except Exception as e:  # noqa: BLE001 — surfaced after join
+                errors.append(e)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=worker, args=(i, f), daemon=True)
+            for i, f in enumerate(feeds)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        stats.wall_s = time.perf_counter() - t0
+        if errors:
+            raise errors[0]
+        return stats
+
     def decode_all_packed(
         self,
         streams: list[bytes],

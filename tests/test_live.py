@@ -222,6 +222,105 @@ def test_live_rejects_mesh_pipeline(stream):
         next(decode_live(io.BytesIO(stream), pipeline=pipe))
 
 
+def test_live_encoder_finalize_byte_identical(rng_mod):
+    # LiveEncoder to a seekable sink + finalize == the stored encoder,
+    # byte for byte (the reference's back-patch fixup,
+    # mjpeg423_encoder.c:204-225).
+    frames = make_test_frames(rng_mod, num_frames=17, h=48, w=64)
+    stored = encoder.encode_frames(frames, max_i_interval=6)
+    sink = io.BytesIO()
+    le = encoder.LiveEncoder(sink, 64, 48, max_i_interval=6)
+    for fr in frames:
+        le.write_frame(fr)
+    assert le.finalize() is True
+    assert sink.getvalue() == stored
+    with pytest.raises(ValueError, match="finalized"):
+        le.write_frame(frames[0])
+
+
+def test_live_encode_to_live_decode_chain(rng_mod):
+    # Full live transcode chain: camera-sim -> LiveEncoder -> pipe ->
+    # decode_live, running concurrently; must match the stored round trip.
+    frames = make_test_frames(rng_mod, num_frames=15, h=48, w=64)
+    stored = encoder.encode_frames(frames, max_i_interval=5)
+    want = DecodePipeline(DecodeConfig(frames_per_batch=6)).decode_array(
+        stored
+    )
+    r, w = os.pipe()
+
+    def producer():
+        with open(w, "wb") as f:
+            le = encoder.LiveEncoder(f, 64, 48, max_i_interval=5)
+            for fr in frames:
+                le.write_frame(fr)
+            assert le.finalize() is False  # pipes are not seekable
+
+    th = threading.Thread(target=producer)
+    th.start()
+    with open(r, "rb") as f:
+        got = decode_live_array(f, config=DecodeConfig(frames_per_batch=6))
+    th.join()
+    np.testing.assert_array_equal(got, want)
+
+
+def test_live_encoder_rejects_geometry_mismatch(rng_mod):
+    le = encoder.LiveEncoder(io.BytesIO(), 64, 48)
+    with pytest.raises(ValueError, match="feed is"):
+        le.write_frame(np.zeros((48, 72, 3), np.uint8))
+    with pytest.raises(ValueError, match="multiples of 8"):
+        encoder.LiveEncoder(io.BytesIO(), 60, 48)
+
+
+def test_play_live_paced(stream, stored_frames):
+    from mjpeg423_tpu.runtime import play_live
+
+    got = {}
+    stats = play_live(
+        io.BytesIO(stream),
+        sink=lambda fi, fr: got.__setitem__(fi, fr),
+        paced=True,
+        config=DecodeConfig(fps=2000.0, frames_per_batch=6),
+    )
+    assert stats.frames_delivered == len(stored_frames)
+    np.testing.assert_array_equal(
+        np.stack([got[k] for k in sorted(got)]), stored_frames
+    )
+    assert stats.wall_s >= (len(stored_frames) - stats.frames_late) / 2000.0
+
+
+def test_stream_pool_live_feeds(stream, stored_frames):
+    from mjpeg423_tpu.runtime.serve import StreamPool
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=6))
+    wins: dict = {}
+    feeds = [io.BytesIO(stream), io.BytesIO(live_stream_bytes(stream))]
+    stats = pool.decode_all_live(
+        feeds, sink=lambda si, win: wins.setdefault(si, []).append(win)
+    )
+    assert stats.streams == 2
+    assert stats.frames == 2 * len(stored_frames)
+    for si in (0, 1):
+        frames = np.concatenate([w.frames for w in sorted(
+            wins[si], key=lambda w: w.start_frame
+        )])
+        np.testing.assert_array_equal(frames, stored_frames)
+
+
+def test_stream_pool_live_feed_failure_isolated(stream, stored_frames):
+    from mjpeg423_tpu.runtime.serve import StreamPool
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=6))
+    ok: list = []
+    feeds = [io.BytesIO(stream[: len(stream) // 2]), io.BytesIO(stream)]
+    with pytest.raises(ValueError, match="truncated|corrupt"):
+        pool.decode_all_live(
+            feeds,
+            sink=lambda si, win: ok.append(win) if si == 1 else None,
+        )
+    # The healthy feed still decoded fully.
+    assert sum(w.count for w in ok) == len(stored_frames)
+
+
 def test_live_bad_header_raises():
     with pytest.raises(ValueError, match="truncated"):
         decode_live_array(io.BytesIO(b"\x01\x02"))
