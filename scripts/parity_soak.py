@@ -9,6 +9,9 @@ Each round draws a random geometry / content class / GOP structure, then:
            (fused Pallas, interpret) == GOP-aligned sharded batch ==
            compiled reference C decoder -> all byte-identical frames
   regop:   decode(regop(x)) == decode(x)
+  live:    decode_live over random-size chunks (stored or open-ended
+           header) == stored decode; LiveEncoder+finalize == stored
+           encoder bytes
 
 The fixed-seed test suite proves each equality once; this soak walks the
 geometry/content space (odd block counts, bw=1/bh=1 edges, dense noise,
@@ -33,8 +36,23 @@ from mjpeg423_tpu.codec import decoder, encoder
 from mjpeg423_tpu.codec.transcode import regop
 from mjpeg423_tpu.ops import entropy_ref
 from mjpeg423_tpu.parallel import decode_stream_sharded, make_mesh
-from mjpeg423_tpu.runtime import DecodePipeline
+from mjpeg423_tpu.runtime import (
+    DecodePipeline,
+    decode_live_array,
+    live_stream_bytes,
+)
 from mjpeg423_tpu.utils.config import DecodeConfig, EncodeConfig
+
+import io as _io
+
+
+def _chunked(data, sizes):
+    i = k = 0
+    while i < len(data):
+        n = sizes[k % len(sizes)]
+        yield data[i:i + n]
+        i += n
+        k += 1
 
 try:
     from tests.oracle import harness
@@ -108,6 +126,24 @@ def one_round(rng, mesh):
     if ORACLE is not None:
         ref = np.asarray(ORACLE.decode(a, nf, w, h))
         assert (want == ref).all(), "oracle decoder mismatch vs reference C"
+
+    # --- live ingest (forward-only chaining; random chunk sizes) ---
+    live_src = live_stream_bytes(a) if rng.random() < 0.5 else a
+    sizes = [int(s) for s in rng.integers(1, 4096, size=7)]
+    lv = decode_live_array(
+        _chunked(live_src, sizes),
+        config=DecodeConfig(
+            use_pallas=bool(rng.integers(0, 2)),
+            frames_per_batch=int(rng.integers(2, 6)),
+        ),
+    )
+    assert (lv == want).all(), "live decode mismatch"
+    sink = _io.BytesIO()
+    le = encoder.LiveEncoder(sink, w, h, max_i_interval=maxi)
+    for fr in frames:
+        le.write_frame(fr)
+    assert le.finalize() and sink.getvalue() == a, \
+        "LiveEncoder finalize != stored encoder bytes"
 
     # --- segmented-scan serving modes ---
     idx, thumbs = p2.decode_iframes_array(a)
