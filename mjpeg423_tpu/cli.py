@@ -173,7 +173,7 @@ def cmd_thumbs(args) -> int:
     os.makedirs(args.outdir, exist_ok=True)
     t0 = time.perf_counter()
     n = 0
-    for fi, frame in pipe.decode_iframes(data):
+    for fi, frame in pipe.decode_iframes(data, scale=args.scale):
         bmp.write_bmp32(
             os.path.join(args.outdir, f"{args.prefix}{fi:06d}.bmp"), frame
         )
@@ -477,6 +477,9 @@ def main(argv=None) -> int:
     p.add_argument("--prefix", default="thumb")
     p.add_argument("--batch", type=int, default=None)
     p.add_argument("--no-pallas", action="store_true")
+    p.add_argument("--scale", type=int, default=1, choices=(1, 2, 4, 8),
+                   help="device-side box downscale factor (thumbnails "
+                        "transfer scale^2 x fewer bytes)")
     p.set_defaults(fn=cmd_thumbs)
 
     p = sub.add_parser("encode", help="encode BMP/npy frames to .mpg")

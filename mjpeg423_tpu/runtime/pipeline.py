@@ -355,6 +355,27 @@ class DecodePipeline:
 
         return blocked_to_raster_host(host, blocks_h, blocks_w)
 
+    def _get_downscale(self, blocks_h: int, blocks_w: int, f: int):
+        """jit'd device-side box downscale (ops/scale.py): applied to the
+        step output BEFORE transfer, so preview/thumbnail egress drops
+        f^2 x.  Emits raster (the device transpose runs on f^2 fewer
+        pixels, sidestepping the full-res rasterization cost)."""
+        key = ("ds", blocks_h, blocks_w, f)
+        if key not in self._step_cache:
+            import jax
+
+            from ..ops import scale as _scale
+
+            def fn(frames):
+                if frames.ndim == 5:  # fused blocked layout
+                    return _scale.downscale_blocked(
+                        frames, blocks_h, blocks_w, f
+                    )
+                return _scale.downscale_raster(frames, f)
+
+            self._step_cache[key] = jax.jit(fn)
+        return self._step_cache[key]
+
     # ----- Full pipeline ------------------------------------------------
 
     def warmup(self, width: int, height: int) -> None:
@@ -429,8 +450,15 @@ class DecodePipeline:
         stop: Callable[[], bool] | None = None,
         end_frame: int | None = None,
         device_resident: bool = False,
+        scale: int = 1,
     ) -> Iterator[DecodedWindow]:
         """Decode frames [start_frame, end_frame) , yielding frame windows.
+
+        scale (1, 2, 4 or 8): device-side box downscale before transfer —
+        windows carry (H/scale, W/scale) raster frames and egress drops
+        scale^2 x (preview scrubbing / proxy playback).  Single-device
+        only; with device_resident the on-device windows are raster at
+        the reduced size.
 
         start_frame must be an I-frame index (seek targets come from the
         trailer, like the reference — playback.c:136-152).  end_frame
@@ -454,6 +482,11 @@ class DecodePipeline:
                     "device_resident decode is single-device (mesh windows "
                     "are sharded; consume them inside shard_map instead)"
                 )
+            if scale != 1:
+                raise ValueError(
+                    "scale is single-device; shard downscaled previews via "
+                    "StreamPool instead"
+                )
             yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
         cfg = self.config
@@ -463,6 +496,7 @@ class DecodePipeline:
         nb = hdr.blocks_per_plane
         w = cfg.frames_per_batch
         step = self._get_step(bh, bw)
+        downscale = self._get_downscale(bh, bw, scale) if scale != 1 else None
 
         if start_frame and not index.is_iframe[start_frame]:
             raise ValueError(f"start_frame {start_frame} is not an I-frame")
@@ -564,6 +598,8 @@ class DecodePipeline:
                     frames, carry = step(
                         dev_amps, self._put(seg), carry
                     )
+                    if downscale is not None:
+                        frames = downscale(frames)
                 pending.append((s, c, frames))
                 # The output ring: up to num_output_buffers decoded windows
                 # stay device-resident in flight (the N-deep framebuffer
@@ -877,6 +913,7 @@ class DecodePipeline:
 
     def decode_iframes(
         self, data: bytes, stop: Callable[[], bool] | None = None,
+        scale: int = 1,
     ) -> Iterator[tuple[int, np.ndarray]]:
         """Decode ONLY the stream's I-frames (thumbnail / preview strip).
 
@@ -891,7 +928,7 @@ class DecodePipeline:
         StreamPool.decode_all_packed).
         """
         for _si, fi, frame in self.decode_streams(
-            [data], stop=stop, iframes_only=True
+            [data], stop=stop, iframes_only=True, scale=scale
         ):
             yield fi, frame
 
@@ -900,6 +937,7 @@ class DecodePipeline:
         datas: Sequence[bytes],
         stop: Callable[[], bool] | None = None,
         iframes_only: bool = False,
+        scale: int = 1,
     ) -> Iterator[tuple[int, int, np.ndarray]]:
         """Batch-decode MANY same-geometry containers through ONE window
         stream (the small-clip serving path).
@@ -922,6 +960,10 @@ class DecodePipeline:
         concatenate); windows fully inside one stream use the configured
         fast path.  Yields (stream_idx, frame_idx, (H, W) uint32 frame)
         in global order.
+
+        scale (1, 2, 4, 8): device-side box downscale before transfer —
+        frames come back (H/scale, W/scale) and egress drops scale^2 x
+        (ops/scale.py; the thumbnail-farm bandwidth lever).
         """
         if self.mesh is not None:
             raise ValueError(
@@ -946,6 +988,7 @@ class DecodePipeline:
         nb = hdr.blocks_per_plane
         w = cfg.frames_per_batch
         step = self._get_step(bh, bw)
+        downscale = self._get_downscale(bh, bw, scale) if scale != 1 else None
         use_pallas = self._use_pallas()
         want_packed = use_pallas and cfg.pack_i8
         want_cm = self._want_cm()
@@ -1034,6 +1077,8 @@ class DecodePipeline:
                     seg[i] = fi == 0 or bool(indices[si].is_iframe[fi])
                 with self.profiler.time("device/dispatch"):
                     frames, carry = step(dev_amps, self._put(seg), carry)
+                    if downscale is not None:
+                        frames = downscale(frames)
                 pending.append((ents, c, frames))
                 while len(pending) > ring:
                     yield from emit(pending.pop(0))
@@ -1043,11 +1088,11 @@ class DecodePipeline:
             ex.shutdown(wait=False, cancel_futures=True)
 
     def decode_streams_arrays(
-        self, datas: Sequence[bytes],
+        self, datas: Sequence[bytes], scale: int = 1,
     ) -> list[np.ndarray]:
         """decode_streams, reassembled into one (F, H, W) array per clip."""
         per: dict[int, dict[int, np.ndarray]] = {}
-        for si, fi, frame in self.decode_streams(datas):
+        for si, fi, frame in self.decode_streams(datas, scale=scale):
             per.setdefault(si, {})[fi] = frame
         out = []
         for si in range(len(datas)):
@@ -1059,10 +1104,10 @@ class DecodePipeline:
         return out
 
     def decode_iframes_array(
-        self, data: bytes,
+        self, data: bytes, scale: int = 1,
     ) -> tuple[np.ndarray, np.ndarray]:
         """All I-frames at once: (indices (K,), frames (K, H, W) uint32)."""
-        pairs = list(self.decode_iframes(data))
+        pairs = list(self.decode_iframes(data, scale=scale))
         if not pairs:
             return (np.zeros(0, np.int64),
                     np.zeros((0, 0, 0), dtype=np.uint32))

@@ -216,6 +216,7 @@ class StreamPool:
         retries: int = 1,
         iframes_only: bool = False,
         max_concurrent: int = 4,
+        scale: int = 1,
     ) -> ServeStats:
         """Small-clip mode: same-geometry streams pack into SHARED device
         windows (DecodePipeline.decode_streams) instead of running
@@ -306,7 +307,7 @@ class StreamPool:
                     else ix.num_frames
                 )
             for si, fi, frame in pipe.decode_streams(
-                datas, iframes_only=iframes_only
+                datas, iframes_only=iframes_only, scale=scale
             ):
                 gsi = subset[si]
                 if gsi != open_gsi:
