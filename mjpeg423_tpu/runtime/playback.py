@@ -41,6 +41,7 @@ def play_live(
     config: DecodeConfig | None = None,
     profiler: Profiler | None = None,
     pipeline: DecodePipeline | None = None,
+    max_behind_s: float | None = None,
 ) -> "PlaybackStats":
     """Paced playback of a LIVE byte source (pipe/socket/stdin).
 
@@ -49,9 +50,20 @@ def play_live(
     playback.c:40-48), but there is no seek/FF/RW — a live source has no
     trailer and no random access.  `stop` is polled between frames; note
     that stopping abandons the feed mid-stream (the source keeps its end
-    of the pipe).  Pacing never *drops* frames: a slow consumer stalls the
-    pipeline, whose backpressure reaches the source — the live analog of
-    the reference's bounded framebuffer ring (ece423_vid_ctl.c:174-224).
+    of the pipe).  By default pacing never *drops* frames: a slow consumer
+    stalls the pipeline, whose backpressure reaches the source — the live
+    analog of the reference's bounded framebuffer ring
+    (ece423_vid_ctl.c:174-224).
+
+    max_behind_s: live-edge catch-up — a frame whose pacing deadline
+    passed more than this many seconds ago is skipped (counted in
+    stats.frames_dropped) instead of delivered, so a transient sink stall
+    does not push playback permanently behind the live source (the
+    standard live-player trade: drop to stay current; the reference's
+    display similarly repeats the old buffer when the producer misses a
+    flip, playback.c:40-48).  The NEWEST decoded frame (each window's
+    last) always delivers — catching up never blanks the display.
+    None (default) = deliver everything.
     """
     from .live import decode_live
 
@@ -72,6 +84,14 @@ def play_live(
                     return stats
                 if paced:
                     now = time.perf_counter()
+                    if (
+                        max_behind_s is not None
+                        and now - next_deadline > max_behind_s
+                        and i != win.count - 1
+                    ):
+                        stats.frames_dropped += 1
+                        next_deadline += period
+                        continue
                     if now > next_deadline:
                         stats.frames_late += 1
                     else:
@@ -90,6 +110,8 @@ def play_live(
 class PlaybackStats:
     frames_delivered: int = 0
     frames_late: int = 0       # missed their pacing deadline ("m" analog)
+    frames_dropped: int = 0    # skipped by live-edge catch-up (play_live
+    #                            max_behind_s); stored playback never drops
     wall_s: float = 0.0
 
     @property

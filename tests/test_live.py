@@ -288,6 +288,29 @@ def test_play_live_paced(stream, stored_frames):
     assert stats.wall_s >= (len(stored_frames) - stats.frames_late) / 2000.0
 
 
+def test_play_live_catchup_drops(stream, stored_frames):
+    # With an impossible fps and zero tolerance, every frame past the
+    # first window's deadlines gets dropped to stay at the live edge.
+    from mjpeg423_tpu.runtime import play_live
+
+    seen = []
+    stats = play_live(
+        io.BytesIO(stream),
+        sink=lambda fi, fr: seen.append(fi),
+        paced=True,
+        config=DecodeConfig(fps=100000.0, frames_per_batch=6),
+        max_behind_s=0.0,
+    )
+    assert stats.frames_delivered + stats.frames_dropped == len(
+        stored_frames
+    )
+    assert stats.frames_dropped > 0
+    assert stats.frames_delivered == len(seen)
+    # The newest frame of every window always delivers — catching up
+    # never blanks the display.
+    assert len(stored_frames) - 1 in seen
+
+
 def test_stream_pool_live_feeds(stream, stored_frames):
     from mjpeg423_tpu.runtime.serve import StreamPool
 
