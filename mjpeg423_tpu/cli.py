@@ -308,6 +308,14 @@ def cmd_play(args) -> int:
             print("play -: stdin carries the stream; interactive keys need "
                   "a stored container", file=sys.stderr)
             return 2
+        if args.start_s:
+            print("play -: live stdin has no random access; --start-s "
+                  "requires a stored container", file=sys.stderr)
+            return 2
+        if args.loop:
+            print("play -: a live stream cannot replay; --loop requires "
+                  "stored containers", file=sys.stderr)
+            return 2
         from .runtime import play_live
 
         stats = play_live(sys.stdin.buffer, paced=not args.no_pace,

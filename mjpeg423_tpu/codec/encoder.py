@@ -429,6 +429,16 @@ class LiveEncoder:
         self._trailer: list[tuple[int, int]] = []
         self.frames_written = 0
         self._finalized = False
+        self._did_patch = False
+        # The header's sink offset — finalize() must patch where the
+        # header actually landed, not offset 0 (the sink may hold prior
+        # content).  Trailer frame_positions stay container-relative
+        # (frame_position is an offset within the container per the
+        # format, mjpeg423_encoder.c:204-207).
+        try:
+            self._base = out.tell() if out.seekable() else 0
+        except (AttributeError, OSError):
+            self._base = 0
         out.write(FileHeader(0, width, height, 0, 0).pack())
 
     def write_frame(self, rgb: np.ndarray) -> None:
@@ -450,19 +460,23 @@ class LiveEncoder:
 
     def finalize(self) -> bool:
         """Seekable sinks: write trailer + pad, back-patch the header
-        (the stored-container fixup).  Returns True if patched."""
+        (the stored-container fixup).  Returns True if patched.
+        Idempotent — repeat calls return the first result unchanged."""
+        if self._finalized:
+            return self._did_patch
         self._finalized = True
         if not getattr(self._out, "seekable", lambda: False)():
             return False
         out = self._out
         out.write(b"".join(_U32x2.pack(i, p) for i, p in self._trailer))
         out.write(b"\x00" * PAD512)
-        out.seek(0)
+        out.seek(self._base)
         out.write(FileHeader(
             self.frames_written, self.width, self.height,
             len(self._trailer), self._pos - FILE_HEADER_BYTES,
         ).pack())
         out.seek(0, 2)
+        self._did_patch = True
         return True
 
 

@@ -81,10 +81,16 @@ def _iter_raw_windows(src: ByteSource, window: int):
     chunks = _chunks(src)
     buf = bytearray()
     eof = False
+    pos = 0  # read cursor; consumed bytes compact once per ~chunk, not
+    #          per frame (a per-frame del memmoves the whole remaining
+    #          buffer — quadratic for small-frame high-fps feeds)
 
     def ensure(n: int) -> bool:
-        nonlocal buf, eof
-        while len(buf) < n and not eof:
+        nonlocal buf, eof, pos
+        if pos >= _READ_CHUNK:
+            del buf[:pos]
+            pos = 0
+        while len(buf) - pos < n and not eof:
             try:
                 b = next(chunks)
             except StopIteration:
@@ -92,12 +98,14 @@ def _iter_raw_windows(src: ByteSource, window: int):
                 break
             if b:
                 buf += b
-        return len(buf) >= n
+        return len(buf) - pos >= n
 
     if not ensure(fmt.FILE_HEADER_BYTES):
         raise ValueError("truncated container: no file header")
-    header = fmt.FileHeader.unpack(bytes(buf[:fmt.FILE_HEADER_BYTES]))
-    del buf[:fmt.FILE_HEADER_BYTES]
+    header = fmt.FileHeader.unpack(
+        bytes(buf[pos:pos + fmt.FILE_HEADER_BYTES])
+    )
+    pos += fmt.FILE_HEADER_BYTES
     width, height = header.width, header.height
     if not width or not height or width % 8 or height % 8:
         raise ValueError(f"bad live geometry {width}x{height}")
@@ -135,14 +143,14 @@ def _iter_raw_windows(src: ByteSource, window: int):
 
     while nf == 0 or done < nf:
         if not ensure(fmt.FRAME_HEADER_BYTES):
-            if nf == 0 and not buf:
+            if nf == 0 and len(buf) == pos:
                 break  # clean EOF at a frame boundary ends an open stream
             raise ValueError(
                 f"truncated stream: frame {done} header incomplete"
                 + ("" if nf == 0 else f" (header promised {nf} frames)")
             )
         frame_size, frame_type, y_size, cb_size = struct.unpack_from(
-            "<4I", buf, 0
+            "<4I", buf, pos
         )
         if (
             frame_size < fmt.FRAME_HEADER_BYTES
@@ -158,7 +166,7 @@ def _iter_raw_windows(src: ByteSource, window: int):
         cr_size = frame_size - fmt.FRAME_HEADER_BYTES - y_size - cb_size
         base = len(wbuf)
         with memoryview(buf) as mv:
-            wbuf += mv[fmt.FRAME_HEADER_BYTES:frame_size]
+            wbuf += mv[pos + fmt.FRAME_HEADER_BYTES:pos + frame_size]
         offs.append((
             base, y_size,
             base + y_size, cb_size,
@@ -167,7 +175,7 @@ def _iter_raw_windows(src: ByteSource, window: int):
             base + y_size + cb_size, cr_size,
         ))
         ftypes.append(frame_type)
-        del buf[:frame_size]
+        pos += frame_size
         done += 1
         if len(ftypes) == window:
             yield flush()
@@ -261,7 +269,20 @@ def decode_live(
     pending: list[tuple[int, int, object]] = []
     try:
         while True:
-            item = parse_q.get()
+            if stop is None:
+                item = parse_q.get()
+            else:
+                # A live source can stall indefinitely with no new window;
+                # the stop predicate must still be able to end the decode
+                # (the buttonHasBeenPressed analog, main.c:118).
+                while True:
+                    try:
+                        item = parse_q.get(timeout=0.05)
+                        break
+                    except queue.Empty:
+                        if stop():
+                            stop_flag.set()
+                            return
             if item is None:
                 break
             if isinstance(item, _StageError):
@@ -325,6 +346,12 @@ def decode_live(
 
 def decode_live_array(src: ByteSource, **kw) -> np.ndarray:
     """decode_live fully materialized into one (F, H, W) uint32 array."""
+    if kw.get("device_resident"):
+        raise ValueError(
+            "decode_live_array assembles HOST raster frames; consume "
+            "device-resident windows from decode_live(device_resident="
+            "True) directly (blocked layout, rows beyond .count are pad)"
+        )
     wins = list(decode_live(src, **kw))
     if not wins:
         return np.zeros((0, 0, 0), dtype=np.uint32)

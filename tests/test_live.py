@@ -26,9 +26,13 @@ from mjpeg423_tpu.utils.config import DecodeConfig
 
 
 @pytest.fixture(scope="module")
-def stream(rng_mod):
-    frames = make_test_frames(rng_mod, num_frames=23, h=48, w=64)
-    return encoder.encode_frames(frames, max_i_interval=6)
+def rgb_frames(rng_mod):
+    return make_test_frames(rng_mod, num_frames=23, h=48, w=64)
+
+
+@pytest.fixture(scope="module")
+def stream(rgb_frames):
+    return encoder.encode_frames(rgb_frames, max_i_interval=6)
 
 
 @pytest.fixture(scope="module")
@@ -187,18 +191,21 @@ def test_live_insane_frame_size_raises(stream):
 
 
 def test_live_abandoned_generator_shuts_down(stream):
-    before = threading.active_count()
+    # Track only the threads THIS generator creates (other tests' daemon
+    # threads may still be unwinding — a global count races).
+    before = {t.ident for t in threading.enumerate()}
     gen = decode_live(
         io.BytesIO(stream), config=DecodeConfig(frames_per_batch=4)
     )
     next(gen)
     gen.close()
     # Reader/deliverer threads exit (in-memory source never blocks).
-    deadline = 50
-    while threading.active_count() > before and deadline:
+    for _ in range(50):
+        mine = [t for t in threading.enumerate() if t.ident not in before]
+        if not mine:
+            break
         threading.Event().wait(0.1)
-        deadline -= 1
-    assert threading.active_count() <= before
+    assert not mine, f"lingering threads: {mine}"
 
 
 def test_live_stop_predicate(stream):
@@ -342,6 +349,57 @@ def test_stream_pool_live_feed_failure_isolated(stream, stored_frames):
         )
     # The healthy feed still decoded fully.
     assert sum(w.count for w in ok) == len(stored_frames)
+
+
+def test_live_stop_interrupts_stalled_source(stream):
+    # A live source that stalls forever after half the stream: the stop
+    # predicate must still end the decode (review finding: stop was only
+    # polled after a yield, so a stalled feed blocked forever).
+    half = stream[: len(stream) // 2]
+    release = threading.Event()
+
+    def stalling():
+        yield half
+        release.wait(timeout=30)  # never released during the test
+
+    flag = threading.Event()
+    got = []
+    t = threading.Thread(
+        target=lambda: got.extend(decode_live(
+            stalling(), config=DecodeConfig(frames_per_batch=4),
+            stop=flag.is_set,
+        )),
+        daemon=True,
+    )
+    t.start()
+    threading.Event().wait(0.5)
+    flag.set()
+    t.join(timeout=5)
+    assert not t.is_alive(), "stop did not interrupt a stalled live decode"
+    release.set()
+
+
+def test_live_array_rejects_device_resident(stream):
+    with pytest.raises(ValueError, match="device_resident"):
+        decode_live_array(io.BytesIO(stream), device_resident=True)
+
+
+def test_live_encoder_finalize_idempotent_and_offset(rgb_frames, stream):
+    hdr = fmt.FileHeader.unpack(stream)
+    # Sink with prior content: the header lands at offset 32 and finalize
+    # must patch THERE, never offset 0 (review finding).
+    sink = io.BytesIO()
+    prefix = b"\xab" * 32
+    sink.write(prefix)
+    le = encoder.LiveEncoder(sink, hdr.width, hdr.height, max_i_interval=6)
+    for fr in rgb_frames:
+        le.write_frame(fr)
+    assert le.finalize() is True
+    assert le.finalize() is True  # idempotent: no duplicate trailer/pad
+    blob = sink.getvalue()
+    assert blob[:32] == prefix
+    # Byte-identical stored container, embedded at the offset.
+    assert blob[32:] == stream
 
 
 def test_live_bad_header_raises():
