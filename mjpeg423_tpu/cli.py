@@ -319,7 +319,7 @@ def cmd_play(args) -> int:
         from .runtime import play_live
 
         stats = play_live(sys.stdin.buffer, paced=not args.no_pace,
-                          config=cfg)
+                          config=cfg, scale=args.scale)
         print(
             f"<stdin>: {stats.frames_delivered} frames in "
             f"{stats.wall_s:.3f}s ({stats.fps:.2f} fps, "
@@ -351,7 +351,8 @@ def cmd_play(args) -> int:
                 control["player"] = player
                 if args.start_s:
                     player.seek_to_iframe(int(args.start_s * args.fps))
-                stats = player.play(paced=not args.no_pace)
+                stats = player.play(paced=not args.no_pace,
+                                    scale=args.scale)
                 total += stats.frames_delivered
                 print(
                     f"{path}: {stats.frames_delivered} frames in "
@@ -524,6 +525,9 @@ def main(argv=None) -> int:
     p.add_argument("--interactive", action="store_true",
                    help="stdin key control: space/p pause, f FF, r RW, "
                         "n next, q quit")
+    p.add_argument("--scale", type=int, default=1, choices=(1, 2, 4, 8),
+                   help="proxy playback: device-downscaled frames "
+                        "(scale^2 x less egress)")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("selftest", help="encode/decode round-trip self-check")

@@ -192,13 +192,15 @@ def decode_live(
     device=None,
     stop: Callable[[], bool] | None = None,
     device_resident: bool = False,
+    scale: int = 1,
 ) -> Iterator[DecodedWindow]:
     """Decode a live byte source, yielding DecodedWindows as frames arrive.
 
     Pass an existing (warmed-up) DecodePipeline to reuse its compiled step
     across streams; otherwise one is built from config/profiler/device.
     Semantics match DecodePipeline.decode byte-for-byte: same carry chain,
-    same window geometry, same output layout (device_resident included).
+    same window geometry, same output layout (device_resident and the
+    device-side box downscale `scale` included).
     """
     pipe = pipeline or DecodePipeline(
         config=config, profiler=profiler, device=device
@@ -294,6 +296,10 @@ def decode_live(
                 nb = hdr.blocks_per_plane
                 kk = auto_rows_per_step(bh, bw, w)
                 step = pipe._get_step(bh, bw)
+                downscale = (
+                    pipe._get_downscale(bh, bw, scale) if scale != 1
+                    else None
+                )
                 if want_cm:
                     carry = pipe._put(np.zeros(
                         (3, bh // kk, 64, kk * bw), np.int16
@@ -312,6 +318,8 @@ def decode_live(
             seg[:c] = index.is_iframe[:c]
             with pipe.profiler.time("device/dispatch"):
                 frames, carry = step(dev_amps, pipe._put(seg), carry)
+                if downscale is not None:
+                    frames = downscale(frames)
             pending.append((s, c, frames))
             ring = max(1, cfg.num_output_buffers)
             while len(pending) > ring:

@@ -42,6 +42,7 @@ def play_live(
     profiler: Profiler | None = None,
     pipeline: DecodePipeline | None = None,
     max_behind_s: float | None = None,
+    scale: int = 1,
 ) -> "PlaybackStats":
     """Paced playback of a LIVE byte source (pipe/socket/stdin).
 
@@ -77,7 +78,7 @@ def play_live(
     try:
         for win in decode_live(
             src, pipeline=pipeline, config=config, profiler=profiler,
-            stop=stop,
+            stop=stop, scale=scale,
         ):
             for i in range(win.count):
                 if stop is not None and stop():
@@ -279,12 +280,16 @@ class Player:
         stop: Callable[[], bool] | None = None,
         paced: bool | None = None,
         max_frames: int | None = None,
+        scale: int = 1,
     ) -> PlaybackStats:
         """Decode and deliver frames from the current position.
 
         paced=True sleeps to the fps grid and counts late frames; paced=False
         (offline mode) free-runs at max throughput.  `stop` is polled between
         frames — the buttonHasBeenPressed predicate analog (main.c:118).
+        scale (1, 2, 4, 8): proxy playback — frames deliver at
+        (H/scale, W/scale) via the device-side box downscale (egress drops
+        scale^2 x; remote/preview scrubbing).
         """
         cfg = self.config
         if paced is None:
@@ -306,7 +311,9 @@ class Player:
             while start_frame is not None:
                 restart: int | None = None
                 next_deadline = time.perf_counter() + period
-                gen = self.pipeline.decode(self.data, start_frame, stop=stop)
+                gen = self.pipeline.decode(
+                    self.data, start_frame, stop=stop, scale=scale
+                )
                 try:
                     for win in gen:
                         for i in range(win.count):

@@ -46,10 +46,12 @@ class DecodeConfig:
                                        # Off by default: on v5e the int8
                                        # widening costs more than the saved
                                        # bandwidth (4.30 vs 1.87 ms/batch at
-                                       # 1080p); it halves host->device bytes,
-                                       # so enable when the interconnect is
-                                       # the bottleneck or on chips with fast
-                                       # sub-word vector unpack
+                                       # 1080p), and even on the upload-bound
+                                       # dev-tunnel thumbs path it measured
+                                       # 0.58x (packed parse emit + widening
+                                       # beat the byte savings).  Kept for
+                                       # chips with fast sub-word unpack or
+                                       # genuinely slow DCN ingest
     raster_on_device: bool = False     # True: the fused kernel's blocked
                                        # output is transposed to raster rows
                                        # ON DEVICE — measured ~85 ms per
