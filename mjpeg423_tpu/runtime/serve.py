@@ -90,6 +90,15 @@ class StreamPool:
             _sink(si, win)
         return deliver
 
+    def warmup(self, width: int, height: int) -> None:
+        """Pre-compile every pinned pipeline's device step for a geometry
+        before streams/feeds arrive (serving cold-start; the per-pipeline
+        DecodePipeline.warmup, fleet-wide).  XLA's compilation cache
+        dedupes the executable across same-geometry pipelines, so
+        subsequent pipelines pay only the trace."""
+        for p in self.pipelines:
+            p.warmup(width, height)
+
     def decode_all(
         self,
         streams: list[bytes],

@@ -290,3 +290,21 @@ def test_decode_all_packed_midstream_failure_no_redelivery(rng):
     assert sorted(set(healthy)) == sorted(healthy), "healthy re-delivered"
     assert len([1 for si, _ in healthy if si == 0]) == 4
     assert len([1 for si, _ in healthy if si == 2]) == 4
+
+
+def test_pool_warmup_precompiles_all_pipelines():
+    import jax
+
+    devs = jax.devices()[:2]
+    pool = StreamPool(
+        DecodeConfig(frames_per_batch=4, use_pallas=False), devices=devs
+    )
+    pool.warmup(48, 32)
+    assert all(len(p._step_cache) == 1 for p in pool.pipelines)
+    # Warm pool serves without recompiling a new geometry key.
+    rng = np.random.default_rng(77)
+    frames = make_test_frames(rng, num_frames=5, h=32, w=48)
+    data = encoder.encode_frames(frames, max_i_interval=3)
+    stats = pool.decode_all([data, data])
+    assert stats.frames == 10
+    assert all(len(p._step_cache) == 1 for p in pool.pipelines)
