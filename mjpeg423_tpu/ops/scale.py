@@ -22,13 +22,16 @@ import numpy as np
 _SHIFTS = (0, 8, 16, 24)  # packed BGRA byte lanes
 
 
-def _check_factor(f: int) -> int:
+def check_factor(f: int) -> int:
     if f not in (1, 2, 4, 8):
         raise ValueError(
             f"scale must be 1, 2, 4 or 8 (boxes must divide the 8x8 "
             f"block), got {f}"
         )
     return f
+
+
+_check_factor = check_factor
 
 
 def _avg_pack(channels, f: int, jnp):

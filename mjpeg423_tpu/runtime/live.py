@@ -210,6 +210,13 @@ def decode_live(
             "decode_live is single-device (a live source has no random "
             "access to partition GOPs); run one pipeline per feed"
         )
+    if scale != 1:
+        # Validate before reader/deliverer threads spin up — otherwise the
+        # bad argument surfaces one fully-decoded window later, inside the
+        # dispatch loop's jit trace.
+        from ..ops.scale import check_factor
+
+        check_factor(scale)
     cfg = pipe.config
     w = cfg.frames_per_batch
     want_packed = pipe._use_pallas() and cfg.pack_i8

@@ -360,11 +360,12 @@ class DecodePipeline:
         step output BEFORE transfer, so preview/thumbnail egress drops
         f^2 x.  Emits raster (the device transpose runs on f^2 fewer
         pixels, sidestepping the full-res rasterization cost)."""
+        from ..ops import scale as _scale
+
+        _scale.check_factor(f)  # fail at the API boundary, not inside jit
         key = ("ds", blocks_h, blocks_w, f)
         if key not in self._step_cache:
             import jax
-
-            from ..ops import scale as _scale
 
             def fn(frames):
                 if frames.ndim == 5:  # fused blocked layout

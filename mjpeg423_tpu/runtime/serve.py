@@ -93,11 +93,32 @@ class StreamPool:
     def warmup(self, width: int, height: int) -> None:
         """Pre-compile every pinned pipeline's device step for a geometry
         before streams/feeds arrive (serving cold-start; the per-pipeline
-        DecodePipeline.warmup, fleet-wide).  XLA's compilation cache
-        dedupes the executable across same-geometry pipelines, so
-        subsequent pipelines pay only the trace."""
-        for p in self.pipelines:
-            p.warmup(width, height)
+        DecodePipeline.warmup, fleet-wide).  Pipelines warm concurrently:
+        compilation releases the GIL, so even if the per-device executables
+        don't dedupe in XLA's cache, cold-start is bounded by ~one compile
+        of wall time rather than len(pipelines) of them.  Warmup failures
+        re-raise here (a pool that cannot compile must not look warm)."""
+        if len(self.pipelines) == 1:
+            self.pipelines[0].warmup(width, height)
+            return
+        errors: list[Exception] = []
+
+        def _warm(p):
+            try:
+                p.warmup(width, height)
+            except Exception as e:  # noqa: BLE001 — re-raised after join
+                errors.append(e)
+
+        threads = [
+            threading.Thread(target=_warm, args=(p,), daemon=True)
+            for p in self.pipelines
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
 
     def decode_all(
         self,

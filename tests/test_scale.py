@@ -127,3 +127,79 @@ def test_scale_rejected_on_mesh(stream):
     pipe = DecodePipeline(DecodeConfig(frames_per_batch=4), mesh=mesh)
     with pytest.raises(ValueError, match="single-device"):
         next(pipe.decode(stream, scale=2))
+
+
+# ----- scale through the live + interactive-play paths -------------------
+
+
+def test_decode_live_scaled(stream, full):
+    from mjpeg423_tpu.runtime.live import decode_live_array
+
+    got = decode_live_array(
+        iter([stream[:97], stream[97:1001], stream[1001:]]),
+        config=DecodeConfig(frames_per_batch=4),
+        scale=2,
+    )
+    np.testing.assert_array_equal(got, S.downscale_raster_host(full, 2))
+
+
+def test_decode_live_bad_scale_fails_fast(stream):
+    from mjpeg423_tpu.runtime.live import decode_live
+
+    consumed = []
+
+    def src():
+        consumed.append(1)  # a bad scale must raise BEFORE any read
+        yield stream
+
+    with pytest.raises(ValueError, match="scale"):
+        next(decode_live(src(), config=DecodeConfig(), scale=3))
+    assert not consumed
+
+
+def test_player_play_scaled_with_midplay_seek(stream, full):
+    """Proxy playback stays downscaled across a mid-play restart (the
+    seek command tears down and recreates the decode generator, which
+    must keep scale=)."""
+    from mjpeg423_tpu.core import format as fmt
+    from mjpeg423_tpu.runtime.playback import Player
+
+    player = Player(stream, DecodeConfig(frames_per_batch=4))
+    want = S.downscale_raster_host(full, 2)
+    gop1 = int(fmt.index_frames(stream).gop_starts()[1])
+    got = {}
+
+    def sink(fi, frame):
+        got[fi] = frame
+        if fi == 0:
+            player.request_seek(gop1 + 1)  # restart mid-play
+
+    stats = player.play(sink=sink, paced=False, scale=2)
+    assert stats.frames_delivered == 1 + (full.shape[0] - gop1)
+    for fi, frame in got.items():
+        np.testing.assert_array_equal(frame, want[fi])
+
+
+def test_player_play_bad_scale_raises(stream):
+    from mjpeg423_tpu.runtime.playback import Player
+
+    player = Player(stream, DecodeConfig(frames_per_batch=4))
+    with pytest.raises(ValueError, match="scale"):
+        player.play(paced=False, scale=5)
+
+
+def test_play_live_scaled(stream, full):
+    from mjpeg423_tpu.runtime.playback import play_live
+
+    want = S.downscale_raster_host(full, 4)
+    got = {}
+    stats = play_live(
+        iter([stream]),
+        sink=lambda fi, fr: got.__setitem__(fi, fr),
+        paced=False,
+        config=DecodeConfig(frames_per_batch=4),
+        scale=4,
+    )
+    assert stats.frames_delivered == full.shape[0]
+    for fi, frame in got.items():
+        np.testing.assert_array_equal(frame, want[fi])
