@@ -126,15 +126,32 @@ def cmd_decode(args) -> int:
     n = 0
     npy_frames = {} if args.npy else None  # by index: mesh windows arrive
     #                                        in per-partition order
+    rec = None
     if live:
         if args.start_frame:
             print("decode -: live ingest has no random access; "
                   "--start-frame requires a stored container",
                   file=sys.stderr)
             return 2
+        if args.resilient:
+            print("decode -: --resilient needs the trailer to resync; "
+                  "live streams have none", file=sys.stderr)
+            return 2
         from .runtime import decode_live
 
         wins = decode_live(sys.stdin.buffer, pipeline=pipe)
+    elif args.resilient:
+        if args.all_devices:
+            print("decode: --resilient is single-device", file=sys.stderr)
+            return 2
+        if args.start_frame:
+            print("decode: --resilient decodes every recoverable frame; "
+                  "drop --start-frame", file=sys.stderr)
+            return 2
+        from .runtime import RecoveryLog
+
+        rec = RecoveryLog()
+        wins = pipe.decode_resilient(data, recovery=rec)
     else:
         wins = pipe.decode(data, start_frame=args.start_frame)
     for win in wins:
@@ -154,6 +171,13 @@ def cmd_decode(args) -> int:
                 np.stack([npy_frames[k] for k in sorted(npy_frames)]))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
           file=sys.stderr)
+    if rec is not None and rec.skipped:
+        ranges = ", ".join(f"[{lo},{hi})" for lo, hi in rec.skipped)
+        print(
+            f"recovered past corruption: skipped {rec.frames_skipped} "
+            f"frames in {ranges} ({rec.resyncs} resyncs)",
+            file=sys.stderr,
+        )
     if args.profile:
         print(profiler.format_report(), file=sys.stderr)
     return 0
@@ -474,6 +498,10 @@ def main(argv=None) -> int:
     p.add_argument("--all-devices", action="store_true",
                    help="GOP-shard the stream over every local chip "
                         "(mesh streaming pipeline)")
+    p.add_argument("--resilient", action="store_true",
+                   help="skip corrupt GOP tails and resync at the next "
+                        "I-frame instead of failing (skipped ranges are "
+                        "reported; frames that parse are delivered)")
     p.add_argument("--profile", action="store_true",
                    help="print per-stage timing aggregates when done")
     p.set_defaults(fn=cmd_decode)

@@ -310,6 +310,86 @@ def index_frames(data: bytes) -> FrameIndex:
     return FrameIndex(header, ftype, off, length, parse_file_trailer(data, header))
 
 
+def index_frames_resilient(
+    data: bytes,
+) -> tuple[FrameIndex, list[tuple[int, int]]]:
+    """Corruption-tolerant chain walk: resync at trailer I-frames.
+
+    Where ``index_frames`` raises on the first corrupt ``frame_size`` chain
+    link, this walk jumps to the next I-frame the trailer still addresses
+    and resumes — the reference's seek machinery (trailer entries are
+    absolute frame-header offsets, playback.c:136-152) repurposed as the
+    recovery unit (SURVEY §5.3: GOP restart doubles as elasticity).
+
+    Returns ``(index, bad)`` where ``bad`` is a list of ``[lo, hi)`` frame
+    ranges whose bytes are unreachable; their index rows are zero-length
+    with ``frame_type`` forced to P so ``is_iframe`` stays False (a zeroed
+    row must never look like a seek target).  Header and trailer must be
+    intact — with both gone there is nothing to resync against, and this
+    raises like the strict walk.
+    """
+    header = FileHeader.unpack(data)
+    nf = header.num_frames
+    if nf * FRAME_HEADER_BYTES > len(data):
+        raise ValueError(
+            f"corrupt header: {nf} frames cannot fit in {len(data)} bytes"
+        )
+    trailer = parse_file_trailer(data, header)
+    payload_end = min(FILE_HEADER_BYTES + header.payload_size, len(data))
+    ftype = np.ones(nf, dtype=np.uint32)  # unknown rows read as P
+    off = np.zeros((3, nf), dtype=np.uint64)
+    length = np.zeros((3, nf), dtype=np.uint64)
+    bad: list[tuple[int, int]] = []
+    pos = FILE_HEADER_BYTES
+    fi = 0
+    while fi < nf:
+        ok = pos + FRAME_HEADER_BYTES <= payload_end
+        if ok:
+            frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(
+                data, pos
+            )
+            ok = not (
+                frame_size < FRAME_HEADER_BYTES
+                or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
+                or pos + frame_size > payload_end
+                or frame_type > 1
+            )
+        if ok:
+            body = pos + FRAME_HEADER_BYTES
+            cr_size = frame_size - FRAME_HEADER_BYTES - y_size - cb_size
+            ftype[fi] = frame_type
+            off[0, fi], length[0, fi] = body, y_size
+            off[1, fi], length[1, fi] = body + y_size, cb_size
+            off[2, fi], length[2, fi] = body + y_size + cb_size, cr_size
+            pos += frame_size
+            fi += 1
+            continue
+        # Resync: the first trailer entry strictly past the corrupt frame
+        # whose position is inside the payload.  frame_index increases
+        # every iteration, so this terminates.
+        nxt = next(
+            (
+                e for e in trailer
+                if fi < e.frame_index < nf
+                and FILE_HEADER_BYTES <= e.frame_position
+                and e.frame_position + FRAME_HEADER_BYTES <= payload_end
+            ),
+            None,
+        )
+        if nxt is None:
+            bad.append((fi, nf))
+            break
+        bad.append((fi, nxt.frame_index))
+        fi = nxt.frame_index
+        pos = nxt.frame_position
+    if bad and bad[0] == (0, nf):
+        raise ValueError(
+            "corrupt frame chain at frame 0 and no usable trailer entry "
+            "to resync at"
+        )
+    return FrameIndex(header, ftype, off, length, trailer), bad
+
+
 def serialize_file(
     width: int,
     height: int,

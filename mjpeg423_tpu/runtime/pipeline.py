@@ -81,6 +81,24 @@ class DecodedWindow:
     frames: np.ndarray  # (W, H, W) uint32 packed BGRA; rows beyond count are pad
 
 
+@dataclasses.dataclass
+class RecoveryLog:
+    """decode_resilient's account of what was skipped and where it resynced.
+
+    skipped: [lo, hi) frame ranges dropped (corrupt frame up to the next
+    I-frame — P-frames after a corrupt frame depend on its state, so the
+    recovery unit is the GOP tail, SURVEY §5.3).  Sorted and merged once
+    the generator completes.
+    """
+
+    skipped: list[tuple[int, int]] = dataclasses.field(default_factory=list)
+    resyncs: int = 0
+
+    @property
+    def frames_skipped(self) -> int:
+        return sum(hi - lo for lo, hi in self.skipped)
+
+
 def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
                          tile: int, interpret: bool | None,
                          raster_on_device: bool = False,
@@ -452,8 +470,14 @@ class DecodePipeline:
         end_frame: int | None = None,
         device_resident: bool = False,
         scale: int = 1,
+        _index: fmt.FrameIndex | None = None,
     ) -> Iterator[DecodedWindow]:
         """Decode frames [start_frame, end_frame) , yielding frame windows.
+
+        _index: a prebuilt FrameIndex overriding the container chain walk
+        (decode_resilient passes the trailer-resynced index whose bad
+        ranges a strict index_frames would refuse; callers must only
+        request frames the index actually addresses).
 
         scale (1, 2, 4 or 8): device-side box downscale before transfer —
         windows carry (H/scale, W/scale) raster frames and egress drops
@@ -491,7 +515,7 @@ class DecodePipeline:
             yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
         cfg = self.config
-        index = fmt.index_frames(data)
+        index = _index if _index is not None else fmt.index_frames(data)
         hdr = index.header
         bh, bw = hdr.blocks_h, hdr.blocks_w
         nb = hdr.blocks_per_plane
@@ -1154,3 +1178,165 @@ class DecodePipeline:
         for w in wins:
             out[w.start_frame - lo:w.start_frame - lo + w.count] = w.frames
         return out
+
+    # ----- Corruption-resilient decode (GOP skip-and-resync) -------------
+
+    def _find_corrupt_frame(
+        self, data: bytes, index: fmt.FrameIndex, lo: int, hi: int
+    ) -> int | None:
+        """First frame in [lo, hi) whose entropy parse raises, else None."""
+        for f in range(lo, hi):
+            try:
+                self.parse_window(data, index, f, 1, False, False)
+            except ValueError:
+                return f
+        return None
+
+    def decode_resilient(
+        self,
+        data: bytes,
+        *,
+        stop: Callable[[], bool] | None = None,
+        device_resident: bool = False,
+        scale: int = 1,
+        recovery: RecoveryLog | None = None,
+    ) -> Iterator[DecodedWindow]:
+        """Decode, skipping corrupt GOP tails instead of raising.
+
+        The strict paths treat any corruption as fatal (a silent truncated
+        decode is worse than an error).  A serving fleet replaying a damaged
+        archive wants the third option: deliver every decodable frame, drop
+        [corrupt_frame, next_I) — P-frames after the damage depend on its
+        state, and every I-frame rebuilds all of it (reference:
+        lossless_decode.c:76-78) — and resync at the next trailer I-frame,
+        exactly the reference's seek machinery (playback.c:136-152) driven
+        by damage instead of the user.  Covers both corruption classes:
+        broken frame_size chains (trailer-resynced index,
+        format.index_frames_resilient) and corrupt plane bitstreams (parse
+        failure -> per-frame probe -> GOP-tail skip).
+
+        Pass a RecoveryLog to observe what was lost; it is finalized
+        (sorted, adjacent ranges merged) when the generator completes.
+        Frames inside skipped ranges are never yielded — consumers key on
+        DecodedWindow.start_frame as always.  Undetectable corruption
+        (bit flips that still parse) is out of scope, as it is for the
+        reference: the format carries no checksums.
+        """
+        if self.mesh is not None:
+            raise ValueError(
+                "decode_resilient is single-device (mesh partitions assume "
+                "an intact chain; StreamPool retries cover fleet failures)"
+            )
+        rec = recovery if recovery is not None else RecoveryLog()
+        index, bad = fmt.index_frames_resilient(data)
+        rec.skipped.extend(bad)
+        rec.resyncs += len(bad)
+        nf = index.num_frames
+        is_i = index.is_iframe
+        spans: list[tuple[int, int]] = []
+        pos = 0
+        for lo, hi in bad:
+            if pos < lo:
+                spans.append((pos, lo))
+            pos = hi
+        if pos < nf:
+            spans.append((pos, nf))
+        try:
+            for lo, hi in spans:
+                if not is_i[lo]:
+                    # A span must start at an I-frame: prior coefficient
+                    # state is gone (resynced spans start at trailer
+                    # I-frames; this guards a corrupt frame 0 / lying
+                    # trailer).
+                    nz = np.flatnonzero(is_i[lo:hi])
+                    if nz.size == 0:
+                        rec.skipped.append((lo, hi))
+                        continue
+                    s2 = lo + int(nz[0])
+                    rec.skipped.append((lo, s2))
+                    lo = s2
+                cur = lo
+                while cur < hi:
+                    delivered = cur
+                    try:
+                        for win in self.decode(
+                            data, start_frame=cur, stop=stop, end_frame=hi,
+                            device_resident=device_resident, scale=scale,
+                            _index=index,
+                        ):
+                            yield win
+                            delivered = win.start_frame + win.count
+                            if stop is not None and stop():
+                                return
+                        cur = hi
+                    except ValueError:
+                        f = self._find_corrupt_frame(
+                            data, index, delivered, hi
+                        )
+                        if f is None:
+                            # Not a localizable data error (bad config,
+                            # geometry, device failure): resilience does
+                            # not paper over those.
+                            raise
+                        rec.resyncs += 1
+                        if f > delivered:
+                            # Deliver the good prefix [delivered, f).  The
+                            # failed attempt lost its in-flight output ring,
+                            # so re-decode from the I-frame at/before
+                            # `delivered` and trim the head.
+                            nz = np.flatnonzero(is_i[lo:delivered + 1])
+                            prev_i = lo + int(nz[-1])
+                            for win in self.decode(
+                                data, start_frame=prev_i, end_frame=f,
+                                device_resident=device_resident, scale=scale,
+                                _index=index,
+                            ):
+                                k = max(0, delivered - win.start_frame)
+                                if k >= win.count:
+                                    continue
+                                if k:
+                                    win = DecodedWindow(
+                                        win.start_frame + k, win.count - k,
+                                        win.frames[k:],
+                                    )
+                                yield win
+                                if stop is not None and stop():
+                                    return
+                        nz = np.flatnonzero(is_i[f + 1:hi])
+                        nxt = f + 1 + int(nz[0]) if nz.size else hi
+                        rec.skipped.append((f, nxt))
+                        cur = nxt
+        finally:
+            rec.skipped.sort()
+            merged: list[tuple[int, int]] = []
+            for lo2, hi2 in rec.skipped:
+                if merged and lo2 <= merged[-1][1]:
+                    merged[-1] = (merged[-1][0], max(merged[-1][1], hi2))
+                else:
+                    merged.append((lo2, hi2))
+            rec.skipped[:] = merged
+
+    def decode_resilient_array(
+        self, data: bytes, fill: int = 0, **kw
+    ) -> tuple[np.ndarray, RecoveryLog]:
+        """decode_resilient into one (F, H, W) uint32 array + RecoveryLog.
+
+        Skipped frames hold `fill` (default 0); F is the header's
+        num_frames, so frame indices stay aligned with the container.
+        """
+        if kw.get("device_resident"):
+            raise ValueError(
+                "decode_resilient_array assembles HOST raster frames; "
+                "consume device-resident windows from decode_resilient("
+                "device_resident=True) directly"
+            )
+        rec = kw.pop("recovery", None) or RecoveryLog()
+        hdr = fmt.FileHeader.unpack(data)
+        f = kw.get("scale", 1)
+        out = np.full(
+            (hdr.num_frames, hdr.height // f, hdr.width // f),
+            fill, dtype=np.uint32,
+        )
+        for win in self.decode_resilient(data, recovery=rec, **kw):
+            out[win.start_frame:win.start_frame + win.count] = win.frames
+        return out, rec

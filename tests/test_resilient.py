@@ -1,0 +1,217 @@
+"""Corruption-resilient decode: GOP skip-and-resync.
+
+The recovery unit is the reference's own (SURVEY §5.3): every I-frame
+rebuilds all coefficient state (lossless_decode.c:76-78) and the trailer
+addresses every I-frame (playback.c:136-152 seeks them) — so a corrupt
+frame costs exactly [frame, next_I) and nothing else.
+"""
+import numpy as np
+import pytest
+
+import mjpeg423_tpu.core.format as fmt
+from mjpeg423_tpu.codec import decoder, encoder
+from mjpeg423_tpu.runtime import DecodePipeline, RecoveryLog
+from mjpeg423_tpu.utils.config import DecodeConfig
+
+from conftest import make_test_frames
+
+
+def _cfg(**kw):
+    kw.setdefault("frames_per_batch", 5)
+    kw.setdefault("use_pallas", False)
+    return DecodeConfig(**kw)
+
+
+@pytest.fixture(scope="module")
+def stream():
+    rng = np.random.default_rng(17)
+    frames = make_test_frames(rng, num_frames=23, h=48, w=64)
+    data = encoder.encode_frames(frames, max_i_interval=7)
+    want = decoder.decode_stream_array(data)
+    index = fmt.index_frames(data)
+    # The GOP structure the tests rely on: I-frames at least every 7.
+    assert bool(index.is_iframe[0]) and bool(index.is_iframe.sum() >= 3)
+    return data, want, index
+
+
+def corrupt_plane(data: bytes, index: fmt.FrameIndex, frame: int,
+                  plane: int = 0) -> bytes:
+    """Overwrite one plane's bitstream with garbage the parser REJECTS.
+
+    Different patterns trip different checks (zig-zag overrun, bitstream
+    exhaustion); assert one does — resilience only covers detectable
+    corruption (the format has no checksums, same as the reference).
+    """
+    o = int(index.plane_off[plane, frame])
+    l = int(index.plane_len[plane, frame])
+    assert l > 0
+    probe = DecodePipeline(_cfg())
+    for pattern in (b"\xff", b"\xf1", b"\x9f\xff", b"\x7f\xf8"):
+        trial = bytearray(data)
+        trial[o:o + l] = (pattern * (l // len(pattern) + 1))[:l]
+        trial = bytes(trial)
+        try:
+            probe.parse_window(trial, fmt.index_frames(trial), frame, 1)
+        except ValueError:
+            return trial
+    raise AssertionError("no corruption pattern tripped the parser")
+
+
+def next_iframe_after(index: fmt.FrameIndex, f: int) -> int:
+    nz = np.flatnonzero(index.is_iframe[f + 1:])
+    return f + 1 + int(nz[0]) if nz.size else index.num_frames
+
+
+class TestCleanStream:
+    def test_matches_strict_decode(self, stream):
+        data, want, _ = stream
+        pipe = DecodePipeline(_cfg())
+        rec = RecoveryLog()
+        got, rec2 = pipe.decode_resilient_array(data, recovery=rec)
+        assert rec2 is rec
+        np.testing.assert_array_equal(got, want)
+        assert rec.skipped == [] and rec.resyncs == 0
+
+    def test_mesh_rejected(self, stream):
+        data, _, _ = stream
+        pipe = DecodePipeline(_cfg())
+        pipe.mesh = object()
+        with pytest.raises(ValueError, match="single-device"):
+            list(pipe.decode_resilient(data))
+
+
+class TestPlaneCorruption:
+    def test_mid_gop_p_frame(self, stream):
+        data, want, index = stream
+        bad_f = 9
+        assert not index.is_iframe[bad_f]
+        nxt = next_iframe_after(index, bad_f)
+        corrupt = corrupt_plane(data, index, bad_f)
+
+        # Strict decode refuses the stream outright...
+        pipe = DecodePipeline(_cfg())
+        with pytest.raises(ValueError):
+            pipe.decode_array(corrupt)
+        # ...resilient decode delivers everything outside [bad_f, next_I).
+        got, rec = pipe.decode_resilient_array(corrupt, fill=7)
+        assert rec.skipped == [(bad_f, nxt)]
+        assert rec.resyncs == 1
+        assert rec.frames_skipped == nxt - bad_f
+        np.testing.assert_array_equal(got[:bad_f], want[:bad_f])
+        np.testing.assert_array_equal(got[nxt:], want[nxt:])
+        assert (got[bad_f:nxt] == 7).all()
+
+    def test_corrupt_iframe_skips_to_next(self, stream):
+        data, want, index = stream
+        gops = index.gop_starts()
+        bad_f = gops[1]
+        nxt = next_iframe_after(index, bad_f)
+        corrupt = corrupt_plane(data, index, bad_f, plane=1)
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(corrupt)
+        assert rec.skipped == [(bad_f, nxt)]
+        np.testing.assert_array_equal(got[:bad_f], want[:bad_f])
+        np.testing.assert_array_equal(got[nxt:], want[nxt:])
+
+    def test_corrupt_tail_gop(self, stream):
+        data, want, index = stream
+        nf = index.num_frames
+        bad_f = nf - 1
+        corrupt = corrupt_plane(data, index, bad_f, plane=2)
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(corrupt)
+        assert rec.skipped == [(bad_f, nf)]
+        np.testing.assert_array_equal(got[:bad_f], want[:bad_f])
+
+    def test_two_corrupt_gops(self, stream):
+        data, want, index = stream
+        f1, f2 = 2, 16
+        assert not index.is_iframe[f1] and not index.is_iframe[f2]
+        n1, n2 = next_iframe_after(index, f1), next_iframe_after(index, f2)
+        corrupt = corrupt_plane(data, index, f1)
+        corrupt = corrupt_plane(corrupt, index, f2)
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(corrupt)
+        assert rec.skipped == [(f1, n1), (f2, n2)]
+        assert rec.resyncs == 2
+        np.testing.assert_array_equal(got[:f1], want[:f1])
+        np.testing.assert_array_equal(got[n1:f2], want[n1:f2])
+        np.testing.assert_array_equal(got[n2:], want[n2:])
+
+
+class TestChainCorruption:
+    def _smash_frame_size(self, data: bytes, index: fmt.FrameIndex,
+                          frame: int) -> bytes:
+        # The frame header sits FRAME_HEADER_BYTES before its Y-plane bytes.
+        hdr_off = int(index.plane_off[0, frame]) - fmt.FRAME_HEADER_BYTES
+        trial = bytearray(data)
+        trial[hdr_off:hdr_off + 4] = b"\xff\xff\xff\xff"
+        return bytes(trial)
+
+    def test_resilient_index_resyncs_at_trailer(self, stream):
+        data, _, index = stream
+        bad_f = 9
+        nxt = next_iframe_after(index, bad_f)
+        corrupt = self._smash_frame_size(data, index, bad_f)
+        with pytest.raises(ValueError):
+            fmt.index_frames(corrupt)
+        rindex, bad = fmt.index_frames_resilient(corrupt)
+        assert bad == [(bad_f, nxt)]
+        # Bad rows are zeroed non-I rows; good rows match the clean index.
+        assert not rindex.is_iframe[bad_f:nxt].any()
+        assert (rindex.plane_len[:, bad_f:nxt] == 0).all()
+        np.testing.assert_array_equal(
+            rindex.plane_off[:, nxt:], index.plane_off[:, nxt:]
+        )
+        np.testing.assert_array_equal(
+            rindex.frame_type[:bad_f], index.frame_type[:bad_f]
+        )
+
+    def test_decode_skips_broken_chain(self, stream):
+        data, want, index = stream
+        bad_f = 9
+        nxt = next_iframe_after(index, bad_f)
+        corrupt = self._smash_frame_size(data, index, bad_f)
+        pipe = DecodePipeline(_cfg())
+        with pytest.raises(ValueError):
+            pipe.decode_array(corrupt)
+        got, rec = pipe.decode_resilient_array(corrupt)
+        assert rec.skipped == [(bad_f, nxt)]
+        np.testing.assert_array_equal(got[:bad_f], want[:bad_f])
+        np.testing.assert_array_equal(got[nxt:], want[nxt:])
+
+    def test_unrecoverable_frame0_raises(self, stream):
+        data, _, index = stream
+        corrupt = self._smash_frame_size(data, index, 0)
+        # Kill every trailer resync target too: claim zero I-frames.
+        hdr = fmt.FileHeader.unpack(corrupt)
+        broken = fmt.FileHeader(
+            hdr.num_frames, hdr.width, hdr.height, 0, hdr.payload_size
+        )
+        corrupt = broken.pack() + corrupt[fmt.FILE_HEADER_BYTES:]
+        with pytest.raises(ValueError):
+            fmt.index_frames_resilient(corrupt)
+
+
+def test_cli_resilient(tmp_path, stream):
+    data, want, index = stream
+    bad_f = 9
+    nxt = next_iframe_after(index, bad_f)
+    corrupt = corrupt_plane(data, index, bad_f)
+    src = tmp_path / "c.mpg"
+    src.write_bytes(corrupt)
+    out = tmp_path / "out"
+    from mjpeg423_tpu import cli
+
+    rc = cli.main([
+        "decode", str(src), "-o", str(out), "--resilient", "--no-pallas",
+        "--batch", "5",
+    ])
+    assert rc == 0
+    import os
+
+    made = sorted(os.listdir(out))
+    # One BMP per delivered frame; none inside the skipped range.
+    assert len(made) == index.num_frames - (nxt - bad_f)
+    assert f"frame{bad_f:04d}.bmp" not in made
+    assert f"frame{nxt:04d}.bmp" in made
