@@ -27,6 +27,8 @@ class ServeStats:
     frames: int = 0
     pixels: int = 0
     wall_s: float = 0.0
+    frames_skipped: int = 0   # resilient mode: frames lost to corruption
+    resyncs: int = 0          # resilient mode: recovery resyncs taken
 
     @property
     def frames_per_s(self) -> float:

@@ -13,11 +13,16 @@ The pytest suite runs a bounded version (tests/test_fuzz_native.py); this
 script is the soak — run it for as long as you like, it prints a line per
 round and exits nonzero on the first invariant violation.
 """
+import os
 import pathlib
 import sys
 import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+# The resilient-decode campaign drives the streaming pipeline; keep the
+# soak host-only (the XLA fallback path on CPU), never the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 from struct import error as struct_error
@@ -26,6 +31,23 @@ from mjpeg423_tpu.codec import decoder, encoder
 from mjpeg423_tpu.core import format as fmt
 from mjpeg423_tpu.native import centropy
 from mjpeg423_tpu.ops import entropy_ref
+
+_PIPE = None  # lazy singleton: per-geometry jit steps cache inside it
+
+
+def _pipe():
+    global _PIPE
+    if _PIPE is None:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from mjpeg423_tpu.runtime import DecodePipeline
+        from mjpeg423_tpu.utils.config import DecodeConfig
+
+        _PIPE = DecodePipeline(
+            DecodeConfig(frames_per_batch=5, use_pallas=False)
+        )
+    return _PIPE
 
 
 def one_round(rng: np.random.Generator) -> dict:
@@ -139,6 +161,62 @@ def one_round(rng: np.random.Generator) -> dict:
                 "regop succeeded but changed decoded output"
             )
             stats["ok"] += 1
+
+    # resilient decode: random payload/trailer corruption.  Invariants that
+    # hold even for UNDETECTABLE corruption (no checksums in the format):
+    # frames before the damaged frame are byte-exact; frames at/after the
+    # next I-frame following it are byte-exact or inside a reported skipped
+    # range (I-frames rebuild all state); trailer-only corruption with an
+    # intact chain must decode fully byte-exact (no resync ever consulted).
+    want = decoder.decode_stream_array(bytes(data))
+    hdr_offs = [
+        int(index.plane_off[0, f]) - fmt.FRAME_HEADER_BYTES
+        for f in range(nf)
+    ]
+    payload_end = fmt.FILE_HEADER_BYTES + index.header.payload_size
+    is_i = index.is_iframe
+    for _ in range(8):
+        in_trailer = rng.random() < 0.25 and payload_end < len(data)
+        lo_b = payload_end if in_trailer else fmt.FILE_HEADER_BYTES
+        hi_b = len(data) if in_trailer else payload_end
+        off = int(rng.integers(lo_b, hi_b))
+        n = int(rng.integers(1, 32))
+        mut = bytearray(data)
+        garbage = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        mut[off:off + n] = garbage[: len(mut) - off]
+        try:
+            got, rec = _pipe().decode_resilient_array(bytes(mut))
+        except ValueError:
+            stats["raised"] += 1
+            continue
+        assert got.shape[0] == nf, "resilient output lost frame slots"
+        skipped = rec.skipped
+        assert skipped == sorted(skipped) and all(
+            0 <= a < b <= nf for a, b in skipped
+        ), f"malformed skip ranges {skipped}"
+        if in_trailer:
+            assert not skipped and (got == want).all(), (
+                "trailer corruption with an intact chain must decode "
+                "fully byte-exact"
+            )
+            stats["ok"] += 1
+            continue
+        f_bad = max(f for f in range(nf) if hdr_offs[f] <= off)
+        nz = np.flatnonzero(is_i[f_bad + 1:])
+        nxt = f_bad + 1 + int(nz[0]) if nz.size else nf
+        assert (got[:f_bad] == want[:f_bad]).all(), (
+            f"resilient decode changed frames before the damage "
+            f"(off={off}, f_bad={f_bad})"
+        )
+        in_skip = np.zeros(nf, dtype=bool)
+        for a, b in skipped:
+            in_skip[a:b] = True
+        for g in range(nxt, nf):
+            assert in_skip[g] or (got[g] == want[g]).all(), (
+                f"frame {g} past the next I-frame neither skipped nor "
+                f"byte-exact (off={off}, f_bad={f_bad})"
+            )
+        stats["ok"] += 1
     return stats
 
 

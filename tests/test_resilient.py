@@ -193,6 +193,65 @@ class TestChainCorruption:
             fmt.index_frames_resilient(corrupt)
 
 
+class TestCorruptionCampaign:
+    """Randomized payload corruption: invariants that hold even when the
+    damage parses "validly" (the format has no checksums, so a bit flip
+    inside VLI amplitude bits decodes to garbage undetected):
+
+      * frames strictly BEFORE the damaged frame are byte-exact;
+      * every frame at/after the next I-frame following the damage is
+        byte-exact OR inside a reported skipped range (I-frames rebuild
+        all state, so garbage cannot outlive its GOP);
+      * skipped ranges are sorted, disjoint, in bounds;
+      * the only acceptable exception is ValueError.
+    """
+
+    def test_random_plane_and_header_corruption(self, stream):
+        data, want, index = stream
+        nf = index.num_frames
+        # Frame-header byte offsets, for mapping a corrupted byte -> frame.
+        hdr_offs = [
+            int(index.plane_off[0, f]) - fmt.FRAME_HEADER_BYTES
+            for f in range(nf)
+        ]
+        payload_end = fmt.FILE_HEADER_BYTES + index.header.payload_size
+        rng = np.random.default_rng(423)
+        pipe = DecodePipeline(_cfg())
+        for round_i in range(30):
+            off = int(rng.integers(fmt.FILE_HEADER_BYTES, payload_end))
+            n = int(rng.integers(1, 48))
+            garbage = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+            trial = bytearray(data)
+            trial[off:off + n] = garbage[: len(trial) - off]
+            trial = bytes(trial)
+            # The damaged frame: last frame whose header starts at/before off.
+            f_bad = max(f for f in range(nf) if hdr_offs[f] <= off)
+            nxt = next_iframe_after(index, f_bad)
+            try:
+                got, rec = pipe.decode_resilient_array(trial, fill=0)
+            except ValueError:
+                continue  # fail-fast is always acceptable
+            skipped = rec.skipped
+            assert skipped == sorted(skipped)
+            for (a, b), (c, d) in zip(skipped, skipped[1:]):
+                assert b < c  # disjoint, non-adjacent after the merge
+            assert all(0 <= a < b <= nf for a, b in skipped)
+            np.testing.assert_array_equal(
+                got[:f_bad], want[:f_bad],
+                err_msg=f"round {round_i}: prefix differs (off={off})",
+            )
+            in_skip = np.zeros(nf, dtype=bool)
+            for a, b in skipped:
+                in_skip[a:b] = True
+            for g in range(nxt, nf):
+                if not in_skip[g]:
+                    np.testing.assert_array_equal(
+                        got[g], want[g],
+                        err_msg=f"round {round_i}: frame {g} not skipped "
+                                f"yet differs (off={off}, f_bad={f_bad})",
+                    )
+
+
 def test_cli_resilient(tmp_path, stream):
     data, want, index = stream
     bad_f = 9
