@@ -166,9 +166,27 @@ def cmd_decode(args) -> int:
                 )
             n += 1
     dt = time.perf_counter() - t0
-    if args.npy:
-        np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
-                np.stack([npy_frames[k] for k in sorted(npy_frames)]))
+    if args.npy and npy_frames:
+        if rec is not None and rec.skipped:
+            # Resilient decode skipped ranges: keep row i == container
+            # frame i (fill skipped slots, like decode_resilient_array)
+            # and save the delivered indices alongside — a downstream
+            # consumer must never misattribute frames silently.
+            from .core import format as fmt
+
+            nf = fmt.FileHeader.unpack(data).num_frames
+            fill = np.zeros_like(next(iter(npy_frames.values())))
+            np.save(
+                os.path.join(args.outdir, f"{args.prefix}frames.npy"),
+                np.stack([npy_frames.get(i, fill) for i in range(nf)]),
+            )
+            np.save(
+                os.path.join(args.outdir, f"{args.prefix}delivered.npy"),
+                np.array(sorted(npy_frames), dtype=np.int64),
+            )
+        else:
+            np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
+                    np.stack([npy_frames[k] for k in sorted(npy_frames)]))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
           file=sys.stderr)
     if rec is not None and rec.skipped:
@@ -445,6 +463,10 @@ def cmd_serve(args) -> int:
     if args.thumbs and not args.packed:
         print("serve: --thumbs requires --packed", file=sys.stderr)
         return 2
+    if args.resilient and args.packed:
+        print("serve: --resilient decodes streams individually; "
+              "drop --packed", file=sys.stderr)
+        return 2
     pool = StreamPool(cfg, devices=devices)
     if args.packed:
         stats = pool.decode_all_packed(
@@ -452,13 +474,22 @@ def cmd_serve(args) -> int:
             iframes_only=args.thumbs,
         )
     else:
-        stats = pool.decode_all(streams, max_concurrent=args.concurrent)
+        stats = pool.decode_all(
+            streams, max_concurrent=args.concurrent,
+            resilient=args.resilient,
+        )
     print(
         f"decoded {stats.streams} streams / {stats.frames} frames in "
         f"{stats.wall_s:.3f}s ({stats.frames_per_s:.1f} frames/s, "
         f"{stats.mpix_per_s:.1f} Mpix/s aggregate)",
         file=sys.stderr,
     )
+    if stats.frames_skipped or stats.resyncs:
+        print(
+            f"resilient: skipped {stats.frames_skipped} frames across "
+            f"{stats.resyncs} resyncs",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -577,6 +608,10 @@ def main(argv=None) -> int:
     p.add_argument("--thumbs", action="store_true",
                    help="with --packed: decode only every archive's "
                         "I-frames (thumbnail farm)")
+    p.add_argument("--resilient", action="store_true",
+                   help="damaged archives deliver every recoverable frame "
+                        "(skip [corrupt, next_I), resync at trailer "
+                        "I-frames) instead of failing the stream")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="run the benchmark harness")

@@ -310,6 +310,47 @@ def index_frames(data: bytes) -> FrameIndex:
     return FrameIndex(header, ftype, off, length, parse_file_trailer(data, header))
 
 
+def _trailer_consistent(index: FrameIndex) -> bool:
+    """Cross-check a chain-walked index against the trailer's absolute offsets.
+
+    A frame_size rewritten to another parse-valid value walks clean but
+    misaligns every later row; the trailer's positions (written independently
+    by the encoder, mjpeg423_encoder.c:204-218) catch that at each I-frame.
+    O(num_iframes) — the happy-path cost of resilient indexing.
+    """
+    nf = index.num_frames
+    if nf:
+        # An aligned walk ends exactly on the trailer boundary: the last
+        # frame's Cr range (which includes the alignment pad) must abut
+        # header_size + payload_size.  Catches a parse-valid frame_size
+        # rewrite in the tail GOP, where no later anchor exists.
+        walk_end = int(index.plane_off[2, nf - 1] + index.plane_len[2, nf - 1])
+        if walk_end != FILE_HEADER_BYTES + index.header.payload_size:
+            return False
+    for e in index.trailer:
+        if not 0 <= e.frame_index < nf:
+            return False
+        if int(index.frame_type[e.frame_index]) != 0:
+            return False
+        body = int(index.plane_off[0, e.frame_index])
+        if body - FRAME_HEADER_BYTES != e.frame_position:
+            return False
+    return True
+
+
+def _parses_as_iframe(data: bytes, pos: int, payload_end: int) -> bool:
+    """True when `pos` holds a parse-valid I-frame header inside the payload."""
+    if pos < FILE_HEADER_BYTES or pos + FRAME_HEADER_BYTES > payload_end:
+        return False
+    frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(data, pos)
+    return (
+        frame_size >= FRAME_HEADER_BYTES
+        and y_size + cb_size <= frame_size - FRAME_HEADER_BYTES
+        and pos + frame_size <= payload_end
+        and frame_type == 0
+    )
+
+
 def index_frames_resilient(
     data: bytes,
 ) -> tuple[FrameIndex, list[tuple[int, int]]]:
@@ -321,12 +362,25 @@ def index_frames_resilient(
     absolute frame-header offsets, playback.c:136-152) repurposed as the
     recovery unit (SURVEY §5.3: GOP restart doubles as elasticity).
 
+    The walk is cross-checked against the trailer: whenever it reaches a
+    frame index the trailer addresses, the walked position must equal the
+    trailer's absolute offset and the parsed type must be I.  A mismatch
+    means some earlier frame_size was rewritten to a *parse-valid* value
+    (structural damage landing the chain on a later genuine header) — the
+    rows since the last verified anchor are invalidated and the walk
+    resyncs at the trailer's position, so misaligned bytes are never
+    delivered under wrong frame indices.
+
+    Happy path: the strict (native C) ``index_frames`` walk runs first and
+    is returned directly when the trailer cross-check passes — an intact
+    archive pays one O(num_iframes) Python loop, not a per-frame one.
+
     Returns ``(index, bad)`` where ``bad`` is a list of ``[lo, hi)`` frame
-    ranges whose bytes are unreachable; their index rows are zero-length
-    with ``frame_type`` forced to P so ``is_iframe`` stays False (a zeroed
-    row must never look like a seek target).  Header and trailer must be
-    intact — with both gone there is nothing to resync against, and this
-    raises like the strict walk.
+    ranges whose bytes are unreachable or unverifiable; their index rows
+    are zero-length with ``frame_type`` forced to P so ``is_iframe`` stays
+    False (a zeroed row must never look like a seek target).  Header and
+    trailer must be intact — with both gone there is nothing to resync
+    against, and this raises like the strict walk.
     """
     header = FileHeader.unpack(data)
     nf = header.num_frames
@@ -335,15 +389,32 @@ def index_frames_resilient(
             f"corrupt header: {nf} frames cannot fit in {len(data)} bytes"
         )
     trailer = parse_file_trailer(data, header)
-    payload_end = min(FILE_HEADER_BYTES + header.payload_size, len(data))
+    try:
+        strict = index_frames(data)
+    except ValueError:
+        strict = None
+    if strict is not None and _trailer_consistent(strict):
+        return strict, []
+    payload_true_end = FILE_HEADER_BYTES + header.payload_size
+    payload_end = min(payload_true_end, len(data))
+    anchor = {e.frame_index: e.frame_position for e in trailer}
     ftype = np.ones(nf, dtype=np.uint32)  # unknown rows read as P
     off = np.zeros((3, nf), dtype=np.uint64)
     length = np.zeros((3, nf), dtype=np.uint64)
     bad: list[tuple[int, int]] = []
+
+    def invalidate(lo: int, hi: int) -> None:
+        ftype[lo:hi] = 1
+        off[:, lo:hi] = 0
+        length[:, lo:hi] = 0
+        bad.append((lo, hi))
+
     pos = FILE_HEADER_BYTES
     fi = 0
+    last_sync = 0  # start of the current trailer-unverified window
     while fi < nf:
-        ok = pos + FRAME_HEADER_BYTES <= payload_end
+        misaligned = fi in anchor and anchor[fi] != pos
+        ok = not misaligned and pos + FRAME_HEADER_BYTES <= payload_end
         if ok:
             frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(
                 data, pos
@@ -353,6 +424,9 @@ def index_frames_resilient(
                 or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
                 or pos + frame_size > payload_end
                 or frame_type > 1
+                # An anchor frame the chain reached at the right offset must
+                # parse as I; P there means the header bytes are damaged.
+                or (fi in anchor and frame_type != 0)
             )
         if ok:
             body = pos + FRAME_HEADER_BYTES
@@ -361,27 +435,60 @@ def index_frames_resilient(
             off[0, fi], length[0, fi] = body, y_size
             off[1, fi], length[1, fi] = body + y_size, cb_size
             off[2, fi], length[2, fi] = body + y_size + cb_size, cr_size
+            if fi in anchor:  # position + type verified above
+                last_sync = fi
             pos += frame_size
             fi += 1
             continue
-        # Resync: the first trailer entry strictly past the corrupt frame
-        # whose position is inside the payload.  frame_index increases
-        # every iteration, so this terminates.
+        if misaligned:
+            # The chain reached I-frame fi at an offset other than the
+            # trailer's.  Either a frame_size in (last_sync, fi] was
+            # rewritten to a parse-valid value (the chain is the corrupt
+            # side) or the trailer entry itself is damaged.  Tiebreaker:
+            # does the trailer's position hold a parseable I-frame header?
+            # If not, the entry is evidently the corrupt side — drop it
+            # and trust the intact chain.
+            if not _parses_as_iframe(data, anchor[fi], payload_end):
+                del anchor[fi]
+                continue
+            # The trailer wins: every row since the last verified anchor
+            # is suspect (the exact corruption point is unknowable from
+            # the chain alone), so invalidate back to it (GOP restart as
+            # the recovery unit) and resume at the trailer's position.
+            invalidate(last_sync, fi)
+            pos = anchor[fi]
+            continue
+        # Resync: the first trailer entry at-or-past the corrupt frame whose
+        # position holds a parseable I-frame header.  An entry AT fi is
+        # usable when it names a position we have not already tried (covers
+        # a chain that failed to parse at a misaligned offset for an
+        # anchored frame).  Either fi advances or pos changes to a
+        # not-yet-tried anchor position, so this terminates.
         nxt = next(
             (
                 e for e in trailer
-                if fi < e.frame_index < nf
-                and FILE_HEADER_BYTES <= e.frame_position
-                and e.frame_position + FRAME_HEADER_BYTES <= payload_end
+                if (
+                    (e.frame_index == fi and e.frame_position != pos)
+                    or fi < e.frame_index < nf
+                )
+                and _parses_as_iframe(data, e.frame_position, payload_end)
             ),
             None,
         )
         if nxt is None:
             bad.append((fi, nf))
             break
-        bad.append((fi, nxt.frame_index))
+        if nxt.frame_index > fi:
+            bad.append((fi, nxt.frame_index))
         fi = nxt.frame_index
         pos = nxt.frame_position
+        last_sync = fi
+    else:
+        # Walk completed: the tail GOP has no next anchor to verify against,
+        # but an aligned walk over an untruncated payload must land exactly
+        # on the trailer boundary (serialize_file/mjpeg423_encoder.c:204).
+        if len(data) >= payload_true_end and pos != payload_true_end:
+            invalidate(last_sync, nf)
     if bad and bad[0] == (0, nf):
         raise ValueError(
             "corrupt frame chain at frame 0 and no usable trailer entry "

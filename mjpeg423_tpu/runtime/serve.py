@@ -128,6 +128,7 @@ class StreamPool:
         sink=None,
         max_concurrent: int = 4,
         retries: int = 1,
+        resilient: bool = False,
     ) -> ServeStats:
         """Decode every stream; returns aggregate stats.
 
@@ -143,6 +144,14 @@ class StreamPool:
         GOP-restart elasticity unit (SURVEY.md §5.3: a failed shard
         re-decodes its GOP; decode is stateless per stream so a clean
         restart is always valid).
+
+        resilient=True decodes each stream through decode_resilient: a
+        damaged archive delivers every recoverable frame instead of failing
+        the whole stream, and the skipped-frame / resync counts aggregate
+        into the returned stats (frames inside skipped ranges are never
+        delivered, matching decode_resilient's contract).  Retries still
+        cover transient (device/runtime) failures; corruption no longer
+        consumes them.
         """
         stats = ServeStats(streams=len(streams))
         lock = threading.Lock()
@@ -151,12 +160,19 @@ class StreamPool:
         deliver = self._make_deliver(sink)
 
         def worker(si: int, data: bytes):
+            from .pipeline import RecoveryLog
+
             pipe = self.pipelines[si % len(self.pipelines)]
             for attempt in range(retries + 1):
                 frames = pixels = 0
+                rec = RecoveryLog() if resilient else None
                 try:
                     with sem:
-                        for win in pipe.decode(data):
+                        wins = (
+                            pipe.decode_resilient(data, recovery=rec)
+                            if resilient else pipe.decode(data)
+                        )
+                        for win in wins:
                             if deliver is not None:
                                 deliver(si, win, attempt)
                             h, w = win.frames.shape[1:3]
@@ -165,6 +181,9 @@ class StreamPool:
                     with lock:  # commit only on success (no double counting)
                         stats.frames += frames
                         stats.pixels += pixels
+                        if rec is not None:
+                            stats.frames_skipped += rec.frames_skipped
+                            stats.resyncs += rec.resyncs
                     return
                 except Exception as e:  # noqa: BLE001 — retried, then re-raised
                     if attempt == retries:

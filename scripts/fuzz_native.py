@@ -183,7 +183,11 @@ def one_round(rng: np.random.Generator) -> dict:
         n = int(rng.integers(1, 32))
         mut = bytearray(data)
         garbage = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
-        mut[off:off + n] = garbage[: len(mut) - off]
+        # Clamp the write to the region it targets: a payload mutation must
+        # not spill into the trailer (the invariants below assume an intact
+        # trailer), nor a trailer mutation past EOF.
+        end = min(off + n, hi_b)
+        mut[off:end] = garbage[: end - off]
         try:
             got, rec = _pipe().decode_resilient_array(bytes(mut))
         except ValueError:
@@ -201,20 +205,27 @@ def one_round(rng: np.random.Generator) -> dict:
             )
             stats["ok"] += 1
             continue
+        # The damage spans [off, end): map BOTH edges to frames — the next
+        # I-frame must follow the LAST damaged frame, not the first.
         f_bad = max(f for f in range(nf) if hdr_offs[f] <= off)
-        nz = np.flatnonzero(is_i[f_bad + 1:])
-        nxt = f_bad + 1 + int(nz[0]) if nz.size else nf
-        assert (got[:f_bad] == want[:f_bad]).all(), (
-            f"resilient decode changed frames before the damage "
-            f"(off={off}, f_bad={f_bad})"
-        )
+        f_last = max(f for f in range(nf) if hdr_offs[f] <= end - 1)
+        nz = np.flatnonzero(is_i[f_last + 1:])
+        nxt = f_last + 1 + int(nz[0]) if nz.size else nf
         in_skip = np.zeros(nf, dtype=bool)
         for a, b in skipped:
             in_skip[a:b] = True
+        # Frames before the damage are byte-exact or reported skipped (the
+        # trailer cross-check invalidates back to the last verified anchor
+        # when it cannot localize a parse-valid chain rewrite).
+        for g in range(f_bad):
+            assert in_skip[g] or (got[g] == want[g]).all(), (
+                f"frame {g} before the damage neither skipped nor "
+                f"byte-exact (off={off}, f_bad={f_bad})"
+            )
         for g in range(nxt, nf):
             assert in_skip[g] or (got[g] == want[g]).all(), (
                 f"frame {g} past the next I-frame neither skipped nor "
-                f"byte-exact (off={off}, f_bad={f_bad})"
+                f"byte-exact (off={off}, f_last={f_last})"
             )
         stats["ok"] += 1
     return stats

@@ -180,6 +180,80 @@ class TestChainCorruption:
         np.testing.assert_array_equal(got[:bad_f], want[:bad_f])
         np.testing.assert_array_equal(got[nxt:], want[nxt:])
 
+    def test_parse_valid_rewrite_caught_at_anchor(self, stream):
+        """frame_size rewritten to land on a LATER genuine frame header:
+        the chain walks clean but misaligned; the trailer cross-check must
+        catch it at the next I-frame and never deliver wrong bytes under
+        wrong indices (the ADVICE round-2 medium finding)."""
+        data, want, index = stream
+        bad_f = 9  # P-frame inside GOP [7, 14)
+        assert not index.is_iframe[bad_f]
+        hdr = int(index.plane_off[0, bad_f]) - fmt.FRAME_HEADER_BYTES
+        next_hdr = int(index.plane_off[0, bad_f + 2]) - fmt.FRAME_HEADER_BYTES
+        trial = bytearray(data)
+        # New size swallows frame bad_f+1: every later row shifts one frame.
+        import struct
+        trial[hdr:hdr + 4] = struct.pack("<I", next_hdr - hdr)
+        trial = bytes(trial)
+
+        gop = max(g for g in index.gop_starts() if g <= bad_f)
+        nxt = next_iframe_after(index, bad_f)
+        rindex, bad = fmt.index_frames_resilient(trial)
+        assert bad == [(gop, nxt)]
+        np.testing.assert_array_equal(
+            rindex.plane_off[:, nxt:], index.plane_off[:, nxt:]
+        )
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(trial, fill=3)
+        assert rec.skipped == [(gop, nxt)]
+        np.testing.assert_array_equal(got[:gop], want[:gop])
+        np.testing.assert_array_equal(got[nxt:], want[nxt:])
+        assert (got[gop:nxt] == 3).all()
+
+    def test_parse_valid_rewrite_in_tail_gop(self, stream):
+        """Same damage class in the LAST GOP (no next anchor): the
+        end-of-walk payload-boundary check must invalidate the tail."""
+        data, want, index = stream
+        nf = index.num_frames
+        bad_f = nf - 1
+        last_i = max(g for g in index.gop_starts() if g <= bad_f)
+        hdr = int(index.plane_off[0, bad_f]) - fmt.FRAME_HEADER_BYTES
+        import struct
+        fsize, ftyp, ysz, cbsz = struct.unpack_from("<4I", data, hdr)
+        new_size = fmt.FRAME_HEADER_BYTES + ysz + cbsz  # drop Cr + pad
+        assert new_size < fsize
+        trial = bytearray(data)
+        trial[hdr:hdr + 4] = struct.pack("<I", new_size)
+        trial = bytes(trial)
+
+        rindex, bad = fmt.index_frames_resilient(trial)
+        assert bad == [(last_i, nf)]
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(trial, fill=5)
+        assert rec.skipped == [(last_i, nf)]
+        np.testing.assert_array_equal(got[:last_i], want[:last_i])
+        assert (got[last_i:] == 5).all()
+
+    def test_trailer_damage_with_intact_chain(self, stream):
+        """A damaged trailer POSITION with an intact chain: the tiebreak
+        (no parseable I-frame header at the trailer's offset) must trust
+        the chain and deliver everything byte-exact."""
+        data, want, index = stream
+        hdr = index.header
+        toff = (
+            fmt.FILE_HEADER_BYTES + hdr.payload_size
+            + fmt.TRAILER_ENTRY_BYTES + 4  # entry 1's frame_position field
+        )
+        trial = bytearray(data)
+        trial[toff:toff + 4] = b"\xfe\xff\xff\xff"
+        trial = bytes(trial)
+        rindex, bad = fmt.index_frames_resilient(trial)
+        assert bad == []
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(trial)
+        assert rec.skipped == []
+        np.testing.assert_array_equal(got, want)
+
     def test_unrecoverable_frame0_raises(self, stream):
         data, _, index = stream
         corrupt = self._smash_frame_size(data, index, 0)
@@ -222,11 +296,15 @@ class TestCorruptionCampaign:
             n = int(rng.integers(1, 48))
             garbage = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
             trial = bytearray(data)
-            trial[off:off + n] = garbage[: len(trial) - off]
+            # Clamp to the payload: the invariants assume an intact trailer.
+            end = min(off + n, payload_end)
+            trial[off:end] = garbage[: end - off]
             trial = bytes(trial)
-            # The damaged frame: last frame whose header starts at/before off.
+            # The damage spans [off, end): the next I-frame must follow the
+            # LAST damaged frame, not the first.
             f_bad = max(f for f in range(nf) if hdr_offs[f] <= off)
-            nxt = next_iframe_after(index, f_bad)
+            f_last = max(f for f in range(nf) if hdr_offs[f] <= end - 1)
+            nxt = next_iframe_after(index, f_last)
             try:
                 got, rec = pipe.decode_resilient_array(trial, fill=0)
             except ValueError:
@@ -236,19 +314,25 @@ class TestCorruptionCampaign:
             for (a, b), (c, d) in zip(skipped, skipped[1:]):
                 assert b < c  # disjoint, non-adjacent after the merge
             assert all(0 <= a < b <= nf for a, b in skipped)
-            np.testing.assert_array_equal(
-                got[:f_bad], want[:f_bad],
-                err_msg=f"round {round_i}: prefix differs (off={off})",
-            )
             in_skip = np.zeros(nf, dtype=bool)
             for a, b in skipped:
                 in_skip[a:b] = True
+            # Frames before the damage: byte-exact or reported skipped (the
+            # trailer cross-check invalidates back to the last verified
+            # anchor when a parse-valid chain rewrite cannot be localized).
+            for g in range(f_bad):
+                if not in_skip[g]:
+                    np.testing.assert_array_equal(
+                        got[g], want[g],
+                        err_msg=f"round {round_i}: frame {g} before the "
+                                f"damage not skipped yet differs (off={off})",
+                    )
             for g in range(nxt, nf):
                 if not in_skip[g]:
                     np.testing.assert_array_equal(
                         got[g], want[g],
                         err_msg=f"round {round_i}: frame {g} not skipped "
-                                f"yet differs (off={off}, f_bad={f_bad})",
+                                f"yet differs (off={off}, f_last={f_last})",
                     )
 
 
@@ -274,3 +358,32 @@ def test_cli_resilient(tmp_path, stream):
     assert len(made) == index.num_frames - (nxt - bad_f)
     assert f"frame{bad_f:04d}.bmp" not in made
     assert f"frame{nxt:04d}.bmp" in made
+
+
+def test_cli_resilient_npy_keeps_frame_alignment(tmp_path, stream):
+    """--resilient --npy must keep row i == container frame i (fill skipped
+    slots) and save the delivered-index sidecar (ADVICE r2 low)."""
+    data, want, index = stream
+    bad_f = 9
+    nxt = next_iframe_after(index, bad_f)
+    corrupt = corrupt_plane(data, index, bad_f)
+    src = tmp_path / "c.mpg"
+    src.write_bytes(corrupt)
+    out = tmp_path / "out"
+    from mjpeg423_tpu import cli
+
+    rc = cli.main([
+        "decode", str(src), "-o", str(out), "--resilient", "--npy",
+        "--no-pallas", "--batch", "5",
+    ])
+    assert rc == 0
+    arr = np.load(out / "frameframes.npy")
+    delivered = np.load(out / "framedelivered.npy")
+    nf = index.num_frames
+    assert arr.shape[0] == nf
+    assert delivered.tolist() == [
+        f for f in range(nf) if not (bad_f <= f < nxt)
+    ]
+    np.testing.assert_array_equal(arr[:bad_f], want[:bad_f])
+    np.testing.assert_array_equal(arr[nxt:], want[nxt:])
+    assert (arr[bad_f:nxt] == 0).all()

@@ -308,3 +308,68 @@ def test_pool_warmup_precompiles_all_pipelines():
     stats = pool.decode_all([data, data])
     assert stats.frames == 10
     assert all(len(p._step_cache) == 1 for p in pool.pipelines)
+
+
+def test_pool_resilient_mixed_streams():
+    """resilient=True: a damaged archive delivers its recoverable frames
+    and aggregates skip/resync counters; clean streams are untouched
+    (ADVICE r2: ServeStats.frames_skipped/resyncs must be real)."""
+    import mjpeg423_tpu.core.format as fmt
+    from test_resilient import corrupt_plane, next_iframe_after
+
+    rng = np.random.default_rng(24)
+    clean = encoder.encode_frames(
+        make_test_frames(rng, num_frames=7, h=32, w=48), max_i_interval=4
+    )
+    victim = encoder.encode_frames(
+        make_test_frames(rng, num_frames=9, h=32, w=48), max_i_interval=4
+    )
+    index = fmt.index_frames(victim)
+    bad_f = int(np.flatnonzero(~index.is_iframe)[0])  # first P frame
+    nxt = next_iframe_after(index, bad_f)
+    damaged = corrupt_plane(victim, index, bad_f)
+    want_clean = decoder.decode_stream_array(clean)
+    want_victim = decoder.decode_stream_array(victim)
+
+    got = {0: {}, 1: {}}
+
+    def sink(si, win):
+        for j in range(win.count):
+            got[si][win.start_frame + j] = win.frames[j]
+
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    # Without resilient, the pool raises on the damaged stream.
+    with pytest.raises(ValueError):
+        pool.decode_all([clean, damaged])
+    stats = pool.decode_all([clean, damaged], sink=sink, resilient=True)
+    assert stats.streams == 2
+    assert stats.frames_skipped == nxt - bad_f
+    assert stats.resyncs >= 1
+    assert stats.frames == want_clean.shape[0] + want_victim.shape[0] - (nxt - bad_f)
+    for fi, fr in got[0].items():
+        np.testing.assert_array_equal(fr, want_clean[fi])
+    assert sorted(got[1]) == [f for f in range(want_victim.shape[0])
+                              if not (bad_f <= f < nxt)]
+    for fi, fr in got[1].items():
+        np.testing.assert_array_equal(fr, want_victim[fi])
+
+
+def test_cli_serve_resilient(tmp_path, capsys):
+    import mjpeg423_tpu.core.format as fmt
+    from mjpeg423_tpu import cli
+    from test_resilient import corrupt_plane
+
+    rng = np.random.default_rng(25)
+    data = encoder.encode_frames(
+        make_test_frames(rng, num_frames=7, h=32, w=48), max_i_interval=4
+    )
+    index = fmt.index_frames(data)
+    damaged = corrupt_plane(data, index, 1)
+    p = tmp_path / "d.mpg"
+    p.write_bytes(damaged)
+    rc = cli.main(["serve", str(p), "--resilient", "--no-pallas"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "skipped" in err
+    rc = cli.main(["serve", str(p), "--resilient", "--packed"])
+    assert rc == 2
