@@ -50,55 +50,67 @@ static const uint8_t IZZ[64] = {
 };
 
 /* ------------------------------------------------------------------ */
-/* Bit reader: 64-bit accumulator, MSB-first; zero bits past the end   */
-/* (the reference's 32-bit lookahead reads past the declared size but  */
-/* never consumes those bits on well-formed streams).                  */
+/* Bit reader: 64-bit LEFT-aligned accumulator (next bits in the MSBs),
+ * MSB-first; zero bits past the end (the reference's 32-bit lookahead
+ * reads past the declared size but never consumes those bits on
+ * well-formed streams).
+ *
+ * The refill is BRANCHLESS in the body of the stream (one unconditional
+ * 8-byte load + bswap + or, `bitcnt |= 56` instead of a loop): the only
+ * branch is the always-predicted "not in the last 8 bytes yet" guard.
+ * Left alignment makes peek a single shift (`acc >> (64-n)`) and lets a
+ * whole symbol (8-bit run/size + <=15-bit VLI) be extracted from one
+ * accumulator snapshot with no intermediate state updates. */
 typedef struct {
   const uint8_t* data;
   size_t len;
-  size_t pos;     /* next byte to load */
-  uint64_t acc;   /* bits in the low `navail` bits */
-  int navail;
+  size_t pos;      /* next byte to load */
+  size_t fast_end; /* pos < fast_end -> unconditional 8-byte load is safe */
+  uint64_t acc;    /* next bits in the TOP `bitcnt` bits; rest zero */
+  int bitcnt;
 } BitReader;
 
 static inline void br_init(BitReader* br, const uint8_t* data, size_t len) {
   br->data = data;
   br->len = len;
   br->pos = 0;
+  br->fast_end = (len >= 8) ? (len - 8 + 1) : 0;
   br->acc = 0;
-  br->navail = 0;
+  br->bitcnt = 0;
 }
 
 static inline void br_refill(BitReader* br) {
-  /* Callers consume at most 23 bits between refills (8-bit run/size plus
+  /* Post-condition: bitcnt >= 56 (or the stream tail, zero-extended).
+   * Callers consume at most 23 bits between refills (8-bit run/size plus
    * a VLI whose 4-bit size nibble can claim 15 on CORRUPT input — valid
-   * streams cap it at 11); the 23-bit early-out threshold makes the body
-   * run roughly every other symbol while a single 8-byte load + bswap64
-   * tops the accumulator back up to >= 54 bits. */
-  if (br->navail >= 23) return;
-  if (br->pos + 8 <= br->len) {
+   * streams cap it at 11). */
+  if (br->pos < br->fast_end) {
     uint64_t w;
     memcpy(&w, br->data + br->pos, 8);
-    w = __builtin_bswap64(w);
-    int take = (56 - br->navail) & ~7; /* whole bytes: 40..56 */
-    br->acc = (br->acc << take) | (w >> (64 - take));
-    br->pos += (size_t)(take >> 3);
-    br->navail += take;
+    br->acc |= __builtin_bswap64(w) >> br->bitcnt;
+    br->pos += (size_t)((63 - br->bitcnt) >> 3);
+    br->bitcnt |= 56;
   } else {
-    while (br->navail <= 56) {
+    while (br->bitcnt <= 56) {
       uint8_t b = (br->pos < br->len) ? br->data[br->pos] : 0;
       br->pos++;
-      br->acc = (br->acc << 8) | b;
-      br->navail += 8;
+      br->acc |= (uint64_t)b << (56 - br->bitcnt);
+      br->bitcnt += 8;
     }
   }
 }
 
 static inline uint32_t br_get(BitReader* br, int n) {
-  /* caller guarantees navail >= n after refill (n <= 32) */
-  br->navail -= n;
-  uint32_t v = (uint32_t)((br->acc >> br->navail) & ((1u << n) - 1u));
+  /* caller guarantees bitcnt >= n after refill (1 <= n <= 32) */
+  uint32_t v = (uint32_t)(br->acc >> (64 - n));
+  br->acc <<= n;
+  br->bitcnt -= n;
   return v;
+}
+
+static inline void br_consume(BitReader* br, int n) {
+  br->acc <<= n;
+  br->bitcnt -= n;
 }
 
 /* VLI sign extension (reference: lossless_decode.c:204).  Branchless:
@@ -110,26 +122,90 @@ static inline int32_t huff_extend(uint32_t x, int s) {
   return (int32_t)(x - neg * ((1u << s) - 1u));
 }
 
+/* Zero one block's 64 int16 coefficients.  Called per block instead of one
+ * big upfront memset: the row is then hot in L1 when the scatter stores
+ * land, halving the memory traffic of a cold multi-MB plane pass. */
+static inline void mj_zero_row64(int16_t* row) {
+#if defined(__AVX2__)
+  const __m256i z = _mm256_setzero_si256();
+  _mm256_storeu_si256((__m256i*)row, z);
+  _mm256_storeu_si256((__m256i*)(row + 16), z);
+  _mm256_storeu_si256((__m256i*)(row + 32), z);
+  _mm256_storeu_si256((__m256i*)(row + 48), z);
+#else
+  memset(row, 0, 64 * sizeof(int16_t));
+#endif
+}
+
+/* Decode the block's DC symbol from a full accumulator (refill done by the
+ * caller); assigns the amplitude to `amp_var`.  One acc snapshot: the size
+ * nibble and the VLI extract with two shifts each, no intermediate reader
+ * state updates (reference: input_DC, lossless_decode.c:210-224). */
+#define MJ_DC_SYM(amp_var)                                              \
+  {                                                                     \
+    uint64_t a_ = br.acc;                                               \
+    int size_ = (int)(a_ >> 60);                                        \
+    if (size_) {                                                        \
+      uint32_t vb_ = (uint32_t)((a_ << 4) >> (64 - size_));             \
+      br_consume(&br, 4 + size_);                                       \
+      amp_var = huff_extend(vb_, size_);                                \
+    } else {                                                            \
+      br_consume(&br, 4);                                               \
+      amp_var = 0;                                                      \
+    }                                                                   \
+  }
+
+/* Decode ONE AC symbol from the current accumulator (>= 23 valid bits
+ * guaranteed by the caller's refill discipline).  The whole symbol —
+ * 8-bit run/size plus a VLI of up to 15 bits on corrupt input — extracts
+ * from one acc snapshot.  `store_stmt` sees `amp` and `index`; EOB and a
+ * completed block jump to the function-scope `block_done` label.
+ * (reference AC loop: lossless_decode.c:101-133) */
+#define MJ_AC_SYM(store_stmt)                                           \
+  {                                                                     \
+    uint64_t a_ = br.acc;                                               \
+    uint32_t rs_ = (uint32_t)(a_ >> 56);                                \
+    unsigned size_ = rs_ & 15u;                                         \
+    if (size_ == 0) {                                                   \
+      br_consume(&br, 8);                                               \
+      if (rs_ != 0xF0u) goto block_done; /* EOB */                      \
+      index += 16; /* ZRL */                                            \
+      if (index > 64) return -1;                                        \
+    } else {                                                            \
+      uint32_t vb_ = (uint32_t)((a_ << 8) >> (64 - size_));             \
+      br_consume(&br, 8 + (int)size_);                                  \
+      int32_t amp = huff_extend(vb_, (int)size_);                       \
+      index += (int)(rs_ >> 4);                                         \
+      if (index > 63) return -1;                                        \
+      store_stmt;                                                       \
+      if (index >= 63) goto block_done;                                 \
+      index++;                                                          \
+    }                                                                   \
+  }
+
 /*
  * Decode one plane into out[num_blocks*64] int16 natural-order amplitudes.
  * Returns 0 on success, -1 on a structurally corrupt stream (zig-zag index
  * out of range — the reference would write out of bounds here).
+ *
+ * Hot-loop shape: one branchless refill (>= 56 bits) covers the DC symbol
+ * plus the first AC symbol (19 + 23 <= 56); after that each refill covers
+ * TWO AC symbols (2 x 23 <= 56) — half the refills of a symbol-at-a-time
+ * loop, and every symbol extracts from a single accumulator snapshot.
  */
 MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
                                  int num_blocks, int is_p, int16_t* out) {
   BitReader br;
   br_init(&br, bits, bits_len);
-  memset(out, 0, (size_t)num_blocks * 64 * sizeof(int16_t));
   int16_t cur = 0; /* I-frame DC accumulator (DCTELEM, wraps) */
 
   for (int b = 0; b < num_blocks; b++) {
     int16_t* row = out + (size_t)b * 64;
+    mj_zero_row64(row);
     br_refill(&br);
-    /* DC (reference: input_DC, lossless_decode.c:210-224) */
     {
-      int size = (int)br_get(&br, 4);
-      int32_t amp = 0;
-      if (size) amp = huff_extend(br_get(&br, size), size);
+      int32_t amp;
+      MJ_DC_SYM(amp)
       if (is_p) {
         row[0] = (int16_t)amp;
       } else {
@@ -137,63 +213,16 @@ MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
         row[0] = cur;
       }
     }
-    /* AC loop (reference: lossless_decode.c:101-133) */
     int index = 1;
+    MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
     for (;;) {
       br_refill(&br);
-      uint32_t rs = br_get(&br, 8); /* run:4 size:4 in one pull */
-      int run = (int)(rs >> 4);
-      int size = (int)(rs & 15);
-      if (size == 0) {
-        if (run == 15) { /* ZRL */
-          index += 16;
-          if (index > 64) return -1;
-          continue;
-        }
-        break; /* END */
-      }
-      int32_t amp = huff_extend(br_get(&br, size), size);
-      index += run;
-      if (index > 63) return -1;
-      row[ZZ[index]] = (int16_t)amp;
-      if (index >= 63) break;
-      index++;
+      MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
+      MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
     }
+  block_done:;
   }
   return 0;
-}
-
-/*
- * Batched decode: n_items plane bitstreams inside one contiguous buffer.
- * offsets/lengths index into `data`; is_p is per item; out is
- * n_items * num_blocks * 64 int16.  Returns 0, or -(1+i) if item i failed.
- */
-MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
-                                 const uint64_t* lengths, const uint8_t* is_p,
-                                 int n_items, int num_blocks, int16_t* out) {
-  int err = 0;
-  /* Items (frame x plane bitstreams) are independent — this loop is the
-   * host-side parallelism axis (the reference parallelized the same stage
-   * across its two CPUs; SURVEY.md §2 task-parallel row). */
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
-#endif
-  for (int i = 0; i < n_items; i++) {
-    int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
-                                num_blocks, is_p[i],
-                                out + (size_t)i * num_blocks * 64);
-    if (rc != 0) {
-      /* Keep the SMALLEST failing item index ("first corruption" for
-       * diagnostics); failures are rare so the critical section is free. */
-#ifdef _OPENMP
-#pragma omp critical
-#endif
-      {
-        if (err == 0 || i < -err - 1) err = -(1 + i);
-      }
-    }
-  }
-  return err;
 }
 
 /* ------------------------------------------------------------------ */
@@ -288,7 +317,7 @@ static void spec_scan(const uint8_t* bits, size_t bits_len, uint64_t seg_begin,
   w->restarted = 0;
   int ord = 0;
   for (;;) {
-    uint64_t bit_pos = ((uint64_t)br.pos << 3) - (uint64_t)br.navail;
+    uint64_t bit_pos = ((uint64_t)br.pos << 3) - (uint64_t)br.bitcnt;
     if (bit_pos >= win_hi || (bit_pos >> 3) >= bits_len) return;
     if (bit_pos < v_hi && w->v_n < SPEC_MAX_WIN) {
       w->v_pos[w->v_n++] = bit_pos;
@@ -474,75 +503,224 @@ MJ_EXPORT int mj423_decode_plane_spec(const uint8_t* bits, size_t bits_len,
   return 0;
 }
 
-/*
- * Coefficient-major decode: one plane into out[64][num_blocks] int16 —
- * coefficient index major, block index minor.  This is the fused TPU
- * kernel's natural layout (ops/transform_fused.py: butterflies want
- * (coef-sublane, block-lane) tiles), so emitting it here removes the
- * per-frame in-VMEM transposes from the kernel at zero parse cost (the
- * scatter stride changes, nothing else).
- */
+/* ------------------------------------------------------------------ */
+/* Coefficient-major (cm) decode: one plane into out[64][num_blocks]
+ * int16 — coefficient index major, block index minor.  This is the fused
+ * TPU kernel's natural layout (ops/transform_fused.py: butterflies want
+ * (coef-sublane, block-lane) tiles).
+ *
+ * Direct scatter into that layout is STORE-BOUND: each block's ~16
+ * nonzero coefficients land 2*row_blocks bytes apart, so every store
+ * misses L1 and queues an RFO — measured ~1.9x slower than the
+ * block-major decode at 1080p regardless of how fast the symbol loop
+ * runs.  Instead each block-row decodes into an L1-resident BLOCK-MAJOR
+ * tile (row_blocks x 64 int16, 30 KB at 1080p) with 2-line contiguous
+ * stores, and a blocked AVX2 16x16 transpose flushes the finished tile
+ * into the cm output with full-line sequential stores. */
+
+#if defined(__AVX2__)
+/* Transpose a 16x16 int16 tile: dst[c][r] = src[r][c] (strides in
+ * elements).  4 shuffle stages x 16 ops = 64 port-5 ops per 256
+ * elements. */
+static inline void mj_tr16x16(const int16_t* src, size_t src_stride,
+                              int16_t* dst, size_t dst_stride) {
+  __m256i r[16], s[16], t[16], u[16];
+  for (int i = 0; i < 16; i++)
+    r[i] = _mm256_loadu_si256((const __m256i*)(src + (size_t)i * src_stride));
+  /* 16-bit interleave of row pairs: s[2k] cols 0-3|8-11, s[2k+1] 4-7|12-15 */
+  for (int i = 0; i < 16; i += 2) {
+    s[i] = _mm256_unpacklo_epi16(r[i], r[i + 1]);
+    s[i + 1] = _mm256_unpackhi_epi16(r[i], r[i + 1]);
+  }
+  /* 32-bit interleave across row quads */
+  for (int m = 0; m < 4; m++) {
+    t[4 * m + 0] = _mm256_unpacklo_epi32(s[4 * m + 0], s[4 * m + 2]);
+    t[4 * m + 1] = _mm256_unpackhi_epi32(s[4 * m + 0], s[4 * m + 2]);
+    t[4 * m + 2] = _mm256_unpacklo_epi32(s[4 * m + 1], s[4 * m + 3]);
+    t[4 * m + 3] = _mm256_unpackhi_epi32(s[4 * m + 1], s[4 * m + 3]);
+  }
+  /* 64-bit interleave across row octets: u[8n+k] = col k (lane1: col k+8)
+   * of rows 8n..8n+7 */
+  for (int n = 0; n < 2; n++) {
+    u[8 * n + 0] = _mm256_unpacklo_epi64(t[8 * n + 0], t[8 * n + 4]);
+    u[8 * n + 1] = _mm256_unpackhi_epi64(t[8 * n + 0], t[8 * n + 4]);
+    u[8 * n + 2] = _mm256_unpacklo_epi64(t[8 * n + 1], t[8 * n + 5]);
+    u[8 * n + 3] = _mm256_unpackhi_epi64(t[8 * n + 1], t[8 * n + 5]);
+    u[8 * n + 4] = _mm256_unpacklo_epi64(t[8 * n + 2], t[8 * n + 6]);
+    u[8 * n + 5] = _mm256_unpackhi_epi64(t[8 * n + 2], t[8 * n + 6]);
+    u[8 * n + 6] = _mm256_unpacklo_epi64(t[8 * n + 3], t[8 * n + 7]);
+    u[8 * n + 7] = _mm256_unpackhi_epi64(t[8 * n + 3], t[8 * n + 7]);
+  }
+  /* lane merge: dst row k = cols k of rows 0-7 ++ rows 8-15 */
+  for (int k = 0; k < 8; k++) {
+    _mm256_storeu_si256(
+        (__m256i*)(dst + (size_t)k * dst_stride),
+        _mm256_permute2x128_si256(u[k], u[8 + k], 0x20));
+    _mm256_storeu_si256(
+        (__m256i*)(dst + (size_t)(k + 8) * dst_stride),
+        _mm256_permute2x128_si256(u[k], u[8 + k], 0x31));
+  }
+}
+#endif
+
+#if defined(__AVX2__)
+/* Same transpose with NON-TEMPORAL stores: the decoded batch (hundreds of
+ * MB at production window sizes) is written once by the host and read once
+ * by the device DMA — streaming it past the cache hierarchy skips the
+ * read-for-ownership of every destination line (half the DRAM traffic) and
+ * keeps the decode tiles L1/L2-resident.  Requires dst 32-byte aligned and
+ * dst_stride a multiple of 16 elements. */
+static inline void mj_tr16x16_nt(const int16_t* src, size_t src_stride,
+                                 int16_t* dst, size_t dst_stride) {
+  __m256i r[16], s[16], t[16], u[16];
+  for (int i = 0; i < 16; i++)
+    r[i] = _mm256_loadu_si256((const __m256i*)(src + (size_t)i * src_stride));
+  for (int i = 0; i < 16; i += 2) {
+    s[i] = _mm256_unpacklo_epi16(r[i], r[i + 1]);
+    s[i + 1] = _mm256_unpackhi_epi16(r[i], r[i + 1]);
+  }
+  for (int m = 0; m < 4; m++) {
+    t[4 * m + 0] = _mm256_unpacklo_epi32(s[4 * m + 0], s[4 * m + 2]);
+    t[4 * m + 1] = _mm256_unpackhi_epi32(s[4 * m + 0], s[4 * m + 2]);
+    t[4 * m + 2] = _mm256_unpacklo_epi32(s[4 * m + 1], s[4 * m + 3]);
+    t[4 * m + 3] = _mm256_unpackhi_epi32(s[4 * m + 1], s[4 * m + 3]);
+  }
+  for (int n = 0; n < 2; n++) {
+    u[8 * n + 0] = _mm256_unpacklo_epi64(t[8 * n + 0], t[8 * n + 4]);
+    u[8 * n + 1] = _mm256_unpackhi_epi64(t[8 * n + 0], t[8 * n + 4]);
+    u[8 * n + 2] = _mm256_unpacklo_epi64(t[8 * n + 1], t[8 * n + 5]);
+    u[8 * n + 3] = _mm256_unpackhi_epi64(t[8 * n + 1], t[8 * n + 5]);
+    u[8 * n + 4] = _mm256_unpacklo_epi64(t[8 * n + 2], t[8 * n + 6]);
+    u[8 * n + 5] = _mm256_unpackhi_epi64(t[8 * n + 2], t[8 * n + 6]);
+    u[8 * n + 6] = _mm256_unpacklo_epi64(t[8 * n + 3], t[8 * n + 7]);
+    u[8 * n + 7] = _mm256_unpackhi_epi64(t[8 * n + 3], t[8 * n + 7]);
+  }
+  for (int k = 0; k < 8; k++) {
+    _mm256_stream_si256((__m256i*)(dst + (size_t)k * dst_stride),
+                        _mm256_permute2x128_si256(u[k], u[8 + k], 0x20));
+    _mm256_stream_si256((__m256i*)(dst + (size_t)(k + 8) * dst_stride),
+                        _mm256_permute2x128_si256(u[k], u[8 + k], 0x31));
+  }
+}
+#endif
+
+/* Flush one finished block-row: tile (R,64) block-major -> dst (64,R)
+ * coefficient-major.  nt selects non-temporal stores (caller must sfence
+ * before the buffer is read; alignment pre-checked by the caller). */
+static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
+                            int nt) {
+  int r16 = 0;
+#if defined(__AVX2__)
+  r16 = R & ~15;
+  if (nt) {
+    for (int r = 0; r < r16; r += 16)
+      for (int c = 0; c < 64; c += 16)
+        mj_tr16x16_nt(tile + (size_t)r * 64 + c, 64, dst + (size_t)c * R + r,
+                      (size_t)R);
+  } else {
+    for (int r = 0; r < r16; r += 16)
+      for (int c = 0; c < 64; c += 16)
+        mj_tr16x16(tile + (size_t)r * 64 + c, 64, dst + (size_t)c * R + r,
+                   (size_t)R);
+  }
+#else
+  (void)nt;
+#endif
+  for (int r = r16; r < R; r++)
+    for (int c = 0; c < 64; c++)
+      dst[(size_t)c * R + r] = tile[(size_t)r * 64 + c];
+}
+
+/* Single-stream cm decode through a caller-provided tile
+ * (row_blocks*64 int16).  On error the output is undefined (caller
+ * discards it). */
 static int decode_plane_cm(const uint8_t* bits, size_t bits_len,
                            int num_blocks, int row_blocks, int is_p,
-                           int16_t* out) {
+                           int16_t* tile, int16_t* out, int nt) {
   BitReader br;
   br_init(&br, bits, bits_len);
-  memset(out, 0, (size_t)num_blocks * 64 * sizeof(int16_t));
   int16_t cur = 0;
-  const size_t stride = (size_t)row_blocks; /* coef stride within a row */
-  size_t base = 0; /* (by * 64 + 0) * row_blocks + bx for current block */
+  int16_t* row_dst = out;
   int bx = 0;
 
   for (int b = 0; b < num_blocks; b++) {
+    int16_t* row = tile + (size_t)bx * 64;
+    mj_zero_row64(row);
     br_refill(&br);
     {
-      int size = (int)br_get(&br, 4);
-      int32_t amp = 0;
-      if (size) amp = huff_extend(br_get(&br, size), size);
+      int32_t amp;
+      MJ_DC_SYM(amp)
       if (is_p) {
-        out[base] = (int16_t)amp;
+        row[0] = (int16_t)amp;
       } else {
         cur = (int16_t)(cur + (int16_t)amp);
-        out[base] = cur;
+        row[0] = cur;
       }
     }
     int index = 1;
+    MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
     for (;;) {
       br_refill(&br);
-      uint32_t rs = br_get(&br, 8);
-      int run = (int)(rs >> 4);
-      int size = (int)(rs & 15);
-      if (size == 0) {
-        if (run == 15) {
-          index += 16;
-          if (index > 64) return -1;
-          continue;
-        }
-        break;
-      }
-      int32_t amp = huff_extend(br_get(&br, size), size);
-      index += run;
-      if (index > 63) return -1;
-      out[base + (size_t)ZZ[index] * stride] = (int16_t)amp;
-      if (index >= 63) break;
-      index++;
+      MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
+      MJ_AC_SYM(row[ZZ[index]] = (int16_t)amp)
     }
-    /* advance to the next block: bx minor, block-rows jump 64*row_blocks */
-    bx++;
-    base++;
-    if (bx == row_blocks) {
+  block_done:;
+    if (++bx == row_blocks) {
+      mj_cm_flush_row(tile, row_dst, row_blocks, nt);
       bx = 0;
-      base += (size_t)63 * stride;
+      row_dst += (size_t)row_blocks * 64;
     }
   }
   return 0;
 }
 
 /*
+ * Batched block-major decode: n_items plane bitstreams inside one
+ * contiguous buffer.  offsets/lengths index into `data`; is_p is per item;
+ * out is n_items * num_blocks * 64 int16.  Returns 0, or -(1+i) if item i
+ * failed (smallest failing index).  The item loop is the host-side
+ * parallelism axis (the reference parallelized the same stage across its
+ * two CPUs; SURVEY.md §2 task-parallel row).
+ *
+ * Dual-stream interleaved decode (two VLC chains in lockstep through one
+ * core's out-of-order window, the classic entropy-coder trick) was
+ * measured HERE and REJECTED: the per-symbol state machine it forces
+ * (stream state in memory, a block-start branch per step) ran 0.53x the
+ * plain macro loop at 1080p — the accumulator dependency chain is already
+ * overlapped across blocks by the OoO window within one stream, so the
+ * second stream only added bookkeeping.  See DESIGN.md §2.
+ */
+MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
+                                 const uint64_t* lengths, const uint8_t* is_p,
+                                 int n_items, int num_blocks, int16_t* out) {
+  int err = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 1)
+#endif
+  for (int i = 0; i < n_items; i++) {
+    int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
+                                num_blocks, is_p[i],
+                                out + (size_t)i * num_blocks * 64);
+    if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      { if (err == 0 || i < -err - 1) err = -(1 + i); }
+    }
+  }
+  return err;
+}
+
+/*
  * Batched coefficient-major decode: per item the layout is
  * (num_blocks/row_blocks, 64, row_blocks) int16 — block-row major,
  * coefficient middle, block-in-row minor.  num_blocks must divide by
- * row_blocks.  Returns 0, or -(1+i) if item i failed.
+ * row_blocks.  Returns 0, -(1+i) if item i failed, or -1000001 on OOM.
+ *
+ * Non-temporal flush engages when the geometry allows it (row_blocks a
+ * multiple of 16 and a 32-byte-aligned destination — every production
+ * geometry: widths divisible by 128 px, NumPy/hugepage buffers); the
+ * trailing sfence publishes the streamed lines before the caller reads.
  */
 MJ_EXPORT int mj423_decode_batch_cm(const uint8_t* data,
                                     const uint64_t* offsets,
@@ -552,20 +730,36 @@ MJ_EXPORT int mj423_decode_batch_cm(const uint8_t* data,
                                     int16_t* out) {
   if (row_blocks <= 0 || num_blocks % row_blocks) return -1000000;
   int err = 0;
+  int nt = 0;
+#if defined(__AVX2__)
+  nt = (row_blocks % 16 == 0) && (((uintptr_t)out & 31u) == 0);
+#endif
 #ifdef _OPENMP
 #pragma omp parallel for schedule(dynamic, 1)
 #endif
   for (int i = 0; i < n_items; i++) {
+    int16_t* tile = (int16_t*)malloc((size_t)row_blocks * 64 * sizeof(int16_t));
+    if (!tile) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+      { err = -1000001; }
+      continue;
+    }
     int rc = decode_plane_cm(data + offsets[i], (size_t)lengths[i],
-                             num_blocks, row_blocks, is_p[i],
-                             out + (size_t)i * num_blocks * 64);
+                             num_blocks, row_blocks, is_p[i], tile,
+                             out + (size_t)i * num_blocks * 64, nt);
+    free(tile);
     if (rc != 0) {
 #ifdef _OPENMP
-#pragma omp atomic write
+#pragma omp critical
 #endif
-      err = -(1 + i);
+      { if (err == 0 || (err != -1000001 && i < -err - 1)) err = -(1 + i); }
     }
   }
+#if defined(__AVX2__)
+  if (nt) _mm_sfence();
+#endif
   return err;
 }
 
@@ -583,16 +777,20 @@ static int decode_plane_i8(const uint8_t* bits, size_t bits_len,
                            int16_t* dc_out, int8_t* ac_out) {
   BitReader br;
   br_init(&br, bits, bits_len);
-  memset(ac_out, 0, (size_t)num_blocks * 64);
   int16_t cur = 0;
 
   for (int b = 0; b < num_blocks; b++) {
     int8_t* row = ac_out + (size_t)b * 64;
+#if defined(__AVX2__)
+    _mm256_storeu_si256((__m256i*)row, _mm256_setzero_si256());
+    _mm256_storeu_si256((__m256i*)(row + 32), _mm256_setzero_si256());
+#else
+    memset(row, 0, 64);
+#endif
     br_refill(&br);
     {
-      int size = (int)br_get(&br, 4);
-      int32_t amp = 0;
-      if (size) amp = huff_extend(br_get(&br, size), size);
+      int32_t amp;
+      MJ_DC_SYM(amp)
       if (is_p) {
         dc_out[b] = (int16_t)amp;
       } else {
@@ -601,27 +799,19 @@ static int decode_plane_i8(const uint8_t* bits, size_t bits_len,
       }
     }
     int index = 1;
+    MJ_AC_SYM(
+        if (amp > 127 || amp < -128) return 1; /* exceeds packed format */
+        row[ZZ[index]] = (int8_t)amp)
     for (;;) {
       br_refill(&br);
-      uint32_t rs = br_get(&br, 8);
-      int run = (int)(rs >> 4);
-      int size = (int)(rs & 15);
-      if (size == 0) {
-        if (run == 15) {
-          index += 16;
-          if (index > 64) return -1;
-          continue;
-        }
-        break;
-      }
-      int32_t amp = huff_extend(br_get(&br, size), size);
-      if (amp > 127 || amp < -128) return 1; /* does not fit the packed format */
-      index += run;
-      if (index > 63) return -1;
-      row[ZZ[index]] = (int8_t)amp;
-      if (index >= 63) break;
-      index++;
+      MJ_AC_SYM(
+          if (amp > 127 || amp < -128) return 1;
+          row[ZZ[index]] = (int8_t)amp)
+      MJ_AC_SYM(
+          if (amp > 127 || amp < -128) return 1;
+          row[ZZ[index]] = (int8_t)amp)
     }
+  block_done:;
   }
   return 0;
 }
