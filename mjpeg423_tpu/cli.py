@@ -331,16 +331,62 @@ def _stdin_key_loop(control: dict) -> None:
             player.request_stop()
 
 
+def _make_play_sink(args):
+    """Build the frame delivery sink for `play` — the framebuffer/HDMI
+    output path (ece423_vid_ctl.c:96-116: the reference's frames land in a
+    framebuffer and reach a screen; ours land in files or a raw pipe).
+
+    --out DIR: numbered frame_NNNNNN.bmp (32bpp, the packed word dumps
+    directly — the rgb_pixel_t layout IS BMP's BGRX order) or .ppm with
+    --out-format ppm.  --pipe: raw little-endian BGRX words on stdout,
+    playable with `ffplay -f rawvideo -pixel_format bgra -video_size WxH -`.
+    """
+    import numpy as np
+
+    if args.out and args.pipe:
+        raise SystemExit("play: --out and --pipe are mutually exclusive")
+    if args.out:
+        from .io import bmp as bmp_io
+
+        os.makedirs(args.out, exist_ok=True)
+        ext = args.out_format
+
+        def sink(fi, frame):
+            path = os.path.join(args.out, f"frame_{fi:06d}.{ext}")
+            frame = np.asarray(frame)
+            if ext == "ppm":
+                bmp_io.write_ppm(path, bmp_io.packed_to_rgb(frame))
+            else:
+                bmp_io.write_bmp32(path, frame)
+
+        return sink
+    if args.pipe:
+        out = sys.stdout.buffer
+
+        def sink(fi, frame):
+            out.write(
+                np.ascontiguousarray(np.asarray(frame), dtype="<u4").tobytes()
+            )
+            out.flush()
+
+        return sink
+    return None
+
+
 def cmd_play(args) -> int:
     """Playback of one or more videos in sequence (the reference's
     Play/NextVideo buttons — main.c:54-127 cycles .MPG files; --loop wraps
     at the playlist end like core1's directory browse, main.c:166-219).
     --interactive adds mid-play key control: pause/resume, FF, RW at any
-    frame boundary (main.c:54-127 handles buttons DURING playback)."""
+    frame boundary (main.c:54-127 handles buttons DURING playback).
+    --out/--pipe deliver the decoded frames (the HDMI framebuffer analog);
+    without either, play is a pacing/stats dry run."""
     import threading
 
     from .runtime import Player
     from .utils.config import DecodeConfig
+
+    sink = _make_play_sink(args)
 
     cfg = DecodeConfig(fps=args.fps, use_pallas=False if args.no_pallas else None)
     playlist = list(args.inputs)
@@ -360,7 +406,8 @@ def cmd_play(args) -> int:
             return 2
         from .runtime import play_live
 
-        stats = play_live(sys.stdin.buffer, paced=not args.no_pace,
+        stats = play_live(sys.stdin.buffer, sink=sink,
+                          paced=not args.no_pace,
                           config=cfg, scale=args.scale)
         print(
             f"<stdin>: {stats.frames_delivered} frames in "
@@ -393,7 +440,7 @@ def cmd_play(args) -> int:
                 control["player"] = player
                 if args.start_s:
                     player.seek_to_iframe(int(args.start_s * args.fps))
-                stats = player.play(paced=not args.no_pace,
+                stats = player.play(sink=sink, paced=not args.no_pace,
                                     scale=args.scale)
                 total += stats.frames_delivered
                 print(
@@ -587,6 +634,13 @@ def main(argv=None) -> int:
     p.add_argument("--scale", type=int, default=1, choices=(1, 2, 4, 8),
                    help="proxy playback: device-downscaled frames "
                         "(scale^2 x less egress)")
+    p.add_argument("--out", default=None, metavar="DIR",
+                   help="deliver frames as DIR/frame_NNNNNN.<fmt> (the "
+                        "framebuffer analog)")
+    p.add_argument("--out-format", choices=("bmp", "ppm"), default="bmp")
+    p.add_argument("--pipe", action="store_true",
+                   help="deliver raw BGRX words on stdout (ffplay -f "
+                        "rawvideo -pixel_format bgra -video_size WxH -)")
     p.set_defaults(fn=cmd_play)
 
     p = sub.add_parser("selftest", help="encode/decode round-trip self-check")

@@ -165,6 +165,70 @@ def test_cli_play_playlist(tmp_path, stream, capsys):
     assert "playlist total: 20 frames" in err
 
 
+def test_cli_play_out_dir_matches_decode(tmp_path, stream):
+    """`play --out DIR` delivers frames to numbered BMPs that byte-match
+    the decode output (VERDICT r2 #4: playback must deliver pixels — the
+    framebuffer/HDMI path, ece423_vid_ctl.c:96-116)."""
+    data, _ = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    outdir = str(tmp_path / "played")
+    assert cli.main(
+        ["play", mpg, "--no-pace", "--no-pallas", "--out", outdir]
+    ) == 0
+    want = decoder.decode_stream_array(data)
+    files = sorted(os.listdir(outdir))
+    assert files == [f"frame_{i:06d}.bmp" for i in range(10)]
+    for i, name in enumerate(files):
+        got = bmp.rgb_to_packed(bmp.read_bmp(os.path.join(outdir, name)))
+        np.testing.assert_array_equal(got, want[i] & 0xFFFFFF)
+
+
+def test_cli_play_out_ppm(tmp_path, stream):
+    data, _ = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    outdir = str(tmp_path / "ppm")
+    assert cli.main(
+        ["play", mpg, "--no-pace", "--no-pallas", "--out", outdir,
+         "--out-format", "ppm"]
+    ) == 0
+    want = decoder.decode_stream_array(data)
+    got = bmp.read_ppm(os.path.join(outdir, "frame_000003.ppm"))
+    np.testing.assert_array_equal(got, bmp.packed_to_rgb(want[3]))
+
+
+def test_cli_play_pipe(tmp_path, stream, monkeypatch):
+    """`play --pipe` streams raw little-endian BGRX words on stdout —
+    the `ffplay -f rawvideo` delivery path."""
+    import io as _io
+
+    data, frames = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    buf = _io.BytesIO()
+    monkeypatch.setattr(
+        "sys.stdout",
+        type("W", (), {"buffer": buf, "write": lambda s, t: None,
+                       "flush": lambda s: None})(),
+    )
+    assert cli.main(
+        ["play", mpg, "--no-pace", "--no-pallas", "--pipe"]
+    ) == 0
+    want = decoder.decode_stream_array(data)
+    raw = np.frombuffer(buf.getvalue(), dtype="<u4")
+    np.testing.assert_array_equal(raw.reshape(want.shape), want)
+
+
+def test_cli_play_out_pipe_exclusive(tmp_path, stream):
+    data, _ = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    with pytest.raises(SystemExit):
+        cli.main(["play", mpg, "--no-pace", "--no-pallas",
+                  "--out", str(tmp_path / "x"), "--pipe"])
+
+
 def test_cli_play_interactive_keys(tmp_path, stream, monkeypatch):
     """Piped key input drives the interactive player: pause toggles twice,
     FF, then quit — exits cleanly."""
@@ -179,6 +243,68 @@ def test_cli_play_interactive_keys(tmp_path, stream, monkeypatch):
     assert cli.main(
         ["play", mpg, "--no-pace", "--no-pallas", "--interactive"]
     ) == 0
+
+
+@pytest.mark.skipif(not hasattr(os, "openpty"), reason="pty required")
+def test_cli_play_interactive_tty(tmp_path, stream):
+    """Drive `play --interactive` under a REAL pty (VERDICT r2 #6): the
+    stdin key loop runs in cbreak mode, pause/resume/FF land mid-play,
+    `q` ends a playlist that would otherwise loop for minutes, and the
+    tty state is restored on exit (key_controls.c:15-72 analog)."""
+    import pty
+    import subprocess
+    import sys as _sys
+    import termios
+    import time as _time
+
+    data, _ = stream
+    mpg = str(tmp_path / "v.mpg")
+    open(mpg, "wb").write(data)
+    outdir = str(tmp_path / "tty_out")
+    master, slave = pty.openpty()
+    try:
+        attrs_before = termios.tcgetattr(slave)
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   PYTHONPATH=os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))))
+        # --loop 1000 paced at 24 fps would run ~7 minutes: only the `q`
+        # key can end this process inside the timeout.
+        proc = subprocess.Popen(
+            [_sys.executable, "-m", "mjpeg423_tpu.cli", "play", mpg,
+             "--interactive", "--no-pallas", "--loop", "1000",
+             "--out", outdir],
+            stdin=slave, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            env=env, text=True,
+        )
+        # Wait for frames to start landing (play is underway), then drive
+        # the keys: pause, resume, FF +5s, quit.
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if os.path.isdir(outdir) and len(os.listdir(outdir)) >= 2:
+                break
+            if proc.poll() is not None:
+                break
+            _time.sleep(0.05)
+        assert proc.poll() is None, (
+            f"player exited early: {proc.communicate()[1]}"
+        )
+        for key in (b"p", b"p", b"f", b"q"):
+            os.write(master, key)
+            _time.sleep(0.3)
+        out, err = proc.communicate(timeout=60)
+        assert proc.returncode == 0, err
+        assert "keys:" in err  # the banner printed under --interactive
+        assert "frames in" in err  # at least one playlist entry reported
+        # `q` ended the 1000-loop playlist early.
+        assert err.count("v.mpg:") < 1000
+        # Frames were delivered while keys were in flight.
+        assert len(os.listdir(outdir)) >= 2
+        # The child put the pty into cbreak and MUST have restored it.
+        attrs_after = termios.tcgetattr(slave)
+        assert attrs_after == attrs_before, "tty state not restored"
+    finally:
+        os.close(master)
+        os.close(slave)
 
 
 def _bmp_file(path, w, h, bpp, compression, palette=None, pixel_bytes=b"",
