@@ -22,6 +22,7 @@ selftest:
 soak:
 	$(PY) scripts/parity_soak.py 30
 	$(PY) scripts/fuzz_native.py 30
+	$(PY) scripts/bench_multihost.py --hosts 2 --out MULTIHOST_BENCH.json
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:
