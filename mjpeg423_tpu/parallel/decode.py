@@ -277,14 +277,24 @@ def decode_stream_sharded(
     reference's architecture (playback.c:80-134).  gop_aligned=False forces
     equal frame splits with the cross-device carry all-gather instead.
 
-    Convenience wrapper for the single-call batch-decode use case (the
-    whole container's amplitudes are materialized on the host); streaming
-    callers use runtime.DecodePipeline(mesh=...).
+    The GOP-aligned data-axis case (the production configuration) is a
+    thin wrapper over the mesh STREAMING pipeline
+    (``DecodePipeline(mesh=...).decode_array``): windows parse per
+    partition on demand with bounded inflight, so peak host RSS is
+    O(windows), not O(stream) — one code path owns multi-chip batch
+    decode.  Only the research configurations that structurally need the
+    whole frame axis at once stay whole-stream here: block-axis sharding
+    (amplitudes shard over blocks, every frame participates in one
+    dispatch), non-GOP-aligned splits (the cross-device carry all-gather
+    runs over the full segmented scan), and custom ``decode_plane``
+    injection (tests).
     """
     import numpy as np
 
     from ..core.format import index_frames
     from .multihost import partition_gops
+    from ..runtime.pipeline import DecodePipeline
+    from ..utils.config import DecodeConfig
 
     n_data = mesh.shape[DATA_AXIS]
     index = index_frames(data)
@@ -295,8 +305,17 @@ def decode_stream_sharded(
     blocks_h = index.header.blocks_h
     blocks_w = index.header.blocks_w
 
-    from ..runtime.pipeline import DecodePipeline
-    from ..utils.config import DecodeConfig
+    block_sharded = (
+        BLOCK_AXIS in mesh.axis_names and mesh.shape[BLOCK_AXIS] > 1
+    )
+    if gop_aligned and not block_sharded and decode_plane is None:
+        cfg = DecodeConfig(use_pallas=use_pallas)
+        if interpret and use_pallas:
+            # The pipeline auto-interprets Pallas off-TPU; forcing
+            # use_pallas keeps the fused kernel under test on CPU.
+            cfg = DecodeConfig(use_pallas=True)
+        pipe = DecodePipeline(cfg, mesh=mesh)
+        return jnp.asarray(pipe.decode_array(data))
 
     pipe = DecodePipeline(DecodeConfig(coef_major=False))
 
