@@ -56,7 +56,12 @@ _READ_CHUNK = 1 << 20
 
 
 def _chunks(src: ByteSource) -> Iterator[bytes]:
-    """Normalize a byte source: file-like (.read until b'') or iterable."""
+    """Normalize a byte source: file-like (.read until b''), a whole
+    buffer, or an iterable of chunks."""
+    if isinstance(src, (bytes, bytearray, memoryview)):
+        if src:
+            yield bytes(src)
+        return
     if hasattr(src, "read"):
         while True:
             b = src.read(_READ_CHUNK)
@@ -67,7 +72,30 @@ def _chunks(src: ByteSource) -> Iterator[bytes]:
         yield from src
 
 
-def _iter_raw_windows(src: ByteSource, window: int):
+def _as_sources(src) -> Iterator[ByteSource]:
+    """Normalize resync input: one source, or an iterable of sources
+    (each reconnection is a new source; a generator may block until the
+    producer reconnects)."""
+    if hasattr(src, "read") or isinstance(src, (bytes, bytearray,
+                                               memoryview)):
+        return iter([src])
+    it = iter(src)
+    try:
+        first = next(it)
+    except StopIteration:
+        return iter([])
+    if isinstance(first, (bytes, bytearray, memoryview)):
+        # A plain chunk iterable IS one source.
+        import itertools
+
+        return iter([itertools.chain([first], it)])
+    import itertools
+
+    return itertools.chain([first], it)
+
+
+def _iter_raw_windows(src: ByteSource, window: int, *,
+                      resync: bool = False, recovery=None):
     """Chain frames off a live byte source into parse-ready windows.
 
     Yields (start_frame, count, buf, FrameIndex): buf holds the window's
@@ -77,27 +105,62 @@ def _iter_raw_windows(src: ByteSource, window: int):
     (core/format.py index_frames), plus a worst-case frame-size cap — the
     reference's YBISTREAM_BYTES budget idea (config.h:58-62) — so one
     corrupt frame_size cannot make the reader buffer gigabytes.
+
+    resync=True (live elasticity, SURVEY §5.3: the GOP restart as the
+    recovery unit, applied to a live feed): `src` may be an ITERABLE OF
+    SOURCES — each subsequent source is a reconnection resuming the same
+    stream at an arbitrary byte position.  On a mid-frame disconnect or a
+    corrupt frame header, buffered partial bytes drop and the reader scans
+    forward for the next parse-valid I-frame header (frame_type is an
+    exact u32 0 and both sizes must be structurally consistent, then the
+    FOLLOWING header must also parse — false-sync odds are ~2^-32 per
+    byte offset before chain validation), resuming delivery there.  Frame
+    numbering continues in DELIVERY order (bytes lost in the gap are
+    unknowable); `recovery.gaps` records (resume_delivery_index,
+    bytes_discarded) per resync and `recovery.resyncs` counts them.
     """
-    chunks = _chunks(src)
+    sources = _as_sources(src) if resync else iter([src])
+    try:
+        cur = next(sources)
+    except StopIteration:
+        raise ValueError("truncated container: no file header")
+    chunks = _chunks(cur)
     buf = bytearray()
-    eof = False
+    eof = False          # every source exhausted
+    gap_pending = False  # current source ended, another is available
     pos = 0  # read cursor; consumed bytes compact once per ~chunk, not
     #          per frame (a per-frame del memmoves the whole remaining
     #          buffer — quadratic for small-frame high-fps feeds)
 
+    def refill_once() -> bool:
+        """Append one chunk from the current source; on source end, flag a
+        gap (resync mode, more sources) or EOF.  False = nothing added."""
+        nonlocal buf, eof, gap_pending, chunks
+        if eof or gap_pending:
+            return False
+        try:
+            b = next(chunks)
+        except StopIteration:
+            try:
+                nxt = next(sources)
+            except StopIteration:
+                eof = True
+                return False
+            chunks = _chunks(nxt)
+            gap_pending = True
+            return False
+        if b:
+            buf += b
+        return True
+
     def ensure(n: int) -> bool:
-        nonlocal buf, eof, pos
+        nonlocal buf, pos
         if pos >= _READ_CHUNK:
             del buf[:pos]
             pos = 0
-        while len(buf) - pos < n and not eof:
-            try:
-                b = next(chunks)
-            except StopIteration:
-                eof = True
+        while len(buf) - pos < n:
+            if not refill_once():
                 break
-            if b:
-                buf += b
         return len(buf) - pos >= n
 
     if not ensure(fmt.FILE_HEADER_BYTES):
@@ -121,30 +184,79 @@ def _iter_raw_windows(src: ByteSource, window: int):
     ftypes: list[int] = []
     offs: list[tuple[int, int, int, int, int, int]] = []
 
-    def flush():
-        nonlocal wbuf, ftypes, offs, start
-        count = len(ftypes)
-        off = np.empty((3, count), np.uint64)
-        ln = np.empty((3, count), np.uint64)
-        for i, r in enumerate(offs):
-            off[0, i], ln[0, i] = r[0], r[1]
-            off[1, i], ln[1, i] = r[2], r[3]
-            off[2, i], ln[2, i] = r[4], r[5]
-        whdr = fmt.FileHeader(count, width, height, 0, 0)
-        index = fmt.FrameIndex(
-            whdr, np.array(ftypes, np.uint32), off, ln, []
+    def _header_sane(o: int) -> tuple[int, bool]:
+        """(frame_size, plausible) for the header at buffer offset o."""
+        fs, ft, ys, cbs = struct.unpack_from("<4I", buf, o)
+        ok = (
+            fmt.FRAME_HEADER_BYTES <= fs <= max_frame
+            and ys + cbs <= fs - fmt.FRAME_HEADER_BYTES
+            and ft <= 1
         )
-        out = (start, count, bytes(wbuf), index)
-        start += count
-        wbuf = bytearray()
-        ftypes = []
-        offs = []
-        return out
+        return fs, ok
+
+    def scan_iframe() -> bool:
+        """Drop bytes until a chain-validated I-frame header heads the
+        buffer; crosses source gaps (post-gap bytes never concatenate with
+        pre-gap bytes).  False = all sources exhausted first."""
+        nonlocal buf, pos, gap_pending
+        dropped = 0
+        while True:
+            if gap_pending:
+                # Bytes across a gap are discontinuous: drop the remainder.
+                dropped += len(buf) - pos
+                buf = bytearray()
+                pos = 0
+                gap_pending = False
+            o = pos
+            while o + fmt.FRAME_HEADER_BYTES <= len(buf):
+                fs, ft, ys, cbs = struct.unpack_from("<4I", buf, o)
+                if (
+                    ft == 0
+                    and fmt.FRAME_HEADER_BYTES <= fs <= max_frame
+                    and ys + cbs <= fs - fmt.FRAME_HEADER_BYTES
+                ):
+                    # Chain-validate: the NEXT header must also parse (or
+                    # the stream must end exactly at the frame boundary).
+                    need = fs + fmt.FRAME_HEADER_BYTES
+                    while len(buf) - o < need:
+                        if gap_pending or not refill_once():
+                            break
+                    if len(buf) - o >= need:
+                        _, nxt_ok = _header_sane(o + fs)
+                        valid = nxt_ok
+                    else:
+                        # Source ended/gapped inside the candidate: accept
+                        # only a clean end exactly at the boundary.
+                        valid = (not gap_pending) and (len(buf) - o == fs)
+                    if valid:
+                        dropped += o - pos
+                        pos = o
+                        if recovery is not None:
+                            recovery.resyncs += 1
+                            recovery.gaps.append(
+                                (start + len(ftypes), dropped)
+                            )
+                        return True
+                o += 1
+            # No candidate: keep the last 15 bytes (a header may straddle).
+            keep = fmt.FRAME_HEADER_BYTES - 1
+            drop_to = max(pos, len(buf) - keep)
+            dropped += drop_to - pos
+            del buf[:drop_to]
+            pos = 0
+            if not refill_once() and not gap_pending:
+                return False
 
     while nf == 0 or done < nf:
         if not ensure(fmt.FRAME_HEADER_BYTES):
-            if nf == 0 and len(buf) == pos:
-                break  # clean EOF at a frame boundary ends an open stream
+            if gap_pending and resync:
+                if not scan_iframe():
+                    break
+                continue
+            if len(buf) == pos and (nf == 0 or resync):
+                break  # clean EOF at a frame boundary
+            if resync:
+                break  # partial tail frame: drop it, end delivery
             raise ValueError(
                 f"truncated stream: frame {done} header incomplete"
                 + ("" if nf == 0 else f" (header promised {nf} frames)")
@@ -158,8 +270,19 @@ def _iter_raw_windows(src: ByteSource, window: int):
             or y_size + cb_size > frame_size - fmt.FRAME_HEADER_BYTES
             or frame_type > 1  # only I (0) and P (1) exist
         ):
+            if resync:
+                pos += 1  # the bytes at pos are NOT a frame: skip into scan
+                if not scan_iframe():
+                    break
+                continue
             raise ValueError(f"corrupt frame at frame {done}")
         if not ensure(frame_size):
+            if gap_pending and resync:
+                if not scan_iframe():
+                    break
+                continue
+            if resync:
+                break  # truncated final frame on a dead source
             raise ValueError(
                 f"truncated stream: frame {done} body incomplete"
             )
@@ -178,9 +301,31 @@ def _iter_raw_windows(src: ByteSource, window: int):
         pos += frame_size
         done += 1
         if len(ftypes) == window:
-            yield flush()
+            yield _flush_window(
+                start, width, height, wbuf, ftypes, offs
+            )
+            start += len(ftypes)
+            wbuf = bytearray()
+            ftypes = []
+            offs = []
     if ftypes:
-        yield flush()
+        yield _flush_window(start, width, height, wbuf, ftypes, offs)
+
+
+def _flush_window(start, width, height, wbuf, ftypes, offs):
+    """Assemble one parse-ready window tuple from chained frames."""
+    count = len(ftypes)
+    off = np.empty((3, count), np.uint64)
+    ln = np.empty((3, count), np.uint64)
+    for i, r in enumerate(offs):
+        off[0, i], ln[0, i] = r[0], r[1]
+        off[1, i], ln[1, i] = r[2], r[3]
+        off[2, i], ln[2, i] = r[4], r[5]
+    whdr = fmt.FileHeader(count, width, height, 0, 0)
+    index = fmt.FrameIndex(
+        whdr, np.array(ftypes, np.uint32), off, ln, []
+    )
+    return (start, count, bytes(wbuf), index)
 
 
 def decode_live(
@@ -193,6 +338,8 @@ def decode_live(
     stop: Callable[[], bool] | None = None,
     device_resident: bool = False,
     scale: int = 1,
+    resync: bool = False,
+    recovery=None,
 ) -> Iterator[DecodedWindow]:
     """Decode a live byte source, yielding DecodedWindows as frames arrive.
 
@@ -201,7 +348,20 @@ def decode_live(
     Semantics match DecodePipeline.decode byte-for-byte: same carry chain,
     same window geometry, same output layout (device_resident and the
     device-side box downscale `scale` included).
+
+    resync=True: opt-in live elasticity (decode_resilient's GOP-tail skip,
+    applied to the live case).  `src` may then be an ITERABLE of byte
+    sources — each one a reconnection of the same feed at an arbitrary
+    byte position (the iterable may block until the producer returns).  On
+    a mid-frame disconnect or corrupt header, delivery resumes at the next
+    chain-validated I-frame; frames resume with a fresh all-reset state
+    (the I-frame resets every coefficient), numbered in DELIVERY order.
+    Pass a RecoveryLog as `recovery` to account resyncs and discarded
+    bytes (recovery.gaps).  Default (resync=False) keeps fail-fast
+    semantics: a broken source raises.
     """
+    if recovery is not None and not resync:
+        raise ValueError("recovery accounting requires resync=True")
     pipe = pipeline or DecodePipeline(
         config=config, profiler=profiler, device=device
     )
@@ -235,7 +395,8 @@ def decode_live(
         # source (unlike decode(), window N+1 may not EXIST yet).
         err: BaseException | None = None
         try:
-            for s, c, wbuf, index in _iter_raw_windows(src, w):
+            for s, c, wbuf, index in _iter_raw_windows(
+                    src, w, resync=resync, recovery=recovery):
                 if stop_flag.is_set():
                     return
                 futs_q.put((s, c, index, ex.submit(

@@ -93,6 +93,12 @@ class RecoveryLog:
 
     skipped: list[tuple[int, int]] = dataclasses.field(default_factory=list)
     resyncs: int = 0
+    # Live resyncs (runtime.live decode_live(resync=True)): one entry per
+    # recovery, (delivery index where the feed resumed at an I-frame,
+    # bytes discarded while scanning).  Frames lost inside the gap are
+    # unknowable without a trailer, so live recovery accounts BYTES, not
+    # frame ranges.
+    gaps: list[tuple[int, int]] = dataclasses.field(default_factory=list)
 
     @property
     def frames_skipped(self) -> int:

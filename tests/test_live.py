@@ -190,6 +190,101 @@ def test_live_insane_frame_size_raises(stream):
         )
 
 
+def _frame_bounds(stream):
+    """[(lo, hi) byte span per frame] + the index, from the stored walk."""
+    index = fmt.index_frames(stream)
+    lo = [int(index.plane_off[0, f]) - fmt.FRAME_HEADER_BYTES
+          for f in range(index.num_frames)]
+    hi = [int(index.plane_off[2, f] + index.plane_len[2, f])
+          for f in range(index.num_frames)]
+    return list(zip(lo, hi)), index
+
+
+def test_live_resync_reconnect_mid_gop(stream, stored_frames):
+    """Kill the feed mid-GOP, reconnect at an arbitrary later offset:
+    delivery resumes at the next I-frame, bit-exact, with a RecoveryLog
+    entry (VERDICT r2 #9 — decode_resilient's GOP-tail skip for live)."""
+    from mjpeg423_tpu.runtime import RecoveryLog
+
+    live = live_stream_bytes(stream)
+    bounds, index = _frame_bounds(stream)
+    # The live chain has no trailer: frame f's live span is offset by the
+    # (identical) file header only.  Cut mid-frame-9 (inside GOP 6..11),
+    # reconnect 100 bytes later — the resumed bytes start mid-garbage.
+    shift = fmt.FILE_HEADER_BYTES - bounds[0][0]
+    cut = bounds[9][0] + shift + 11  # 11 bytes into frame 9's header/body
+    resume = cut + 100
+    src1 = live[:cut]
+    src2 = live[resume:]
+
+    def sources():
+        yield io.BytesIO(src1)  # dies mid-frame (no EOF marker: just ends)
+        yield _chunked(src2, [3, 17, 4096])  # reconnection, odd chunks
+
+    rec = RecoveryLog()
+    got = decode_live_array(
+        sources(), config=DecodeConfig(frames_per_batch=5),
+        resync=True, recovery=rec,
+    )
+    # Delivered: frames 0..8 complete before the cut, then the next
+    # I-frame at or after frame 10 (max_i_interval=6 -> frame 12).
+    next_i = next(f for f in range(10, index.num_frames)
+                  if index.is_iframe[f])
+    want = np.concatenate(
+        [stored_frames[:9], stored_frames[next_i:]], axis=0
+    )
+    np.testing.assert_array_equal(got, want)
+    assert rec.resyncs == 1
+    assert len(rec.gaps) == 1
+    assert rec.gaps[0][0] == 9  # resumed at delivery index 9
+    assert rec.gaps[0][1] > 0  # bytes were discarded while scanning
+
+
+def test_live_resync_corrupt_header_same_source(stream, stored_frames):
+    """In-stream structural damage (no disconnect): a corrupted frame
+    header skips to the next I-frame under resync=True."""
+    from mjpeg423_tpu.runtime import RecoveryLog
+
+    live = bytearray(live_stream_bytes(stream))
+    bounds, index = _frame_bounds(stream)
+    shift = fmt.FILE_HEADER_BYTES - bounds[0][0]
+    hdr9 = bounds[9][0] + shift
+    live[hdr9 + 4:hdr9 + 8] = b"\xee\xee\xee\xee"  # frame_type trashed
+    rec = RecoveryLog()
+    got = decode_live_array(
+        io.BytesIO(bytes(live)), config=DecodeConfig(frames_per_batch=5),
+        resync=True, recovery=rec,
+    )
+    next_i = next(f for f in range(10, index.num_frames)
+                  if index.is_iframe[f])
+    want = np.concatenate(
+        [stored_frames[:9], stored_frames[next_i:]], axis=0
+    )
+    np.testing.assert_array_equal(got, want)
+    assert rec.resyncs == 1
+
+
+def test_live_resync_requires_flag(stream):
+    from mjpeg423_tpu.runtime import RecoveryLog
+
+    with pytest.raises(ValueError, match="resync"):
+        list(decode_live(io.BytesIO(stream), recovery=RecoveryLog()))
+
+
+def test_live_resync_clean_stream_no_gaps(stream, stored_frames):
+    """resync=True on an intact stream is a no-op: bit-exact, zero
+    recovery entries (the happy path costs nothing)."""
+    from mjpeg423_tpu.runtime import RecoveryLog
+
+    rec = RecoveryLog()
+    got = decode_live_array(
+        live_stream_bytes(stream), config=DecodeConfig(frames_per_batch=6),
+        resync=True, recovery=rec,
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+    assert rec.resyncs == 0 and not rec.gaps
+
+
 def test_live_abandoned_generator_shuts_down(stream):
     # Track only the threads THIS generator creates (other tests' daemon
     # threads may still be unwinding — a global count races).
