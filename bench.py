@@ -155,8 +155,29 @@ def bench_parse(rng, f, b, h, w):
         f"{fps:.1f} frames/s host-parse ({len(data) / dt / 1e6:.0f} MB/s, "
         f"{out.shape[0] * b / dt:.3e} blocks/s)"
     )
+    # The production pipeline parses COEFFICIENT-MAJOR (decode_batch_cm
+    # feeds the fused kernel's layout directly); report it alongside the
+    # block-major number so the artifact carries the rate the pipeline
+    # actually achieves.
+    rb = w // 8
+    cm_out = centropy.decode_batch_cm(data, offsets, lengths, is_p, b, rb)
+    cm_fps = None
+    if cm_out is not None:
+        it_cm = max(1, int(0.3 / max(1e-4, _time_once(
+            centropy.decode_batch_cm, data, offsets, lengths, is_p, b, rb,
+            cm_out))))
+
+        def one_cm():
+            for _ in range(it_cm):
+                centropy.decode_batch_cm(
+                    data, offsets, lengths, is_p, b, rb, out=cm_out)
+
+        cm_dt, _ = _timed_reps(one_cm, 3)
+        cm_fps = f / (cm_dt / it_cm)
+        _log(f"stage=parse (cm, production layout): {cm_fps:.1f} frames/s")
     return {
         "frames_per_s": round(fps, 1),
+        "cm_frames_per_s": round(cm_fps, 1) if cm_fps else None,
         "mb_per_s": round(len(data) / dt / 1e6, 1),
         "geometry": f"{w}x{h}",
         "iters_per_rep": iters,
