@@ -333,7 +333,8 @@ def bench_e2e_device(rng, f, b, h, w, use_pallas):
             "frames": nf, **stats}
 
 
-def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False):
+def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False,
+                         kernel_fps_bm=0.0):
     """THE KEYSTONE: sustained single-host 1080p container-to-frames decode
     through the production pipeline (DecodePipeline.decode with
     device_resident=True, parse || device overlap, bounded inflight).
@@ -341,9 +342,13 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False):
     Reports (a) the MEASURED pipeline rate on this box — over the dev
     tunnel the host->device amplitude transfer (~7 MB/s measured) caps it,
     which the artifact states rather than hides — and (b) the PROJECTED
-    production rate min(parse, kernel) with both inputs measured here:
-    `parse_fps` times the pipeline's own parse_window (native cm batch
-    decode) over THIS container's real bitstreams, `kernel_fps` is the
+    production rate: parse is measured in BOTH device-input layouts
+    (block-major and coefficient-major) over THIS container's real
+    bitstreams via the pipeline's own parse_window, each paired with its
+    matching kernel rate, and the projection takes the better pairing —
+    the layout-regime decision DecodeConfig.coef_major=None encodes
+    (block-major parses ~1.7x faster; the cm kernel is only ~1.1x
+    faster; single-host decode is parse-bound).  `kernel_fps` is the
     headline fused-kernel rate passed down by the parent.  On production
     PCIe (H2D >> amplitude rate) the pipeline is parse-bound, so the
     projection's device-idle fraction is 1 - parse/kernel.  Reference
@@ -376,15 +381,20 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False):
                                        frames_per_batch=f_gop))
 
     # (b-input) Host parse rate over this container's REAL bitstreams via
-    # the pipeline's own parse path (native cm batch decode) — no device.
+    # the pipeline's own parse path, in both device-input layouts.
     index = fmt.index_frames(data)
-    def parse_pass():
+
+    def parse_pass(want_cm):
         for s in range(0, nf, f_gop):
             pipe.parse_window(data, index, s, min(f_gop, nf - s),
-                              want_cm=True)
-    parse_pass()  # warm (allocators, THP)
-    p_dt, p_stats = _timed_reps(parse_pass, 5)
-    parse_fps = nf / p_dt
+                              want_cm=want_cm)
+
+    parse_lay = {}
+    for lay, want_cm in (("bm", False), ("cm", True)):
+        parse_pass(want_cm)  # warm (allocators, THP)
+        p_dt, p_stats = _timed_reps(lambda: parse_pass(want_cm), 5)
+        parse_lay[lay] = (nf / p_dt, p_stats)
+    parse_fps, p_stats = parse_lay[pipe.parse_layout()]
 
     # (a) The measured pipeline: container bytes -> device-resident frames.
     def run():
@@ -405,7 +415,10 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False):
         "frames_per_s": round(fps, 1),
         "geometry": f"{w}x{h}",
         "frames": nf,
+        "layout": pipe.parse_layout(),
         "parse_fps": round(parse_fps, 1),
+        "parse_fps_bm": round(parse_lay["bm"][0], 1),
+        "parse_fps_cm": round(parse_lay["cm"][0], 1),
         "parse_stats": p_stats,
         **stats,
     }
@@ -415,19 +428,32 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False):
         res["note"] = ("measured rate is dev-tunnel H2D-bound (~7 MB/s); "
                        "production projection below states the PCIe-class "
                        "expectation")
+    # Projection: each layout's parse rate paired with ITS kernel rate;
+    # the production pipeline runs whichever pairing wins (the
+    # coef_major=None auto policy).
+    pairings = {}
     if kernel_fps:
-        proj = min(parse_fps, kernel_fps)
+        pairings["cm"] = (min(parse_lay["cm"][0], kernel_fps), kernel_fps)
+    if kernel_fps_bm:
+        pairings["bm"] = (min(parse_lay["bm"][0], kernel_fps_bm),
+                          kernel_fps_bm)
+    if pairings:
+        lay = max(pairings, key=lambda k: pairings[k][0])
+        proj, k_fps = pairings[lay]
+        p_fps = parse_lay[lay][0]
         res["projected_frames_per_s"] = round(proj, 1)
         res["projection_inputs"] = {
-            "parse_fps": round(parse_fps, 1),
-            "kernel_fps": round(kernel_fps, 1),
-            "bound": "parse" if parse_fps < kernel_fps else "kernel",
+            "layout": lay,
+            "parse_fps": round(p_fps, 1),
+            "kernel_fps": round(k_fps, 1),
+            "bound": "parse" if p_fps < k_fps else "kernel",
+            "pairings": {k: round(v[0], 1) for k, v in pairings.items()},
         }
         res["device_idle_fraction_projected"] = round(
-            max(0.0, 1.0 - proj / kernel_fps), 4)
+            max(0.0, 1.0 - proj / k_fps), 4)
         _log(
             f"stage=pipeline_1080p: projected production rate "
-            f"min(parse={parse_fps:.1f}, kernel={kernel_fps:.1f}) = "
+            f"[{lay}] min(parse={p_fps:.1f}, kernel={k_fps:.1f}) = "
             f"{proj:.1f} frames/s ({res['projection_inputs']['bound']}-"
             f"bound; device idle {res['device_idle_fraction_projected']:.1%})"
         )
@@ -681,6 +707,9 @@ def main():
                     help="headline fused-kernel frames/s (passed by the "
                          "parent to the pipeline_1080p stage for the "
                          "min(parse, kernel) production projection)")
+    ap.add_argument("--kernel-fps-bm", type=float, default=0.0,
+                    help="block-major fused-kernel frames/s (pairs with "
+                         "the bm parse rate in the keystone projection)")
     ap.add_argument("--rows-per-step", type=int, default=0,
                     help="fused kernel block-row grouping (lane width "
                          "knob); 0 = auto, explicit values (incl. 1) are "
@@ -776,7 +805,8 @@ def main():
             res = bench_e2e_device(rng, f, b, h, w, use_pallas=on_tpu)
         elif cli.stage == "pipeline_1080p":
             res = bench_pipeline_1080p(rng, on_tpu, cli.kernel_fps,
-                                       small=small)
+                                       small=small,
+                                       kernel_fps_bm=cli.kernel_fps_bm)
         elif cli.stage == "encode_transform":
             res = bench_encode_transform(rng, f, b, bh, bw, h, w)
         else:
@@ -824,7 +854,11 @@ def main():
         return make
 
     paths = {}
-    if cli.path in ("fused", "all"):
+    if cli.path in ("fused", "all") or (cli.path == "cm"
+                                        and not cli.no_stages):
+        # Default full run: measure the block-major kernel too — the
+        # keystone stage pairs it with the (faster) bm parse rate for the
+        # production projection.
         paths["fused"] = make_fused_chain
     if cli.path == "cm":
         from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
@@ -991,9 +1025,14 @@ def main():
                 cap = max(per_stage_cap, 720)
             st_extra = list(extra)
             if stage == "pipeline_1080p":
-                # The keystone stage projects min(parse, kernel); hand it
-                # the headline kernel rate just measured.
-                st_extra += ["--kernel-fps", str(out["value"])]
+                # The keystone stage projects min(parse, kernel) per
+                # layout pairing; hand it both kernel rates just measured.
+                if "fused_cm" in results:
+                    st_extra += ["--kernel-fps",
+                                 str(round(results["fused_cm"], 1))]
+                if "fused" in results:
+                    st_extra += ["--kernel-fps-bm",
+                                 str(round(results["fused"], 1))]
             stages[stage] = _run_stage_subprocess(
                 stage, min(remaining, cap), st_extra
             )

@@ -671,14 +671,26 @@ class DecodePipeline:
         was a round-1 carry-layout bug (ADVICE.md item 4); warmup(),
         decode(), and _mesh_fmt() all call this one definition.
         ignore_i8: the mesh path never packs int8 (the sharded step
-        standardizes on one array format), so it skips that exclusion."""
+        standardizes on one array format), so it skips that exclusion.
+        coef_major=None (auto) resolves to BLOCK-major: a pipeline is one
+        host feeding one chip, which is parse-bound ~20x, and block-major
+        parses ~1.7x faster than cm while the cm kernel is only ~1.1x
+        faster — min(parse, kernel) favors bm (DESIGN.md §2).  cm is the
+        explicit opt-in for chip-bound serving."""
         cfg = self.config
         return (
-            self._use_pallas() and cfg.coef_major
+            self._use_pallas() and cfg.coef_major is True
             and (ignore_i8 or not cfg.pack_i8)
             and cfg.spec_segments <= 1
             and cfg.use_native_entropy and centropy.native_available()
         )
+
+    def parse_layout(self) -> str:
+        """Resolved host-parse emission layout for this config: "cm" or
+        "bm" (int8 packing, when enabled AND the amplitudes fit, is a
+        runtime refinement of "bm").  Public so harnesses (bench.py's
+        keystone stage) can report the layout the pipeline actually runs."""
+        return "cm" if self._want_cm() else "bm"
 
     def _mesh_fmt(self) -> str:
         """Device input layout for the mesh path: coefficient-major when the

@@ -36,11 +36,21 @@ class DecodeConfig:
                                        # TPU, XLA path elsewhere (forcing
                                        # True off-TPU runs the slow Pallas
                                        # interpreter — tests only)
-    coef_major: bool = True            # native parser emits coefficient-major
-                                       # tensors so the fused kernel skips its
-                                       # in-VMEM transposes (kernel is
-                                       # VPU-bound); ignored without the
-                                       # native codec or with pack_i8
+    coef_major: bool | None = None     # None = auto: BLOCK-major.  The cm
+                                       # layout makes the fused kernel ~1.1x
+                                       # faster (skips in-VMEM transposes;
+                                       # 10,056 vs 9,014 frames/s @1080p v5e)
+                                       # but the host parser emits it ~1.7x
+                                       # SLOWER (strided scatter vs linear
+                                       # stores), and one host feeding one
+                                       # chip is parse-bound ~20x — so
+                                       # min(parse, kernel) favors block-major
+                                       # everywhere a pipeline owns its host.
+                                       # True opts into coefficient-major for
+                                       # chip-bound serving (many host cores
+                                       # per chip, kernel is the bottleneck);
+                                       # ignored without the native codec or
+                                       # with pack_i8
     pack_i8: bool = False              # compressed int8-AC device input when
                                        # amplitudes fit (auto int16 fallback).
                                        # Off by default: on v5e the int8

@@ -34,16 +34,23 @@ def test_mesh_pipeline_xla_bit_exact(stream):
     np.testing.assert_array_equal(got, want)
 
 
-def test_mesh_pipeline_fused_interpret_bit_exact(stream):
+def test_mesh_pipeline_fused_interpret_bit_exact(stream, coef_major=None):
     data, want = stream
     mesh = make_mesh(n_data=4, n_block=1)
     # use_pallas=True on CPU -> interpret mode: the FUSED kernel itself runs
     # under shard_map on every device of the mesh.
     pipe = DecodePipeline(
-        DecodeConfig(frames_per_batch=4, use_pallas=True), mesh=mesh
+        DecodeConfig(frames_per_batch=4, use_pallas=True,
+                     coef_major=coef_major), mesh=mesh
     )
     got = pipe.decode_array(data)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mesh_pipeline_fused_interpret_bit_exact_cm(stream):
+    """Coefficient-major serving layout through the mesh path (the auto
+    default is block-major; cm stays covered explicitly)."""
+    test_mesh_pipeline_fused_interpret_bit_exact(stream, coef_major=True)
 
 
 def test_mesh_pipeline_seek(stream):

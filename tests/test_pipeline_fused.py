@@ -1,5 +1,6 @@
 """Streaming pipeline with the fused Pallas step (interpret mode) vs oracle."""
 import numpy as np
+import pytest
 
 from mjpeg423_tpu.codec import decoder, encoder
 from mjpeg423_tpu.runtime import DecodePipeline
@@ -8,13 +9,17 @@ from mjpeg423_tpu.utils.config import DecodeConfig
 from conftest import make_test_frames
 
 
-def test_pipeline_fused_step_matches_oracle():
+@pytest.mark.parametrize("coef_major", [None, True])
+def test_pipeline_fused_step_matches_oracle(coef_major):
+    """Both device-input layouts: None = auto (block-major, the parse-bound
+    default) and True = coefficient-major (chip-bound serving opt-in)."""
     rng = np.random.default_rng(13)
     frames = make_test_frames(rng, num_frames=7, h=24, w=32)
     data = encoder.encode_frames(frames, max_i_interval=3)
     want = decoder.decode_stream_array(data)
     # Window size 2: exercises the fused kernel's carry chaining.
-    pipe = DecodePipeline(DecodeConfig(frames_per_batch=2, use_pallas=True))
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=2, use_pallas=True,
+                                       coef_major=coef_major))
     got = pipe.decode_array(data)
     np.testing.assert_array_equal(got, want)
 
