@@ -334,6 +334,106 @@ def bench_e2e_device(rng, f, b, h, w, use_pallas):
             "frames": nf, **stats}
 
 
+def bench_latency(rng, use_pallas):
+    """Player-facing latency: seek-to-frame and first-frame delivery.
+
+    The reference is a PLAYER with a hard 41.666 ms/frame deadline
+    (playback.c:80-134), and its FF/RW seeks re-decode from the trailer's
+    I-frame (fastForwardVideo, playback.c:136-152).  This stage measures
+    the same user-visible quantities on the production pipeline, on a
+    WARM pipeline (geometry precompiled — the serving steady state):
+
+      first_frame_ms   container bytes in hand -> frame 0's pixels on the
+                       host (parse window 0 + device step + window egress).
+      seek_ms          seek to the LAST frame of a mid-stream GOP (worst
+                       case: trailer I-frame lookup + full-GOP decode +
+                       egress), via decode(start_frame=gop, end_frame=t+1).
+      seek_device_ms   same seek, device_resident=True — pixels stay on
+                       the chip (the serving-to-model path; a device-side
+                       scalar fetch fences completion, no raster egress).
+
+    Geometry 480x272/f_gop=8: the device step is pixel-rate-flat
+    (DESIGN.md §1), and host-delivery rows include the dev tunnel's ~MB/s
+    egress, which the note states (production PCIe is ~4 orders faster;
+    seek_device_ms is the tunnel-free bound).
+    """
+    h, w, f_gop, n_gops = 272, 480, 8, 6
+    b = (h // 8) * (w // 8)
+    from mjpeg423_tpu.core import format as fmt
+    from mjpeg423_tpu.core.format import Frame, serialize_file
+    from mjpeg423_tpu.native import centropy
+    from mjpeg423_tpu.runtime import DecodePipeline
+    from mjpeg423_tpu.utils.config import DecodeConfig
+
+    amps, _ = make_amps(rng, f_gop, b)
+    frames = []
+    for fi in range(f_gop):
+        planes = [centropy.encode_plane(amps[p, fi]) for p in range(3)]
+        frames.append(Frame(0 if fi == 0 else 1, *planes))
+    data = serialize_file(w, h, frames * n_gops)
+
+    pipe = DecodePipeline(DecodeConfig(use_pallas=use_pallas,
+                                       frames_per_batch=f_gop))
+    pipe.decode_array(data)  # warm: compile + allocator/THP steady state
+
+    def first_frame(end_frame=None):
+        for win in pipe.decode(data, end_frame=end_frame):
+            return float(win.frames[0, 0, 0])  # frame 0 on host
+
+    gop = f_gop * (n_gops // 2)  # mid-stream I-frame (trailer seek target)
+    target = gop + f_gop - 1     # last frame of that GOP: worst case
+
+    def seek(device_resident):
+        index = fmt.index_frames(data)  # trailer walk is part of a seek
+        assert index.is_iframe[gop]
+        for win in pipe.decode(data, start_frame=gop, end_frame=target + 1,
+                               device_resident=device_resident):
+            if win.start_frame + win.count > target:
+                rel = target - win.start_frame
+                # Device-resident windows keep the blocked kernel layout
+                # (extra dims); one scalar fetch fences the window either way.
+                ix = (rel,) + (0,) * (win.frames.ndim - 1)
+                return float(win.frames[ix])
+        raise AssertionError("seek target not delivered")
+
+    res = {"geometry": f"{w}x{h}", "gop_frames": f_gop}
+    # first_frame_ms is the production call (unbounded decode: the
+    # pipeline is already prefetching + posting later windows while window
+    # 0 egresses).  On the HALF-DUPLEX dev tunnel those posts delay window
+    # 0's delivery (measured ~2.3x); first_frame_bounded_ms (end_frame =
+    # one GOP, no prefetch beyond it) isolates that — on duplex PCIe the
+    # two converge.
+    for name, fn in (("first_frame_ms", first_frame),
+                     ("first_frame_bounded_ms",
+                      lambda: first_frame(f_gop)),
+                     ("seek_ms", lambda: seek(False)),
+                     ("seek_device_ms", lambda: seek(True))):
+        fn()  # warm this call shape
+        samples = []
+        t_budget = time.perf_counter() + 20.0
+        while len(samples) < 15 and time.perf_counter() < t_budget:
+            t0 = time.perf_counter()
+            fn()
+            samples.append((time.perf_counter() - t0) * 1e3)
+        samples.sort()
+        res[name] = round(samples[len(samples) // 2], 1)
+        res[name + "_p90"] = round(samples[int(len(samples) * 0.9) - 1], 1)
+        res[name + "_max"] = round(samples[-1], 1)
+        res[name + "_n"] = len(samples)
+    import jax
+
+    if jax.default_backend() == "tpu":
+        res["note"] = ("host-delivery rows include dev-tunnel egress; "
+                       "seek_device_ms is the tunnel-free bound")
+    _log(
+        f"stage=latency: first_frame {res['first_frame_ms']:.1f} ms, "
+        f"seek(last-of-GOP, host) {res['seek_ms']:.1f} ms, "
+        f"seek(device-resident) {res['seek_device_ms']:.1f} ms "
+        f"(median of {res['seek_ms_n']}; reference frame deadline 41.7 ms)"
+    )
+    return res
+
+
 def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False,
                          kernel_fps_bm=0.0, parse_iso=0.0, parse_iso_cm=0.0):
     """THE KEYSTONE: sustained single-host 1080p container-to-frames decode
@@ -707,8 +807,8 @@ def main():
                     help="pixel height (multiple of 8) for a geometry sweep")
     ap.add_argument("--stage",
                     choices=("parse", "encode", "transcode", "e2e",
-                             "e2e_device", "pipeline_1080p", "sharded",
-                             "encode_transform"),
+                             "e2e_device", "pipeline_1080p", "latency",
+                             "sharded", "encode_transform"),
                     default=None,
                     help="run ONE stage and print its JSON (used by the "
                          "parent bench via subprocess)")
@@ -843,6 +943,8 @@ def main():
                 kernel_fps_bm=cli.kernel_fps_bm,
                 parse_iso=cli.parse_fps_isolated,
                 parse_iso_cm=cli.parse_fps_isolated_cm)
+        elif cli.stage == "latency":
+            res = bench_latency(rng, use_pallas=on_tpu)
         elif cli.stage == "encode_transform":
             res = bench_encode_transform(rng, f, b, bh, bw, h, w)
         else:
@@ -1049,7 +1151,8 @@ def main():
         t_start = time.perf_counter()
         stages = {}
         for stage in ("parse", "pipeline_1080p", "sharded", "e2e_device",
-                      "e2e", "encode", "transcode", "encode_transform"):
+                      "e2e", "latency", "encode", "transcode",
+                      "encode_transform"):
             remaining = budget - (time.perf_counter() - t_start)
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")
