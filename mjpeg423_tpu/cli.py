@@ -166,16 +166,23 @@ def cmd_decode(args) -> int:
                 )
             n += 1
     dt = time.perf_counter() - t0
-    if args.npy and npy_frames:
+    if args.npy:
         if rec is not None and rec.skipped:
             # Resilient decode skipped ranges: keep row i == container
             # frame i (fill skipped slots, like decode_resilient_array)
             # and save the delivered indices alongside — a downstream
-            # consumer must never misattribute frames silently.
+            # consumer must never misattribute frames silently.  The
+            # artifacts are written even when EVERY frame was skipped
+            # (all-fill frames.npy + empty delivered.npy): a consumer
+            # expecting them must see the worst-damage case, not a
+            # missing file and exit 0.
             from .core import format as fmt
 
-            nf = fmt.FileHeader.unpack(data).num_frames
-            fill = np.zeros_like(next(iter(npy_frames.values())))
+            hdr = fmt.FileHeader.unpack(data)
+            nf = hdr.num_frames
+            fill = (np.zeros_like(next(iter(npy_frames.values())))
+                    if npy_frames
+                    else np.zeros((hdr.height, hdr.width), np.uint32))
             np.save(
                 os.path.join(args.outdir, f"{args.prefix}frames.npy"),
                 np.stack([npy_frames.get(i, fill) for i in range(nf)]),
@@ -184,7 +191,7 @@ def cmd_decode(args) -> int:
                 os.path.join(args.outdir, f"{args.prefix}delivered.npy"),
                 np.array(sorted(npy_frames), dtype=np.int64),
             )
-        else:
+        elif npy_frames:
             np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
                     np.stack([npy_frames[k] for k in sorted(npy_frames)]))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",

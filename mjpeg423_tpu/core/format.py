@@ -351,6 +351,33 @@ def _parses_as_iframe(data: bytes, pos: int, payload_end: int) -> bool:
     )
 
 
+def _chain_walk_reaches(
+    data: bytes, pos: int, fi: int, stop_fi: int, stop_pos: int,
+    payload_end: int,
+) -> bool:
+    """Parse-walk the frame chain from ``(fi, pos)``; True when it arrives
+    at frame ``stop_fi`` exactly at byte ``stop_pos`` with every
+    intermediate header parse-valid.  Used to corroborate the chain
+    against an independent witness (a later trailer anchor, or the
+    payload-end boundary) when chain and trailer disagree."""
+    while fi < stop_fi:
+        if pos + FRAME_HEADER_BYTES > payload_end:
+            return False
+        frame_size, frame_type, y_size, cb_size = _U32x4.unpack_from(
+            data, pos
+        )
+        if (
+            frame_size < FRAME_HEADER_BYTES
+            or y_size + cb_size > frame_size - FRAME_HEADER_BYTES
+            or pos + frame_size > payload_end
+            or frame_type > 1
+        ):
+            return False
+        pos += frame_size
+        fi += 1
+    return pos == stop_pos
+
+
 def index_frames_resilient(
     data: bytes,
 ) -> tuple[FrameIndex, list[tuple[int, int]]]:
@@ -444,11 +471,39 @@ def index_frames_resilient(
             # The chain reached I-frame fi at an offset other than the
             # trailer's.  Either a frame_size in (last_sync, fi] was
             # rewritten to a parse-valid value (the chain is the corrupt
-            # side) or the trailer entry itself is damaged.  Tiebreaker:
+            # side) or the trailer entry itself is damaged.  Tiebreaker 1:
             # does the trailer's position hold a parseable I-frame header?
             # If not, the entry is evidently the corrupt side — drop it
             # and trust the intact chain.
             if not _parses_as_iframe(data, anchor[fi], payload_end):
+                del anchor[fi]
+                continue
+            # Tiebreaker 2: corroborate the chain against an INDEPENDENT
+            # witness — walk it forward from the disputed position to the
+            # next anchored I-frame (or, for the last anchor, to the
+            # payload-end boundary an untruncated archive must land on).
+            # An exact landing means the chain is intact through the
+            # disputed range and THIS trailer entry is the corrupt side
+            # (e.g. a rewritten frame_index that happens to name another
+            # genuine I-frame's position) — without this check such an
+            # entry would invalidate good rows and then deliver later
+            # frames under earlier indices.  A rewritten frame_size
+            # cannot pass: it shifts every subsequent chain position, so
+            # the walk misses the witness.  (Compensating multi-rewrites
+            # that preserve the landing byte remain undetectable — same
+            # exposure as any parse-valid damage between anchors.)
+            nxt_a = min((k for k in anchor if k > fi), default=None)
+            if nxt_a is not None:
+                corroborated = _chain_walk_reaches(
+                    data, pos, fi, nxt_a, anchor[nxt_a], payload_end
+                )
+            else:
+                corroborated = len(data) >= payload_true_end and (
+                    _chain_walk_reaches(
+                        data, pos, fi, nf, payload_true_end, payload_end
+                    )
+                )
+            if corroborated:
                 del anchor[fi]
                 continue
             # The trailer wins: every row since the last verified anchor

@@ -522,8 +522,18 @@ MJ_EXPORT int mj423_decode_plane_spec(const uint8_t* bits, size_t bits_len,
 /* Transpose a 16x16 int16 tile: dst[c][r] = src[r][c] (strides in
  * elements).  4 shuffle stages x 16 ops = 64 port-5 ops per 256
  * elements. */
-static inline void mj_tr16x16(const int16_t* src, size_t src_stride,
-                              int16_t* dst, size_t dst_stride) {
+/* One copy of the shuffle network; `nt` is a compile-time constant at
+ * every call site (always_inline + constant folding), so the two public
+ * wrappers specialize to plain vs NON-TEMPORAL stores with zero runtime
+ * branching.  NT rationale: the decoded batch (hundreds of MB at
+ * production window sizes) is written once by the host and read once by
+ * the device DMA — streaming it past the cache hierarchy skips the
+ * read-for-ownership of every destination line (half the DRAM traffic)
+ * and keeps the decode tiles L1/L2-resident.  NT requires dst 32-byte
+ * aligned and dst_stride a multiple of 16 elements (caller-checked). */
+static inline __attribute__((always_inline)) void mj_tr16x16_impl(
+    const int16_t* src, size_t src_stride, int16_t* dst, size_t dst_stride,
+    const int nt) {
   __m256i r[16], s[16], t[16], u[16];
   for (int i = 0; i < 16; i++)
     r[i] = _mm256_loadu_si256((const __m256i*)(src + (size_t)i * src_stride));
@@ -553,54 +563,28 @@ static inline void mj_tr16x16(const int16_t* src, size_t src_stride,
   }
   /* lane merge: dst row k = cols k of rows 0-7 ++ rows 8-15 */
   for (int k = 0; k < 8; k++) {
-    _mm256_storeu_si256(
-        (__m256i*)(dst + (size_t)k * dst_stride),
-        _mm256_permute2x128_si256(u[k], u[8 + k], 0x20));
-    _mm256_storeu_si256(
-        (__m256i*)(dst + (size_t)(k + 8) * dst_stride),
-        _mm256_permute2x128_si256(u[k], u[8 + k], 0x31));
+    const __m256i lo = _mm256_permute2x128_si256(u[k], u[8 + k], 0x20);
+    const __m256i hi = _mm256_permute2x128_si256(u[k], u[8 + k], 0x31);
+    if (nt) {
+      _mm256_stream_si256((__m256i*)(dst + (size_t)k * dst_stride), lo);
+      _mm256_stream_si256((__m256i*)(dst + (size_t)(k + 8) * dst_stride),
+                          hi);
+    } else {
+      _mm256_storeu_si256((__m256i*)(dst + (size_t)k * dst_stride), lo);
+      _mm256_storeu_si256((__m256i*)(dst + (size_t)(k + 8) * dst_stride),
+                          hi);
+    }
   }
 }
-#endif
 
-#if defined(__AVX2__)
-/* Same transpose with NON-TEMPORAL stores: the decoded batch (hundreds of
- * MB at production window sizes) is written once by the host and read once
- * by the device DMA — streaming it past the cache hierarchy skips the
- * read-for-ownership of every destination line (half the DRAM traffic) and
- * keeps the decode tiles L1/L2-resident.  Requires dst 32-byte aligned and
- * dst_stride a multiple of 16 elements. */
+static inline void mj_tr16x16(const int16_t* src, size_t src_stride,
+                              int16_t* dst, size_t dst_stride) {
+  mj_tr16x16_impl(src, src_stride, dst, dst_stride, 0);
+}
+
 static inline void mj_tr16x16_nt(const int16_t* src, size_t src_stride,
                                  int16_t* dst, size_t dst_stride) {
-  __m256i r[16], s[16], t[16], u[16];
-  for (int i = 0; i < 16; i++)
-    r[i] = _mm256_loadu_si256((const __m256i*)(src + (size_t)i * src_stride));
-  for (int i = 0; i < 16; i += 2) {
-    s[i] = _mm256_unpacklo_epi16(r[i], r[i + 1]);
-    s[i + 1] = _mm256_unpackhi_epi16(r[i], r[i + 1]);
-  }
-  for (int m = 0; m < 4; m++) {
-    t[4 * m + 0] = _mm256_unpacklo_epi32(s[4 * m + 0], s[4 * m + 2]);
-    t[4 * m + 1] = _mm256_unpackhi_epi32(s[4 * m + 0], s[4 * m + 2]);
-    t[4 * m + 2] = _mm256_unpacklo_epi32(s[4 * m + 1], s[4 * m + 3]);
-    t[4 * m + 3] = _mm256_unpackhi_epi32(s[4 * m + 1], s[4 * m + 3]);
-  }
-  for (int n = 0; n < 2; n++) {
-    u[8 * n + 0] = _mm256_unpacklo_epi64(t[8 * n + 0], t[8 * n + 4]);
-    u[8 * n + 1] = _mm256_unpackhi_epi64(t[8 * n + 0], t[8 * n + 4]);
-    u[8 * n + 2] = _mm256_unpacklo_epi64(t[8 * n + 1], t[8 * n + 5]);
-    u[8 * n + 3] = _mm256_unpackhi_epi64(t[8 * n + 1], t[8 * n + 5]);
-    u[8 * n + 4] = _mm256_unpacklo_epi64(t[8 * n + 2], t[8 * n + 6]);
-    u[8 * n + 5] = _mm256_unpackhi_epi64(t[8 * n + 2], t[8 * n + 6]);
-    u[8 * n + 6] = _mm256_unpacklo_epi64(t[8 * n + 3], t[8 * n + 7]);
-    u[8 * n + 7] = _mm256_unpackhi_epi64(t[8 * n + 3], t[8 * n + 7]);
-  }
-  for (int k = 0; k < 8; k++) {
-    _mm256_stream_si256((__m256i*)(dst + (size_t)k * dst_stride),
-                        _mm256_permute2x128_si256(u[k], u[8 + k], 0x20));
-    _mm256_stream_si256((__m256i*)(dst + (size_t)(k + 8) * dst_stride),
-                        _mm256_permute2x128_si256(u[k], u[8 + k], 0x31));
-  }
+  mj_tr16x16_impl(src, src_stride, dst, dst_stride, 1);
 }
 #endif
 

@@ -309,11 +309,10 @@ def decode_stream_sharded(
         BLOCK_AXIS in mesh.axis_names and mesh.shape[BLOCK_AXIS] > 1
     )
     if gop_aligned and not block_sharded and decode_plane is None:
-        cfg = DecodeConfig(use_pallas=use_pallas)
-        if interpret and use_pallas:
-            # The pipeline auto-interprets Pallas off-TPU; forcing
-            # use_pallas keeps the fused kernel under test on CPU.
-            cfg = DecodeConfig(use_pallas=True)
+        # The pipeline auto-interprets Pallas off-TPU; interpret=True
+        # therefore means "force the fused kernel" so it stays under test
+        # on CPU even when the caller left use_pallas unset.
+        cfg = DecodeConfig(use_pallas=True if interpret else use_pallas)
         pipe = DecodePipeline(cfg, mesh=mesh)
         return jnp.asarray(pipe.decode_array(data))
 

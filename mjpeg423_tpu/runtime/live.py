@@ -75,17 +75,38 @@ def _chunks(src: ByteSource) -> Iterator[bytes]:
 def _as_sources(src) -> Iterator[ByteSource]:
     """Normalize resync input: one source, or an iterable of sources
     (each reconnection is a new source; a generator may block until the
-    producer reconnects)."""
+    producer reconnects).
+
+    Disambiguation rule: BARE bytes items are CHUNKS of one continuous
+    connection, never reconnection boundaries — an iterable of bytes is
+    one source (a socket feed delivering chunks is the common live case).
+    A reconnection buffer must be wrapped (io.BytesIO(b), or any
+    file-like/iterable source) so the gap boundary is explicit.  A
+    list/tuple of several raw buffers is rejected rather than silently
+    spliced: pre-gap and post-gap bytes concatenated across an unmarked
+    gap would parse one frame from two stream positions and deliver
+    garbage as valid."""
     if hasattr(src, "read") or isinstance(src, (bytes, bytearray,
                                                memoryview)):
         return iter([src])
+    if (
+        isinstance(src, (list, tuple)) and len(src) > 1
+        and all(isinstance(x, (bytes, bytearray, memoryview)) for x in src)
+    ):
+        raise ValueError(
+            "resync: a list of raw byte buffers is ambiguous — chunks of "
+            "one connection would splice across reconnection gaps.  Wrap "
+            "each reconnection (io.BytesIO(buf) or [buf]) to mark gap "
+            "boundaries, or pass chunks of a single connection as a "
+            "generator."
+        )
     it = iter(src)
     try:
         first = next(it)
     except StopIteration:
         return iter([])
     if isinstance(first, (bytes, bytearray, memoryview)):
-        # A plain chunk iterable IS one source.
+        # A plain chunk iterable IS one source (see disambiguation rule).
         import itertools
 
         return iter([itertools.chain([first], it)])
@@ -225,9 +246,17 @@ def _iter_raw_windows(src: ByteSource, window: int, *,
                         _, nxt_ok = _header_sane(o + fs)
                         valid = nxt_ok
                     else:
-                        # Source ended/gapped inside the candidate: accept
-                        # only a clean end exactly at the boundary.
-                        valid = (not gap_pending) and (len(buf) - o == fs)
+                        # Source ended/gapped before the NEXT header could
+                        # be read: the candidate itself is complete when
+                        # >= fs contiguous bytes back it.  A dying feed
+                        # commonly cuts 1..15 bytes into the FOLLOWING
+                        # header — the last recoverable I-frame must not
+                        # be dropped for those stray tail bytes.  Chain
+                        # validation is unavailable at a hard end, so a
+                        # complete body is the acceptance bar (header
+                        # fields alone are still an exact-u32 + size-
+                        # consistency match).
+                        valid = (len(buf) - o) >= fs
                     if valid:
                         dropped += o - pos
                         pos = o
@@ -352,7 +381,11 @@ def decode_live(
     resync=True: opt-in live elasticity (decode_resilient's GOP-tail skip,
     applied to the live case).  `src` may then be an ITERABLE of byte
     sources — each one a reconnection of the same feed at an arbitrary
-    byte position (the iterable may block until the producer returns).  On
+    byte position (the iterable may block until the producer returns).
+    Bare bytes items are CHUNKS of one continuous connection, not
+    reconnections: wrap each reconnection buffer (io.BytesIO(buf)) so the
+    gap boundary is explicit — a list of several raw buffers is rejected
+    rather than silently spliced across the gap.  On
     a mid-frame disconnect or corrupt header, delivery resumes at the next
     chain-validated I-frame; frames resume with a fresh all-reset state
     (the I-frame resets every coefficient), numbered in DELIVERY order.

@@ -85,7 +85,6 @@ got, checksum = run()
 wall = time.perf_counter() - t0
 
 total_frames = multihost.aggregate_counts(float(got))
-total_wall = multihost.aggregate_counts(wall)  # sum of host walls
 from jax.experimental import multihost_utils
 import jax.numpy as jnp
 

@@ -271,6 +271,53 @@ def test_live_resync_requires_flag(stream):
         list(decode_live(io.BytesIO(stream), recovery=RecoveryLog()))
 
 
+def test_live_resync_final_iframe_survives_midheader_cut(
+    stream, stored_frames
+):
+    """The feed dies a few bytes INTO the header following the recovery
+    I-frame: chain validation is impossible, but the I-frame's body is
+    complete — it must be delivered, not dropped for the stray tail."""
+    from mjpeg423_tpu.runtime import RecoveryLog
+
+    live = live_stream_bytes(stream)
+    bounds, index = _frame_bounds(stream)
+    shift = fmt.FILE_HEADER_BYTES - bounds[0][0]
+    cut = bounds[9][0] + shift + 11
+    next_i = next(f for f in range(10, index.num_frames)
+                  if index.is_iframe[f])
+    # Reconnection carries exactly the recovery I-frame + 10 bytes of the
+    # following frame's header, then dies for good.
+    end = bounds[next_i][1] + shift + 10
+    src2 = live[cut + 100:end]
+
+    def sources():
+        yield io.BytesIO(live[:cut])
+        yield io.BytesIO(src2)
+
+    rec = RecoveryLog()
+    got = decode_live_array(
+        sources(), config=DecodeConfig(frames_per_batch=5),
+        resync=True, recovery=rec,
+    )
+    want = np.concatenate(
+        [stored_frames[:9], stored_frames[next_i:next_i + 1]], axis=0
+    )
+    np.testing.assert_array_equal(got, want)
+    assert rec.resyncs == 1
+
+
+def test_live_resync_rejects_ambiguous_buffer_list(stream):
+    """A list of several raw byte buffers is ambiguous (chunks of one
+    connection vs one buffer per reconnection) and must be rejected, not
+    silently spliced across the gap."""
+    with pytest.raises(ValueError, match="ambiguous"):
+        decode_live_array(
+            [stream[:100], stream[100:]],
+            config=DecodeConfig(frames_per_batch=4),
+            resync=True,
+        )
+
+
 def test_live_resync_clean_stream_no_gaps(stream, stored_frames):
     """resync=True on an intact stream is a no-op: bit-exact, zero
     recovery entries (the happy path costs nothing)."""
@@ -294,8 +341,10 @@ def test_live_abandoned_generator_shuts_down(stream):
     )
     next(gen)
     gen.close()
-    # Reader/deliverer threads exit (in-memory source never blocks).
-    for _ in range(50):
+    # Reader/deliverer threads exit (in-memory source never blocks).  The
+    # deadline is generous: under full-suite load on a small box, thread
+    # teardown has been observed to take seconds (a short wait here flaked).
+    for _ in range(300):
         mine = [t for t in threading.enumerate() if t.ident not in before]
         if not mine:
             break

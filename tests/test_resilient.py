@@ -254,6 +254,51 @@ class TestChainCorruption:
         assert rec.skipped == []
         np.testing.assert_array_equal(got, want)
 
+    @pytest.mark.parametrize("entry", [2, "last"])
+    def test_trailer_index_rewrite_with_intact_chain(self, stream, entry):
+        """A trailer entry's frame_INDEX rewritten to another in-range
+        value while the chain is intact.  The position still holds a
+        genuine I-frame header (it is one — just not that frame's), so
+        tiebreak 1 cannot catch it; the chain-corroboration walk must
+        (against the next anchor for a middle entry, against the
+        payload-end boundary for the last one) — else good rows get
+        invalidated and later frames are delivered under earlier indices.
+        """
+        if entry == "last":
+            # The LAST entry has no later anchor: corroboration must use
+            # the payload-end boundary.  Static frames make P always win,
+            # so I-frames land exactly every max_i_interval and the last
+            # GOP is multi-frame.
+            rng = np.random.default_rng(5)
+            frames = make_test_frames(rng, num_frames=17, h=48, w=64,
+                                      motion=False)
+            data = encoder.encode_frames(frames, max_i_interval=5)
+            want = decoder.decode_stream_array(data)
+            index = fmt.index_frames(data)
+        else:
+            data, want, index = stream
+        hdr = index.header
+        n_entries = len(index.trailer)
+        ei = n_entries - 1 if entry == "last" else entry
+        assert 0 < ei < n_entries
+        true_fi = index.trailer[ei].frame_index
+        prev_fi = index.trailer[ei - 1].frame_index
+        assert true_fi - prev_fi >= 2, "need an in-between index to fake"
+        fake_fi = true_fi - 1  # in-range, between the two anchors
+        toff = (
+            fmt.FILE_HEADER_BYTES + hdr.payload_size
+            + ei * fmt.TRAILER_ENTRY_BYTES  # entry's frame_index field
+        )
+        trial = bytearray(data)
+        trial[toff:toff + 4] = int(fake_fi).to_bytes(4, "little")
+        trial = bytes(trial)
+        rindex, bad = fmt.index_frames_resilient(trial)
+        assert bad == []
+        pipe = DecodePipeline(_cfg())
+        got, rec = pipe.decode_resilient_array(trial)
+        assert rec.skipped == []
+        np.testing.assert_array_equal(got, want)
+
     def test_unrecoverable_frame0_raises(self, stream):
         data, _, index = stream
         corrupt = self._smash_frame_size(data, index, 0)
