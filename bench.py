@@ -988,12 +988,20 @@ def main():
     d_carry = jax.device_put(jnp.zeros((3, b, 64), jnp.int16))
 
     def make_fused_chain(iters, raster=True):
+        from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+        # The bm kernel's fold boundary is tighter than cm's (scoped
+        # scratch for the in-VMEM transposes): 1080p W=14 k=2 compiles at
+        # 9,663 f/s, W=15 OOMs — the bm-layout auto budget encodes it.
+        rk_bm = cli.rows_per_step or auto_rows_per_step(bh, bw, f,
+                                                        layout="bm")
+
         @jax.jit
         def run(a, s, c):
             def body(i, cc):
                 _, nc = transform_fused.decode_window_fused(
                     a, s, cc, blocks_h=bh, blocks_w=bw,
-                    rows_per_step=cli.rows_per_step or 1, raster=raster,
+                    rows_per_step=rk_bm, raster=raster,
                 )
                 return nc
             final = jax.lax.fori_loop(0, iters, body, c)

@@ -41,7 +41,7 @@ PLANE_COUNT = 3
 
 
 def auto_rows_per_step(
-    blocks_h: int, blocks_w: int, window: int = 24
+    blocks_h: int, blocks_w: int, window: int = 24, layout: str = "cm"
 ) -> int:
     """Pick the fused kernel's block-row fold (lane-tile width = k*bw).
 
@@ -52,12 +52,18 @@ def auto_rows_per_step(
     (~1280*W*lanes bytes across double-buffered in/out), so the lane cap
     shrinks with the window size: 1080p W=20 k=2 (W*lanes = 9600)
     compiles, W=24 k=2 (11520) does not — the budget constant encodes
-    that measured boundary.  Falls back to the largest fold under the cap
-    when no fold reaches 320 lanes (narrow geometries)."""
+    that measured boundary.  The BLOCK-MAJOR kernel's in-VMEM transposes
+    need extra scoped scratch, so its boundary is tighter: 1080p W=14 k=2
+    (6720) compiles at 9,663 f/s (+6.8% over W=20 k=1), W=15 (7200) OOMs
+    — layout="bm" uses that smaller budget.  Falls back to the largest
+    fold under the cap when no fold reaches 320 lanes (narrow
+    geometries); the cap is never floored above the budget (a floor once
+    selected folds past the compile boundary for windows > ~38)."""
     from ..ops.transform_fused import pick_fold
 
-    budget = int(10_000_000 // (1024 * max(window, 1)))
-    lmax = max(256, min(512, budget))
+    total = 10_000_000 if layout == "cm" else 7_000_000
+    budget = int(total // (1024 * max(window, 1)))
+    lmax = min(512, budget)
     return pick_fold(blocks_h, blocks_w, target=320, lane_cap=lmax)
 
 
@@ -125,6 +131,8 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
 
     if use_pallas:
         rows_k = auto_rows_per_step(blocks_h, blocks_w, window)
+        rows_k_bm = auto_rows_per_step(blocks_h, blocks_w, window,
+                                       layout="bm")
 
         def fused_step(amps, seg, carry):
             """Dispatch on the parse output format:
@@ -148,6 +156,7 @@ def _device_step_factory(blocks_h: int, blocks_w: int, use_pallas: bool,
             return transform_fused.decode_window_fused(
                 amps, seg, carry, blocks_h=blocks_h, blocks_w=blocks_w,
                 interpret=interpret, raster=raster_on_device,
+                rows_per_step=rows_k_bm,
             )
         return fused_step
 

@@ -35,3 +35,12 @@ def test_auto_rows_per_step_measured_choices():
     assert auto_rows_per_step(60, 80, 16) == 4     # VGA: 320 lanes best
     assert auto_rows_per_step(60, 80, 24) == 4
     assert auto_rows_per_step(6, 8, 24) == 6       # narrow: largest fold
+    # Budget is never floored up past the compile boundary at big windows
+    # (W=48 VGA: 203-lane budget -> k=2, not the OOM-range k=3).
+    assert auto_rows_per_step(60, 80, 48) == 2
+    # Block-major budget is tighter (in-VMEM transpose scratch): 1080p
+    # W=14 k=2 compiles (measured 9,663 f/s), W=15 OOMs.
+    assert auto_rows_per_step(136, 240, 14, layout="bm") == 2
+    assert auto_rows_per_step(136, 240, 15, layout="bm") == 1
+    assert auto_rows_per_step(136, 240, 8, layout="bm") == 2
+    assert auto_rows_per_step(136, 240, 20, layout="bm") == 1
