@@ -457,23 +457,29 @@ class DecodePipeline:
         use_pallas = self._use_pallas()
         if use_pallas and self.config.pack_i8:
             # decode() feeds ("i8", dc, ac8) windows in this config: warm
-            # the i8 kernel trace, not the block-major one.
+            # the i8 kernel trace.
             dc = self._put(np.zeros((3, w, nb), np.int16))
             ac = self._put(np.zeros((3, w, nb, 64), np.int8))
             carry = self._put(np.zeros((3, nb, 64), np.int16))
             frames, _ = step(("i8", dc, ac), self._put(seg), carry)
             frames.block_until_ready()
-            return
-        want_cm = self._want_cm()
-        if want_cm:
+        elif self._want_cm():
             kk = auto_rows_per_step(bh, bw, w)
             amps = ("cm", self._put(
                 np.zeros((3, w, bh // kk, 64, kk * bw), np.int16)
             ))
             carry = self._put(np.zeros((3, bh // kk, 64, kk * bw), np.int16))
-        else:
-            amps = self._put(np.zeros((3, w, nb, 64), np.int16))
-            carry = self._put(np.zeros((3, nb, 64), np.int16))
+            frames, _ = step(amps, self._put(seg), carry)
+            frames.block_until_ready()
+        # ALWAYS warm the block-major trace too: it is both the default
+        # window format and the runtime fallback the i8 config takes when
+        # a window's amplitudes exceed int8 (parse_window's decode_batch_i8
+        # -> None) and the cm config takes when the native cm batch is
+        # unavailable.  Warming only the fast path would stall the first
+        # fallback window on a fresh multi-second compile — exactly the
+        # cold start warmup() exists to prevent.
+        amps = self._put(np.zeros((3, w, nb, 64), np.int16))
+        carry = self._put(np.zeros((3, nb, 64), np.int16))
         frames, _ = step(amps, self._put(seg), carry)
         frames.block_until_ready()
 
@@ -807,10 +813,13 @@ class DecodePipeline:
             if fmt_tag == "cm":
                 if isinstance(amps, tuple) and amps[0] == "cm":
                     a = amps[1]
-                else:  # native cm fallback: host-side relayout
-                    a = np.swapaxes(
-                        amps.reshape(3, c, groups, bw_eff, 64), -2, -1
-                    )
+                else:
+                    # Native cm fallback: host-side relayout through the
+                    # kernel's OWN layout helper, so this path can never
+                    # drift from what decode_window_fused_cm consumes.
+                    from ..ops.transform_fused import to_cm
+
+                    a = to_cm(amps, bh, bw, kk)
                 out = np.zeros((3, w, groups, 64, bw_eff), np.int16)
             else:
                 a = amps

@@ -122,6 +122,35 @@ class StreamPool:
         if errors:
             raise errors[0]
 
+    @staticmethod
+    def _run_bounded(n_items: int, max_concurrent: int, body) -> None:
+        """Run body(i) for i in range(n_items) over a bounded worker pool.
+
+        Threads = min(max_concurrent, n_items), pulling indices from a
+        shared cursor — a 10,000-clip archive must not create 10,000 OS
+        threads (stack + scheduler slot each, RLIMIT exhaustion) when only
+        max_concurrent ever decode at once.  body must not raise (workers
+        record their own errors)."""
+        cursor = iter(range(n_items))
+        lock = threading.Lock()
+
+        def pull():
+            while True:
+                with lock:
+                    i = next(cursor, None)
+                if i is None:
+                    return
+                body(i)
+
+        threads = [
+            threading.Thread(target=pull, daemon=True)
+            for _ in range(max(1, min(max_concurrent, n_items)))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
     def decode_all(
         self,
         streams: list[bytes],
@@ -155,29 +184,28 @@ class StreamPool:
         """
         stats = ServeStats(streams=len(streams))
         lock = threading.Lock()
-        sem = threading.Semaphore(max_concurrent)
         errors: list[Exception] = []
         deliver = self._make_deliver(sink)
 
-        def worker(si: int, data: bytes):
+        def worker(si: int):
             from .pipeline import RecoveryLog
 
+            data = streams[si]
             pipe = self.pipelines[si % len(self.pipelines)]
             for attempt in range(retries + 1):
                 frames = pixels = 0
                 rec = RecoveryLog() if resilient else None
                 try:
-                    with sem:
-                        wins = (
-                            pipe.decode_resilient(data, recovery=rec)
-                            if resilient else pipe.decode(data)
-                        )
-                        for win in wins:
-                            if deliver is not None:
-                                deliver(si, win, attempt)
-                            h, w = win.frames.shape[1:3]
-                            frames += win.count
-                            pixels += win.count * h * w
+                    wins = (
+                        pipe.decode_resilient(data, recovery=rec)
+                        if resilient else pipe.decode(data)
+                    )
+                    for win in wins:
+                        if deliver is not None:
+                            deliver(si, win, attempt)
+                        h, w = win.frames.shape[1:3]
+                        frames += win.count
+                        pixels += win.count * h * w
                     with lock:  # commit only on success (no double counting)
                         stats.frames += frames
                         stats.pixels += pixels
@@ -190,14 +218,7 @@ class StreamPool:
                         errors.append(e)
 
         t0 = time.perf_counter()
-        threads = [
-            threading.Thread(target=worker, args=(i, d), daemon=True)
-            for i, d in enumerate(streams)
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        self._run_bounded(len(streams), max_concurrent, worker)
         stats.wall_s = time.perf_counter() - t0
         if errors:
             raise errors[0]
@@ -225,21 +246,19 @@ class StreamPool:
 
         stats = ServeStats(streams=len(feeds))
         lock = threading.Lock()
-        sem = threading.Semaphore(max_concurrent)
         errors: list[Exception] = []
         deliver = self._make_deliver(sink)
 
-        def worker(si: int, src):
+        def worker(si: int):
             pipe = self.pipelines[si % len(self.pipelines)]
             frames = pixels = 0
             try:
-                with sem:
-                    for win in decode_live(src, pipeline=pipe):
-                        if deliver is not None:
-                            deliver(si, win, 0)
-                        h, w = win.frames.shape[1:3]
-                        frames += win.count
-                        pixels += win.count * h * w
+                for win in decode_live(feeds[si], pipeline=pipe):
+                    if deliver is not None:
+                        deliver(si, win, 0)
+                    h, w = win.frames.shape[1:3]
+                    frames += win.count
+                    pixels += win.count * h * w
                 with lock:
                     stats.frames += frames
                     stats.pixels += pixels
@@ -247,14 +266,7 @@ class StreamPool:
                 errors.append(e)
 
         t0 = time.perf_counter()
-        threads = [
-            threading.Thread(target=worker, args=(i, f), daemon=True)
-            for i, f in enumerate(feeds)
-        ]
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
+        self._run_bounded(len(feeds), max_concurrent, worker)
         stats.wall_s = time.perf_counter() - t0
         if errors:
             raise errors[0]
@@ -301,9 +313,18 @@ class StreamPool:
         from ..core import format as fmt
 
         buckets: dict[tuple[int, int], list[int]] = {}
+        # Expected frame count per clip, straight from the O(1) header
+        # (num_iframes == trailer entries == GOP heads): completion is
+        # detected on the clip's OWN last frame.  Reading it here avoids
+        # an O(frames) index_frames chain walk per clip per attempt that
+        # decode_streams immediately repeats internally.
+        expected: list[int] = []
         for i, d in enumerate(streams):
             hdr = fmt.FileHeader.unpack(d)
             buckets.setdefault((hdr.width, hdr.height), []).append(i)
+            expected.append(
+                hdr.num_iframes if iframes_only else hdr.num_frames
+            )
         # Split each geometry bucket across the pool's pipelines so a
         # single-geometry farm still uses every device.
         work: list[list[int]] = []
@@ -343,20 +364,13 @@ class StreamPool:
                 done.add(open_gsi)
                 open_gsi, open_frames, open_pixels = None, 0, 0
 
-            from ..core import format as fmt
-
             datas = [streams[i] for i in subset]
-            # Expected frame count per clip: completion is detected on the
+            # Expected counts come from the clips' headers (computed once,
+            # up in the bucketing pass): completion is detected on the
             # clip's OWN last frame, not when the next clip happens to
             # start — a failure at the seam must not re-deliver a clip
             # whose every frame already went out.
-            expect = []
-            for d in datas:
-                ix = fmt.index_frames(d)
-                expect.append(
-                    int(ix.is_iframe.sum()) if iframes_only
-                    else ix.num_frames
-                )
+            expect = [expected[i] for i in subset]
             for si, fi, frame in pipe.decode_streams(
                 datas, iframes_only=iframes_only, scale=scale
             ):

@@ -36,6 +36,29 @@ def test_pool_decodes_concurrent_streams_bit_exact():
             np.testing.assert_array_equal(fr, want[fi])
 
 
+def test_pool_bounds_worker_threads():
+    """decode_all over many streams creates at most max_concurrent worker
+    threads (a 10,000-clip archive must not spawn 10,000 OS threads)."""
+    import threading
+
+    rng = np.random.default_rng(3)
+    frames = make_test_frames(rng, num_frames=4, h=16, w=16)
+    data = encoder.encode_frames(frames, max_i_interval=4)
+    streams = [data] * 24
+    peak = []
+
+    def sink(si, win):
+        peak.append(threading.active_count())
+
+    before = threading.active_count()
+    pool = StreamPool(DecodeConfig(frames_per_batch=4, use_pallas=False))
+    stats = pool.decode_all(streams, sink=sink, max_concurrent=3)
+    assert stats.frames == 4 * 24
+    # 3 workers + each stream's pipeline producer threads; the old
+    # thread-per-stream code put all 24 stream threads up at once.
+    assert max(peak) - before < 24
+
+
 def test_pool_retry_surfaces_attempt_to_sink():
     """A mid-decode failure retries the stream and redelivers with
     attempt > 0 so non-idempotent sinks can de-duplicate (VERDICT r1
