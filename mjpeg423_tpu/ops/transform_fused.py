@@ -51,15 +51,24 @@ def _idct_cm(xcm: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.stack(out, axis=0), 0, 255)  # [outcol, row, Tb]
 
 
-def _make_kernel(w_frames: int):
-    def kernel(seg_ref, quants_ref, amps_ref, carry_ref, out_ref,
-               carry_out_ref, state):
-        """One block-row of the frame, all frames of the window.
+def _window_body(w_frames: int, cm_state: bool):
+    """The ONE fused-window kernel body, shared by all three input
+    variants (block-major, coefficient-major, int8-packed).  They differ
+    only in how the dequantized delta is loaded — `load_delta(p, f)` —
+    and in the state orientation: cm_state=True keeps (64, lanes)
+    coefficient-major tiles the IDCT consumes directly, cm_state=False
+    keeps (lanes, 64) block-major tiles that transpose in VMEM.  One body
+    means a color-math or packing fix can never drift between variants
+    (the same rule the native 16x16 transpose follows).
 
-        state: VMEM scratch (3, bw, 64) int16 — the running coefficient
-        state (the MPEG_WORKING_BUFFER DCAC analog,
-        mpeg423_decoder_ext.h:35-41).
-        """
+    Per frame: state update (I: replace, P: += int16 — the
+    MPEG_WORKING_BUFFER DCAC analog, mpeg423_decoder_ext.h:35-41) ->
+    islow IDCT -> color convert + BGRA pack -> blocked store.  The
+    wrapper does the raster transpose in XLA (a lane-interleaving reshape
+    is not Mosaic-expressible); out layout [W, outcol, brow, row, bw]
+    keeps the grid-blocked brow dim out of the tiled last-two dims.
+    """
+    def body(seg_ref, load_delta, carry_ref, out_ref, carry_out_ref, state):
         for p in range(3):
             state[p] = carry_ref[p, 0]
 
@@ -67,18 +76,12 @@ def _make_kernel(w_frames: int):
             is_i = seg_ref[f, 0] != 0
             planes = []
             for p in range(3):
-                amp = amps_ref[p, f, 0]                 # (bw, 64) int16
-                # quants_ref rows: [yq, cq]; planes (y, cb, cr) -> (0, 1, 1).
-                # Multiply in int32 (v5e has no 16-bit vector multiply) and
-                # truncate — identical to the int16 modular product.
-                delta = (
-                    amp.astype(_I32) * quants_ref[min(p, 1)].astype(_I32)
-                ).astype(jnp.int16)
+                delta = load_delta(p, f)
                 st = jnp.where(
                     is_i, delta, (state[p] + delta).astype(jnp.int16)
                 )
                 state[p] = st
-                planes.append(_idct_cm(st.T))           # (8, 8, bw) int32
+                planes.append(_idct_cm(st if cm_state else st.T))
             y, cb, cr = planes
             cb = cb - _I32(128)
             cr = cr - _I32(128)
@@ -91,17 +94,43 @@ def _make_kernel(w_frames: int):
                 | jax.lax.shift_left(g, _I32(8))
                 | jax.lax.shift_left(r, _I32(16))
             ).astype(jnp.uint32)                        # [outcol, row, bw]
-            # Store in blocked [outcol, row, bw] layout as-is; the wrapper
-            # does the raster transpose in XLA (a lane-interleaving reshape
-            # is not Mosaic-expressible, and the transpose outside costs one
-            # 2x raster-size HBM pass).  Out layout [W, outcol, brow, row, bw]
-            # keeps the grid-blocked brow dim out of the tiled last-two dims.
             out_ref[f, :, 0] = packed
             return 0
 
         jax.lax.fori_loop(0, w_frames, frame_body, 0)
         for p in range(3):
             carry_out_ref[p, 0] = state[p]
+
+    return body
+
+
+def _unfold_raster(frames, w_frames: int, blocks_h: int, blocks_w: int,
+                   k: int):
+    """Undo the k-fold and the blocked layout in one XLA transpose:
+    [W, outcol, g, row, k, bw] -> [W, g, k, row, bw, outcol] -> raster."""
+    groups = blocks_h // k
+    x = frames.reshape(w_frames, 8, groups, 8, k, blocks_w)
+    return x.transpose(0, 2, 4, 3, 5, 1).reshape(
+        w_frames, blocks_h * 8, blocks_w * 8
+    )
+
+
+def _make_kernel(w_frames: int):
+    def kernel(seg_ref, quants_ref, amps_ref, carry_ref, out_ref,
+               carry_out_ref, state):
+        """Block-major variant: state scratch (3, bw, 64) int16."""
+        def load_delta(p, f):
+            amp = amps_ref[p, f, 0]                     # (bw, 64) int16
+            # quants_ref rows: [yq, cq]; planes (y, cb, cr) -> (0, 1, 1).
+            # Multiply in int32 (v5e has no 16-bit vector multiply) and
+            # truncate — identical to the int16 modular product.
+            return (
+                amp.astype(_I32) * quants_ref[min(p, 1)].astype(_I32)
+            ).astype(jnp.int16)
+
+        _window_body(w_frames, cm_state=False)(
+            seg_ref, load_delta, carry_ref, out_ref, carry_out_ref, state
+        )
 
     return kernel
 
@@ -213,11 +242,7 @@ def decode_window_fused(
     new_carry = new_carry.reshape(3, b, 64)
     if not raster:
         return frames, new_carry
-    # [W, outcol, g, row, k, bw] -> [W, g, k, row, bw, outcol] -> raster
-    x = frames.reshape(w_frames, 8, groups, 8, k, blocks_w)
-    return x.transpose(0, 2, 4, 3, 5, 1).reshape(
-        w_frames, blocks_h * 8, blocks_w * 8
-    ), new_carry
+    return _unfold_raster(frames, w_frames, blocks_h, blocks_w, k), new_carry
 
 
 def _make_kernel_cm(w_frames: int):
@@ -227,41 +252,16 @@ def _make_kernel_cm(w_frames: int):
         neither the state nor the IDCT input needs an in-VMEM transpose
         (the kernel is VPU-bound, not bandwidth-bound — transposes were
         measurable).  State scratch is (3, 64, bw) coefficient-major."""
-        for p in range(3):
-            state[p] = carry_ref[p, 0]
+        def load_delta(p, f):
+            amp = amps_ref[p, f, 0]                     # (64, bw) int16
+            # Widen before the (64,) -> (64, 1) reshape: Mosaic only
+            # supports non-no-op minor-dim insertion on 32-bit types.
+            q = quants_ref[min(p, 1)].astype(_I32).reshape(64, 1)
+            return (amp.astype(_I32) * q).astype(jnp.int16)
 
-        def frame_body(f, _):
-            is_i = seg_ref[f, 0] != 0
-            planes = []
-            for p in range(3):
-                amp = amps_ref[p, f, 0]                 # (64, bw) int16
-                # Widen before the (64,) -> (64, 1) reshape: Mosaic only
-                # supports non-no-op minor-dim insertion on 32-bit types.
-                q = quants_ref[min(p, 1)].astype(_I32).reshape(64, 1)
-                delta = (amp.astype(_I32) * q).astype(jnp.int16)
-                st = jnp.where(
-                    is_i, delta, (state[p] + delta).astype(jnp.int16)
-                )
-                state[p] = st
-                planes.append(_idct_cm(st))             # no transpose
-            y, cb, cr = planes
-            cb = cb - _I32(128)
-            cr = cr - _I32(128)
-            yy = jax.lax.shift_left(y, _I32(T.COLOR_SHIFT))
-            r = _normalize_rgb(yy + _I32(T.C_CR_R) * cr)
-            g = _normalize_rgb(yy - _I32(T.C_CB_G) * cb - _I32(T.C_CR_G) * cr)
-            b = _normalize_rgb(yy + _I32(T.C_CB_B) * cb)
-            packed = (
-                b
-                | jax.lax.shift_left(g, _I32(8))
-                | jax.lax.shift_left(r, _I32(16))
-            ).astype(jnp.uint32)
-            out_ref[f, :, 0] = packed
-            return 0
-
-        jax.lax.fori_loop(0, w_frames, frame_body, 0)
-        for p in range(3):
-            carry_out_ref[p, 0] = state[p]
+        _window_body(w_frames, cm_state=True)(
+            seg_ref, load_delta, carry_ref, out_ref, carry_out_ref, state
+        )
 
     return kernel
 
@@ -360,11 +360,7 @@ def decode_window_fused_cm(
     )(seg_i, quants, amps_cm, carry_cm)
     if not raster:
         return frames, new_carry
-    # [W, outcol, g, row, k, bw] -> [W, g, k, row, bw, outcol] -> raster
-    x = frames.reshape(w_frames, 8, groups, 8, k, blocks_w)
-    return x.transpose(0, 2, 4, 3, 5, 1).reshape(
-        w_frames, blocks_h * 8, blocks_w * 8
-    ), new_carry
+    return _unfold_raster(frames, w_frames, blocks_h, blocks_w, k), new_carry
 
 
 def pack_amps_i8(amps):
@@ -392,43 +388,18 @@ def _make_kernel_i8(w_frames: int):
                carry_out_ref, state):
         """int8-AC variant of the fused window kernel (same math, the AC
         amplitudes widen in VMEM; DC merges into lane 0 via a select)."""
-        for p in range(3):
-            state[p] = carry_ref[p, 0]
+        def load_delta(p, f):
+            ac = ac_ref[p, f, 0].astype(_I32)              # (bw, 64)
+            dc = dc_ref[p, f, 0].astype(_I32)              # (bw, 1)
+            lane = jax.lax.broadcasted_iota(_I32, ac.shape, 1)
+            amp = jnp.where(lane == 0, dc, ac)
+            return (
+                amp * quants_ref[min(p, 1)].astype(_I32)
+            ).astype(jnp.int16)
 
-        def frame_body(f, _):
-            is_i = seg_ref[f, 0] != 0
-            planes = []
-            for p in range(3):
-                ac = ac_ref[p, f, 0].astype(_I32)          # (bw, 64)
-                dc = dc_ref[p, f, 0].astype(_I32)          # (bw, 1)
-                lane = jax.lax.broadcasted_iota(_I32, ac.shape, 1)
-                amp = jnp.where(lane == 0, dc, ac)
-                delta = (
-                    amp * quants_ref[min(p, 1)].astype(_I32)
-                ).astype(jnp.int16)
-                st = jnp.where(
-                    is_i, delta, (state[p] + delta).astype(jnp.int16)
-                )
-                state[p] = st
-                planes.append(_idct_cm(st.T))
-            y, cb, cr = planes
-            cb = cb - _I32(128)
-            cr = cr - _I32(128)
-            yy = jax.lax.shift_left(y, _I32(T.COLOR_SHIFT))
-            r = _normalize_rgb(yy + _I32(T.C_CR_R) * cr)
-            g = _normalize_rgb(yy - _I32(T.C_CB_G) * cb - _I32(T.C_CR_G) * cr)
-            b = _normalize_rgb(yy + _I32(T.C_CB_B) * cb)
-            packed = (
-                b
-                | jax.lax.shift_left(g, _I32(8))
-                | jax.lax.shift_left(r, _I32(16))
-            ).astype(jnp.uint32)
-            out_ref[f, :, 0] = packed
-            return 0
-
-        jax.lax.fori_loop(0, w_frames, frame_body, 0)
-        for p in range(3):
-            carry_out_ref[p, 0] = state[p]
+        _window_body(w_frames, cm_state=False)(
+            seg_ref, load_delta, carry_ref, out_ref, carry_out_ref, state
+        )
 
     return kernel
 
@@ -522,9 +493,7 @@ def decode_window_fused_i8(
     new_carry = new_carry.reshape(3, b, 64)
     if not raster:
         return frames, new_carry
-    return frames.transpose(0, 2, 3, 4, 1).reshape(
-        w_frames, blocks_h * 8, blocks_w * 8
-    ), new_carry
+    return _unfold_raster(frames, w_frames, blocks_h, blocks_w, 1), new_carry
 
 
 def pick_fold(rows: int, bw: int, *, target: int, lane_cap: int) -> int:
