@@ -95,6 +95,17 @@ def decode_transform_sharded(
             interpret=interpret, raster=raster,
         )
 
+    if not raster:
+        # Only the fused delegation above can emit the blocked layout; the
+        # XLA / cross-device-carry paths below are structurally raster
+        # (out_specs are 3-D).  Returning raster under raster=False would
+        # hand the caller the wrong layout silently.
+        raise ValueError(
+            "raster=False requires the fused kernel path (use_pallas=True "
+            "with gop_aligned=True or n_data == 1); the XLA and "
+            "cross-device-carry paths produce raster frames only"
+        )
+
     yq, cq = transform_jax.quant_tensors()
 
     def body(ay, acb, acr, seg):
@@ -263,7 +274,6 @@ def decode_stream_sharded(
     gop_aligned: bool | None = None,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
-    decode_plane=None,
 ) -> "jnp.ndarray":
     """Whole-container sharded decode: bytes -> (F, H, W) uint32 frames.
 
@@ -285,9 +295,8 @@ def decode_stream_sharded(
     decode.  Only the research configurations that structurally need the
     whole frame axis at once stay whole-stream here: block-axis sharding
     (amplitudes shard over blocks, every frame participates in one
-    dispatch), non-GOP-aligned splits (the cross-device carry all-gather
-    runs over the full segmented scan), and custom ``decode_plane``
-    injection (tests).
+    dispatch) and non-GOP-aligned splits (the cross-device carry
+    all-gather runs over the full segmented scan).
     """
     import numpy as np
 
@@ -308,7 +317,7 @@ def decode_stream_sharded(
     block_sharded = (
         BLOCK_AXIS in mesh.axis_names and mesh.shape[BLOCK_AXIS] > 1
     )
-    if gop_aligned and not block_sharded and decode_plane is None:
+    if gop_aligned and not block_sharded:
         # The pipeline auto-interprets Pallas off-TPU; interpret=True
         # therefore means "force the fused kernel" so it stays under test
         # on CPU even when the caller left use_pallas unset.
@@ -409,11 +418,12 @@ def decode_stream_sharded(
             interpret=interpret, raster=False,
         )
     elif not use_pallas:
+        # The XLA path is structurally raster; asking it for the blocked
+        # layout is a ValueError there, so don't.
         args = shard_inputs(mesh, amps[0], amps[1], amps[2], seg)
         padded = decode_transform_sharded(
             *args, mesh=mesh, blocks_h=blocks_h, blocks_w=blocks_w,
             gop_aligned=True, use_pallas=use_pallas, interpret=interpret,
-            raster=False,
         )
     h, w = blocks_h * 8, blocks_w * 8
     out = np.empty((nf, h, w), dtype=np.uint32)

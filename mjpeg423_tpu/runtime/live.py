@@ -193,6 +193,13 @@ def _iter_raw_windows(src: ByteSource, window: int, *,
     width, height = header.width, header.height
     if not width or not height or width % 8 or height % 8:
         raise ValueError(f"bad live geometry {width}x{height}")
+    if width > 16384 or height > 16384:
+        # The worst-case frame budget below (max_frame) derives from this
+        # UNVALIDATED header: an absurd geometry would inflate it to tens
+        # of GB and defeat the anti-buffering guard — a hostile 16-byte
+        # header must not license unbounded host-RAM buffering.  16384
+        # (2x 8K) bounds max_frame to ~3.8 GB worst case.
+        raise ValueError(f"implausible live geometry {width}x{height}")
     nf = header.num_frames  # 0 = open-ended: frames until EOF
     nb = header.blocks_per_plane
     # 4 bytes/coefficient/plane is beyond any legal encoding (the VLI caps
@@ -215,12 +222,13 @@ def _iter_raw_windows(src: ByteSource, window: int, *,
         )
         return fs, ok
 
-    def scan_iframe() -> bool:
+    def scan_iframe(dropped: int = 0) -> bool:
         """Drop bytes until a chain-validated I-frame header heads the
         buffer; crosses source gaps (post-gap bytes never concatenate with
-        pre-gap bytes).  False = all sources exhausted first."""
+        pre-gap bytes).  False = all sources exhausted first.  `dropped`
+        seeds the byte-loss accounting with bytes the caller already
+        skipped (the corrupt-header pos+=1 escape)."""
         nonlocal buf, pos, gap_pending
-        dropped = 0
         while True:
             if gap_pending:
                 # Bytes across a gap are discontinuous: drop the remainder.
@@ -301,7 +309,7 @@ def _iter_raw_windows(src: ByteSource, window: int, *,
         ):
             if resync:
                 pos += 1  # the bytes at pos are NOT a frame: skip into scan
-                if not scan_iframe():
+                if not scan_iframe(dropped=1):  # count the escaped byte too
                     break
                 continue
             raise ValueError(f"corrupt frame at frame {done}")
@@ -395,6 +403,11 @@ def decode_live(
     """
     if recovery is not None and not resync:
         raise ValueError("recovery accounting requires resync=True")
+    if pipeline is not None and config is not None:
+        raise ValueError(
+            "pass config OR pipeline, not both — a given pipeline decodes "
+            "with ITS config and the other would be silently ignored"
+        )
     pipe = pipeline or DecodePipeline(
         config=config, profiler=profiler, device=device
     )

@@ -68,6 +68,14 @@ def play_live(
     """
     from .live import decode_live
 
+    if pipeline is not None and config is not None:
+        # decode_live ignores `config` whenever `pipeline` is given, so
+        # pacing would resolve from one config while windowing/latency
+        # ran on the other — a silent split.  Make the caller pick one.
+        raise ValueError(
+            "pass config OR pipeline, not both (decode would run on "
+            "pipeline.config while pacing read the other config)"
+        )
     cfg = config or (pipeline.config if pipeline else DecodeConfig())
     if paced is None:
         paced = cfg.force_periodic
@@ -311,8 +319,12 @@ class Player:
             while start_frame is not None:
                 restart: int | None = None
                 next_deadline = time.perf_counter() + period
+                # Reuse the index built at load: decode() would otherwise
+                # re-walk the whole frame-header chain on EVERY FF/RW/seek
+                # restart — O(num_frames) of avoidable seek latency.
                 gen = self.pipeline.decode(
-                    self.data, start_frame, stop=stop, scale=scale
+                    self.data, start_frame, stop=stop, scale=scale,
+                    _index=self.index,
                 )
                 try:
                     for win in gen:

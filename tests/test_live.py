@@ -262,6 +262,10 @@ def test_live_resync_corrupt_header_same_source(stream, stored_frames):
     )
     np.testing.assert_array_equal(got, want)
     assert rec.resyncs == 1
+    # EXACT byte-loss accounting: everything from frame 9's header to the
+    # recovery I-frame's header was discarded (incl. the pos+=1 escape
+    # byte — the accounting was once off by one).
+    assert rec.gaps == [(9, bounds[next_i][0] - bounds[9][0])]
 
 
 def test_live_resync_requires_flag(stream):
