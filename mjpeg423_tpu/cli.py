@@ -64,21 +64,18 @@ def cmd_info(args) -> int:
         # Entropy-parse every plane (windowed, host-only) and report the
         # first corruption — the integrity check the reference could only
         # do by playing the file to the failure point.
-        from .native import centropy
+        from .codec.transcode import _parse_window_amps
 
         nb = h.blocks_per_plane
         bad = None
         win = 64
+        # One reused window buffer; the plane-major window parse itself is
+        # the transcoder's (_parse_window_amps), not a second copy of it.
+        flat = np.empty((3 * win, nb, 64), np.int16)
         for s in range(0, h.num_frames, win):
             c = min(win, h.num_frames - s)
-            sl = slice(s, s + c)
-            offs = index.plane_off[:, sl].reshape(-1)
-            lens = index.plane_len[:, sl].reshape(-1)
-            is_p = np.broadcast_to(
-                index.frame_type[sl] != 0, (3, c)
-            ).reshape(-1)
             try:
-                centropy.decode_batch(data, offs, lens, is_p, nb)
+                _parse_window_amps(data, index, s, c, flat)
             except ValueError as e:
                 # item index i = plane * c + frame_offset
                 import re
@@ -194,6 +191,12 @@ def cmd_decode(args) -> int:
         elif npy_frames:
             np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
                     np.stack([npy_frames[k] for k in sorted(npy_frames)]))
+        else:
+            # Zero frames delivered (e.g. an immediately-EOF live stream):
+            # the promised artifact must still exist — a consumer must see
+            # an empty stack, not a missing file with exit status 0.
+            np.save(os.path.join(args.outdir, f"{args.prefix}frames.npy"),
+                    np.zeros((0, 0, 0), np.uint32))
     print(f"decoded {n} frames in {dt:.3f}s ({n / dt:.1f} frames/s)",
           file=sys.stderr)
     if rec is not None and rec.skipped:
@@ -240,7 +243,9 @@ def cmd_encode(args) -> int:
     for p in args.inputs:
         if p.endswith(".npy"):
             arr = np.load(p)
-            if arr.ndim == 3:
+            if arr.ndim == 2:  # (H, W) single packed frame, not H rows
+                arr = arr[None]
+            elif arr.ndim == 3:
                 arr = arr[None] if arr.shape[-1] == 3 else arr
             if arr.ndim == 4:  # (F, H, W, 3)
                 frames.extend(list(arr))
@@ -457,7 +462,9 @@ def cmd_play(args) -> int:
                     file=sys.stderr,
                 )
             rounds += 1
-            if control["quit"] or not args.loop or rounds >= args.loop:
+            # --loop N = N ADDITIONAL passes (N+1 total), matching the
+            # help text: --loop 1 plays twice, not once.
+            if control["quit"] or rounds > args.loop:
                 break
     finally:
         control["quit"] = True
@@ -634,7 +641,8 @@ def main(argv=None) -> int:
     p.add_argument("--no-pallas", action="store_true")
     p.add_argument("--start-s", type=float, default=0.0)
     p.add_argument("--loop", type=int, default=0,
-                   help="repeat the playlist N times (0 = once)")
+                   help="repeat the playlist N more times after the first "
+                        "pass (0 = play once, 1 = play twice)")
     p.add_argument("--interactive", action="store_true",
                    help="stdin key control: space/p pause, f FF, r RW, "
                         "n next, q quit")

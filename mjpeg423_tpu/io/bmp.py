@@ -54,6 +54,15 @@ def _decode_rle(data: bytes, offset: int, w: int, h: int, rle4: bool
                 ) -> np.ndarray:
     """RLE8/RLE4 -> (H, W) palette indices, bottom-up rows like BI_RGB
     (libnsbmp bmp_decode_rle semantics: delta, EOL, EOB escapes)."""
+    # Unlike the BI_RGB paths (where np.frombuffer(count=...) ties the
+    # dimensions to actual payload bytes), RLE dims come purely from the
+    # header, and the EOB/delta escapes make tiny payloads LEGITIMATE for
+    # any image size — so the guard must be an absolute pixel cap, not
+    # payload coupling.  2^28 pixels (16Kx16K) bounds the (h, w) + x3
+    # palette expansion to ~1 GB; without it a <100-byte file claiming
+    # 2^20 x 2^20 demands terabytes before any decode runs.
+    if h * w > 1 << 28:
+        raise ValueError(f"implausible RLE BMP dimensions {w}x{h}")
     out = np.zeros((h, w), dtype=np.uint8)
     x = y = 0
     i = offset
@@ -203,9 +212,13 @@ def read_bmp(path: str) -> np.ndarray:
         for c, m in enumerate((rm, gm, bm)):
             shift, width = _mask_shift(m)
             v = (px >> shift) & ((1 << width) - 1)
-            # scale channel to 8 bits (replicate top bits, libnsbmp-style)
+            # scale channel to 8 bits (replicate top bits, libnsbmp-style);
+            # >8-bit masks (e.g. 2-10-10-10) keep the TOP 8 bits — a plain
+            # uint8 cast would keep the low 8 (v mod 256), garbage colors.
             if width and width < 8:
                 v = (v * 255) // ((1 << width) - 1)
+            elif width > 8:
+                v = v >> (width - 8)
             out[..., c] = v.astype(np.uint8)
         if flip:
             out = out[::-1]
@@ -235,6 +248,8 @@ def read_bmp(path: str) -> np.ndarray:
                 v = (words >> shift) & ((1 << width) - 1)
                 if width and width < 8:
                     v = (v * 255) // ((1 << width) - 1)
+                elif width > 8:  # >8-bit masks: top 8 bits, not v mod 256
+                    v = v >> (width - 8)
                 out[..., c] = v.astype(np.uint8)
             return out
         # BGR(A) -> RGB

@@ -48,9 +48,29 @@ class StreamReader:
         return [e.frame_index for e in self._trailer]
 
     def iter_gops(self, start_gop: int = 0) -> Iterator[GopChunk]:
-        """Yield GOP chunks, parsing frame headers in a prefetch thread."""
+        """Yield GOP chunks, parsing frame headers in a prefetch thread.
+
+        Producer failures (a corrupt frame chain mid-container) cross the
+        queue and re-raise in the consumer — a silent truncated GOP stream
+        would be worse than the reference's loud spin on a failed read
+        (core1/main.c:154), the same rule the pipeline's _StageError
+        follows."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Put unless the consumer abandoned the generator (stop set).
+            A plain blocking put could deadlock the sentinel: with the
+            queue full, the consumer's teardown drain races the producer's
+            in-flight put, and the final sentinel put then blocks forever
+            on a full queue nobody reads."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             starts = self.gop_starts
@@ -69,9 +89,12 @@ class StreamReader:
                     for _ in range(e - s):
                         frame, offset = fmt.parse_frame_at(self.data, offset)
                         frames.append(frame)
-                    q.put(GopChunk(gi, s, e - s, frames))
+                    if not _put(GopChunk(gi, s, e - s, frames)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — re-raised by consumer
+                _put(e)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -80,6 +103,8 @@ class StreamReader:
                 chunk = q.get()
                 if chunk is None:
                     return
+                if isinstance(chunk, BaseException):
+                    raise chunk
                 yield chunk
         finally:
             stop.set()

@@ -82,18 +82,25 @@ class Profiler:
         self.probe(name).add(float(nbytes))
 
     def start_trace(self) -> None:
-        if self.trace_dir and not self._tracing:
-            import jax
-
-            jax.profiler.start_trace(self.trace_dir)
+        # _lock guards the check-then-act: two pool threads sharing one
+        # Profiler must not both reach jax.profiler.start_trace (the
+        # second raises "profiler already started").
+        with self._lock:
+            if not self.trace_dir or self._tracing:
+                return
             self._tracing = True
+        import jax
+
+        jax.profiler.start_trace(self.trace_dir)
 
     def stop_trace(self) -> None:
-        if self._tracing:
-            import jax
-
-            jax.profiler.stop_trace()
+        with self._lock:
+            if not self._tracing:
+                return
             self._tracing = False
+        import jax
+
+        jax.profiler.stop_trace()
 
     def report(self) -> dict[str, dict]:
         with self._lock:
