@@ -345,15 +345,26 @@ def test_live_abandoned_generator_shuts_down(stream):
     )
     next(gen)
     gen.close()
-    # Reader/deliverer threads exit (in-memory source never blocks).  The
-    # deadline is generous: under full-suite load on a small box, thread
-    # teardown has been observed to take seconds (a short wait here flaked).
+    # Reader/deliverer/parse-executor threads exit (in-memory source never
+    # blocks).  Filter to the threads decode_live OWNS — default CPython
+    # thread names carry the target ("Thread-N (reader)") and executor
+    # workers are "ThreadPoolExecutor-K_J" — so an unrelated thread
+    # spawning late elsewhere in the process (e.g. a runtime-internal
+    # pool) cannot flake this assertion.
+    def ours():
+        return [
+            t for t in threading.enumerate()
+            if t.ident not in before
+            and ("(reader)" in t.name or "(deliverer)" in t.name
+                 or t.name.startswith("ThreadPoolExecutor"))
+        ]
+
     for _ in range(300):
-        mine = [t for t in threading.enumerate() if t.ident not in before]
+        mine = ours()
         if not mine:
             break
         threading.Event().wait(0.1)
-    assert not mine, f"lingering threads: {mine}"
+    assert not mine, f"lingering decode_live threads: {mine}"
 
 
 def test_live_stop_predicate(stream):
