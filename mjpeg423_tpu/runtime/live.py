@@ -434,6 +434,20 @@ def decode_live(
     stop_flag = threading.Event()
     ex = ThreadPoolExecutor(max_workers=cfg.parse_workers or None)
 
+    def _put_or_drop(q_, item) -> bool:
+        """Put unless the consumer has abandoned the decode (stop set).
+        A plain blocking put can deadlock teardown: a data/sentinel put
+        that lands AFTER the generator's final queue drain blocks forever
+        on a full queue nobody reads — observed as a deliverer thread
+        outliving gen.close() whenever its last put raced the drain."""
+        while True:
+            try:
+                q_.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                if stop_flag.is_set():
+                    return False
+
     def reader():
         # Chains bytes into windows and submits parse jobs.  Separate from
         # the deliverer so a completed parse reaches the consumer even
@@ -445,20 +459,32 @@ def decode_live(
                     src, w, resync=resync, recovery=recovery):
                 if stop_flag.is_set():
                     return
-                futs_q.put((s, c, index, ex.submit(
+                fut = ex.submit(
                     pipe.parse_window, wbuf, index, 0, c,
                     want_packed, want_cm,
-                )))
+                )
+                if not _put_or_drop(futs_q, (s, c, index, fut)):
+                    fut.cancel()
+                    return
         except BaseException as e:
             err = e
         finally:
-            futs_q.put(_StageError(err) if err is not None else None)
+            _put_or_drop(
+                futs_q, _StageError(err) if err is not None else None
+            )
 
     def deliverer():
         err: BaseException | None = None
         try:
             while True:
-                item = futs_q.get()
+                try:
+                    item = futs_q.get(timeout=0.1)
+                except queue.Empty:
+                    # The reader may have dropped its sentinel during a
+                    # stop race; don't wait for one that never comes.
+                    if stop_flag.is_set():
+                        break
+                    continue
                 if item is None:
                     break
                 if isinstance(item, _StageError):
@@ -467,11 +493,14 @@ def decode_live(
                     item[3].cancel()
                     continue
                 s0, c0, ix0, f0 = item
-                parse_q.put((s0, c0, ix0, f0.result()))
+                if not _put_or_drop(parse_q, (s0, c0, ix0, f0.result())):
+                    break
         except BaseException as e:
             err = e
         finally:
-            parse_q.put(_StageError(err) if err is not None else None)
+            _put_or_drop(
+                parse_q, _StageError(err) if err is not None else None
+            )
 
     t_read = threading.Thread(target=reader, daemon=True)
     t = threading.Thread(target=deliverer, daemon=True)

@@ -566,6 +566,20 @@ class DecodePipeline:
         # so the carry layout below starts out right.
         want_cm = self._want_cm()
 
+        def _put_or_drop(item) -> bool:
+            """Put unless the consumer abandoned the generator (stop set).
+            A plain blocking put can deadlock the producer: a data or
+            sentinel put that lands AFTER the consumer's final teardown
+            drain blocks forever on a full queue nobody reads (observed
+            in decode_live's deliverer; same shape here)."""
+            while True:
+                try:
+                    parse_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop_flag.is_set():
+                        return False
+
         def producer():
             err: BaseException | None = None
             try:
@@ -599,11 +613,14 @@ class DecodePipeline:
                         s, c, fut = futs.pop(0)
                         res = fut.result()
                         submit_next()
-                        parse_q.put((s, c, res))
+                        if not _put_or_drop((s, c, res)):
+                            for _, _, f2 in futs:
+                                f2.cancel()
+                            break
             except BaseException as e:
                 err = e
             finally:
-                parse_q.put(_StageError(err) if err is not None else None)
+                _put_or_drop(_StageError(err) if err is not None else None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -852,6 +869,17 @@ class DecodePipeline:
         parse_q: queue.Queue = queue.Queue(maxsize=max(cfg.prefetch_batches, 1))
         stop_flag = threading.Event()
 
+        def _put_or_drop(item) -> bool:
+            """See decode()'s _put_or_drop: a put landing after the
+            consumer's final teardown drain must not block forever."""
+            while True:
+                try:
+                    parse_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop_flag.is_set():
+                        return False
+
         def producer():
             err: BaseException | None = None
             try:
@@ -876,11 +904,14 @@ class DecodePipeline:
                         t_, fut = futs.pop(0)
                         res = fut.result()
                         submit_next()
-                        parse_q.put(res)
+                        if not _put_or_drop(res):
+                            for _, f2 in futs:
+                                f2.cancel()
+                            break
             except BaseException as e:
                 err = e
             finally:
-                parse_q.put(_StageError(err) if err is not None else None)
+                _put_or_drop(_StageError(err) if err is not None else None)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
