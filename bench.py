@@ -203,7 +203,33 @@ def bench_encode(rng, f, b, h, w):
         f"stage=encode: {f} frames @ {w}x{h} -> {len(data) / 1e6:.1f} MB in "
         f"{dt * 1e3:.1f} ms = {f / dt:.1f} frames/s encode (host-native)"
     )
-    return {"frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}", **stats}
+    out = {
+        "frames_per_s": round(f / dt, 1), "geometry": f"{w}x{h}", **stats
+    }
+    # Device-assisted projection (keystone methodology): with the fused
+    # FDCT+quantize on-chip (encode_transform stage measures ~3,900 f/s
+    # @1080p) the host keeps convert + candidate sizes + pack.  Time one
+    # profiled rep, subtract the measured FDCT probe time, and report
+    # min(host-residual rate, device rate) with its inputs — the
+    # PCIe-class expectation (here the coefficients would cross the dev
+    # tunnel at ~1 MB/s, measuring the tunnel instead of the encoder).
+    from mjpeg423_tpu.utils.profile import Profiler
+
+    prof = Profiler()
+    t0 = time.perf_counter()
+    encoder.encode_frames(frames, profiler=prof)
+    total_s = time.perf_counter() - t0
+    rep = prof.report()
+    fdct_s = rep.get("encode/fdct", {}).get("total", 0.0)
+    resid_s = max(total_s - fdct_s, 1e-9)
+    out["host_residual_frames_per_s"] = round(f / resid_s, 1)
+    out["fdct_fraction"] = round(fdct_s / total_s, 3)
+    _log(
+        f"stage=encode: host residual (convert+sizes+pack, FDCT on-device) "
+        f"= {f / resid_s:.1f} frames/s; device-assisted projection = "
+        f"min(residual, encode_transform stage device rate)"
+    )
+    return out
 
 
 def bench_transcode(rng, f, b, h, w):
