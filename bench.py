@@ -1247,7 +1247,26 @@ def main():
             )
         out["stages"] = stages
 
-    print(json.dumps(out))
+    # Durable capture (VERDICT r3 #2): the full stage tree grew past the
+    # driver's tail-capture window in round 3, truncating the head and
+    # losing the machine-readable headline (BENCH_r03.json "parsed": null).
+    # The reference's profiling exists precisely to make numbers durable
+    # (profile.h:44-88) — so the full tree now goes to BENCH_FULL.json on
+    # disk, and stdout's LAST line is ONLY the short headline record.
+    if "stages" in out:
+        try:
+            full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "BENCH_FULL.json")
+            with open(full_path, "w") as fh:
+                json.dump(out, fh, indent=1)
+            _log(f"full stage tree -> {full_path}")
+        except OSError as e:
+            _log(f"BENCH_FULL.json write failed: {e}")
+        headline = {k: out[k] for k in ("metric", "value", "unit",
+                                        "vs_baseline") if k in out}
+        print(json.dumps(headline), flush=True)
+    else:
+        print(json.dumps(out))
     return 0
 
 
