@@ -226,6 +226,278 @@ MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
 }
 
 /* ------------------------------------------------------------------ */
+/* AVX-512 8-lane SIMD entropy decode (the round-4 chain breaker).
+ *
+ * The per-symbol accumulator dependency chain (~5 cycles: extract size,
+ * add header, shift) is the single-core wall of the scalar decoder
+ * (DESIGN.md §2: dual-stream interleave 0.53x, PGO noise, rs-byte LUT
+ * 0.71x — all measured).  This kernel breaks it the SIMD way: EIGHT
+ * independent plane bitstreams advance one symbol per lane per step, so
+ * one vector chain carries 8 streams.  All block-structure control flow
+ * is mask arithmetic (no speculation, no per-block branch):
+ *   - every symbol's bit advance is uniform (hdr + size, hdr = 8 for AC
+ *     / 4 for DC selected by the per-lane is_dc mask), so the vector
+ *     accumulator update is branch-free;
+ *   - refill is a clamped vpgatherqq + per-lane variable shifts; the
+ *     clamp at (stream_off + stream_len - 8) reproduces the scalar
+ *     reader's zero-pad-past-end semantics bit-for-bit;
+ *   - each lane's in-flight block accumulates in a 128-byte L1-resident
+ *     staging row (symbol stores are unconditional: masked-off lanes
+ *     write zeros to not-yet-written zigzag positions of their own
+ *     staging row, a no-op); completed rows flush contiguously, which
+ *     also replaces any upfront output memset;
+ *   - staging is double-buffered per lane and the flush is deferred one
+ *     step, so the 64-byte flush loads never hit the store-to-load
+ *     forwarding block of the same step's narrow stores (measured 24%
+ *     on this box);
+ *   - the flush itself is branchless for the <=1-completions case (a
+ *     9th dummy lane absorbs the no-op flush); >=2 lanes completing in
+ *     the same step (~4%) takes a predictable rarely-taken loop.
+ *
+ * Measured on the 1080p dense bench content: 282 frames/s single thread
+ * vs 170 scalar (1.67x, with the output fully written vs scalar needing
+ * a zeroed destination).  Bit-exact incl. I-frame DC chains, ZRL, early
+ * block termination, truncated streams (validated against
+ * mj423_decode_plane in tests/test_native.py and the fuzz suite).
+ * Reference analog: this is the stage the FPGA design gave two whole
+ * CPUs (core1/software/main.c:227-335, lossless_decode.c:101-133).
+ */
+#if defined(__AVX512F__) && defined(__AVX512BW__) && defined(__AVX512VBMI__)
+#define MJ_HAVE_LANES8 1
+
+/* zigzag natural positions pre-scaled by sizeof(int16_t) for vpermb.
+ * (A 4-byte-slot staging + vpscatterdd variant was measured and LOST:
+ * 257 -> 248 frames/s single-thread — the dword scatter's microcoded
+ * stores cost more than the spill+reload block it replaced.) */
+static const uint8_t ZZ2[64] = {
+    0,  2,  16, 32, 18, 4,  6,  20, 34, 48, 64, 50, 36, 22, 8,  10,
+    24, 38, 52, 66, 80, 96, 82, 68, 54, 40, 26, 12, 14, 28, 42, 56,
+    70, 84, 98, 112, 114, 100, 86, 72, 58, 44, 30, 46, 60, 74, 88, 102,
+    116, 118, 104, 90, 76, 62, 78, 92, 106, 120, 122, 108, 94, 110, 124, 126,
+};
+
+/* Flush one completed block: copy the 128-byte staging row to the
+ * output contiguously and rezero it.  Streaming (NT) stores were
+ * measured here and LOST (roughly half speed on the 1080p batch):
+ * this box's 260 MB L3 absorbs the regular stores' write-back — the
+ * rows stay resident for the H2D pack that consumes them — so forcing
+ * DRAM writes costs more than the read-for-ownership it saves. */
+#define MJ_FLUSH_LANE(NT_, s_, st_)                                     \
+  do {                                                                  \
+    __m512i r0_ = _mm512_load_si512(st_);                               \
+    __m512i r1_ = _mm512_load_si512((st_) + 32);                        \
+    if (NT_) {                                                          \
+      _mm512_stream_si512((__m512i*)rowp[s_], r0_);                     \
+      _mm512_stream_si512((__m512i*)(rowp[s_] + 32), r1_);              \
+    } else {                                                            \
+      _mm512_storeu_si512(rowp[s_], r0_);                               \
+      _mm512_storeu_si512(rowp[s_] + 32, r1_);                          \
+    }                                                                   \
+    _mm512_store_si512(st_, c0);                                        \
+    _mm512_store_si512((st_) + 32, c0);                                 \
+  } while (0)
+
+#define MJ_LANES_BODY(HAS_I, NT)                                                \
+  const __m512i c0 = _mm512_setzero_si512();                                \
+  const __m512i c1 = _mm512_set1_epi64(1);                                  \
+  const __m512i c4 = _mm512_set1_epi64(4);                                  \
+  const __m512i c8 = _mm512_set1_epi64(8);                                  \
+  const __m512i c15 = _mm512_set1_epi64(15);                                \
+  const __m512i c56 = _mm512_set1_epi64(56);                                \
+  const __m512i c62 = _mm512_set1_epi64(62);                                \
+  const __m512i c63q = _mm512_set1_epi64(63);                               \
+  const __m512i c64 = _mm512_set1_epi64(64);                                \
+  const __m512i c240 = _mm512_set1_epi64(0xF0);                             \
+  const __m512i bswc = _mm512_set_epi8(                                     \
+      8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,                 \
+      8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,                 \
+      8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7,                 \
+      8, 9, 10, 11, 12, 13, 14, 15, 0, 1, 2, 3, 4, 5, 6, 7);                \
+  const __m512i zztab = _mm512_loadu_si512(ZZ2);                            \
+  /* 8 lanes x 2 parity buffers, + row 16 as the dummy-flush source.        \
+   * 256-byte alignment is LOAD-BEARING: the parity toggle XORs bit 7       \
+   * of the lane's staging ADDRESS, which equals +128 only while the        \
+   * base keeps bit 7 clear — a 64-aligned base with bit 7 set makes        \
+   * the toggle step into the neighbor lane's buffer (caught by             \
+   * tests/test_native.py when OpenMP stacks shifted the base). */          \
+  int16_t staging[17 * 64] __attribute__((aligned(256)));                   \
+  int16_t sink[64] __attribute__((aligned(64)));                            \
+  memset(staging, 0, sizeof(staging));                                      \
+  __m512i stag = _mm512_set_epi64(                                          \
+      (uint64_t)(uintptr_t)(staging + 14 * 64),                             \
+      (uint64_t)(uintptr_t)(staging + 12 * 64),                             \
+      (uint64_t)(uintptr_t)(staging + 10 * 64),                             \
+      (uint64_t)(uintptr_t)(staging + 8 * 64),                              \
+      (uint64_t)(uintptr_t)(staging + 6 * 64),                              \
+      (uint64_t)(uintptr_t)(staging + 4 * 64),                              \
+      (uint64_t)(uintptr_t)(staging + 2 * 64),                              \
+      (uint64_t)(uintptr_t)(staging + 0 * 64));                             \
+  const __m512i c128b = _mm512_set1_epi64(128);                             \
+  __m512i pos = _mm512_loadu_si512(off);                                    \
+  __m512i limit;                                                            \
+  {                                                                         \
+    uint64_t lim[8];                                                        \
+    for (int s = 0; s < 8; s++) lim[s] = off[s] + len[s] - 8;               \
+    limit = _mm512_loadu_si512(lim);                                        \
+  }                                                                         \
+  __m512i acc = c0, bitcnt = c0;                                            \
+  __m512i index = c0, cur = c0;                                             \
+  __m512i blocks_left = _mm512_set1_epi64((uint64_t)num_blocks);            \
+  int16_t* rowp[9];                                                         \
+  int adv[9];                                                               \
+  for (int s = 0; s < 8; s++) { rowp[s] = outp[s]; adv[s] = 64; }           \
+  rowp[8] = sink; adv[8] = 0;                                               \
+  __mmask8 k_isp = 0;                                                       \
+  for (int s = 0; s < 8; s++) if (isp[s]) k_isp |= (__mmask8)(1u << s);     \
+  __mmask8 is_dc = 0xFF;                                                    \
+  unsigned active = 0xFF, pending = 0, parity = 0;                          \
+  __mmask8 err = 0;                                                         \
+  while (active) {                                                          \
+    { /* refill to >= 56 bits per lane (clamped, zero-pad past end) */      \
+      __m512i aidx = _mm512_min_epu64(pos, limit);                          \
+      __m512i w = _mm512_i64gather_epi64(aidx, (const long long*)data, 1);  \
+      w = _mm512_shuffle_epi8(w, bswc);                                     \
+      __m512i past = _mm512_slli_epi64(_mm512_sub_epi64(pos, aidx), 3);     \
+      w = _mm512_sllv_epi64(w, past);                                       \
+      acc = _mm512_or_si512(acc, _mm512_srlv_epi64(w, bitcnt));             \
+      pos = _mm512_add_epi64(                                               \
+          pos, _mm512_srli_epi64(_mm512_sub_epi64(c63q, bitcnt), 3));       \
+      bitcnt = _mm512_or_si512(bitcnt, c56);                                \
+    }                                                                       \
+    /* two symbol steps per refill: 2 x 23 worst-case bits <= 56 */         \
+    for (int step = 0; step < 2; step++) {                                  \
+      __mmask8 k_act = (__mmask8)active;                                    \
+      __m512i a = acc;                                                      \
+      __m512i top4 = _mm512_srli_epi64(a, 60);     /* AC run / DC size */   \
+      __m512i rs = _mm512_srli_epi64(a, 56);                                \
+      __m512i asize = _mm512_and_si512(rs, c15);                            \
+      __m512i size = _mm512_mask_blend_epi64(is_dc, asize, top4);           \
+      __m512i hdr = _mm512_mask_blend_epi64(is_dc, c8, c4);                 \
+      __m512i t = _mm512_sllv_epi64(a, hdr);                                \
+      __m512i vb = _mm512_srlv_epi64(t, _mm512_sub_epi64(c64, size));       \
+      /* huff_extend: negative iff the size-bit field's top bit is clear */ \
+      __m512i msb = _mm512_sllv_epi64(c1, _mm512_sub_epi64(size, c1));      \
+      __mmask8 k_neg = _mm512_testn_epi64_mask(vb, msb);                    \
+      __m512i bias = _mm512_sub_epi64(_mm512_sllv_epi64(c1, size), c1);     \
+      __m512i amp = _mm512_mask_sub_epi64(vb, k_neg, vb, bias);             \
+      __mmask8 k_ac = k_act & (__mmask8)~is_dc;                             \
+      __mmask8 k_sz0 = _mm512_cmpeq_epi64_mask(asize, c0);                  \
+      __mmask8 k_code = k_ac & (__mmask8)~k_sz0;                            \
+      __mmask8 k_zrl = k_ac & k_sz0 & _mm512_cmpeq_epi64_mask(rs, c240);    \
+      __mmask8 k_eob = k_ac & k_sz0 & (__mmask8)~k_zrl;                     \
+      __m512i ln = _mm512_add_epi64(hdr, size);                             \
+      acc = _mm512_sllv_epi64(a, ln);                                       \
+      bitcnt = _mm512_sub_epi64(bitcnt, ln);                                \
+      /* posz==0 on DC lanes: ZZ2[0]==0 makes the store path uniform and   \
+       * index = posz+1 lands on 1 after the DC with no extra select */    \
+      __m512i posz = _mm512_maskz_add_epi64((__mmask8)~is_dc, index, top4); \
+      err |= (k_code | k_zrl) & _mm512_cmpgt_epi64_mask(posz, c63q);        \
+      __mmask8 k_done = k_eob |                                             \
+          (k_code & _mm512_cmpgt_epi64_mask(posz, c62));                    \
+      index = _mm512_mask_add_epi64(index, k_act, posz, c1);                \
+      __m512i val = amp;                                                    \
+      if (HAS_I) {                                                          \
+        __mmask8 k_dci = (k_act & is_dc) & (__mmask8)~k_isp;                \
+        cur = _mm512_mask_add_epi64(cur, k_dci, cur, amp);                  \
+        val = _mm512_mask_mov_epi64(val, is_dc & (__mmask8)~k_isp, cur);    \
+      }                                                                     \
+      __m512i zz2 = _mm512_permutexvar_epi8(posz, zztab);                   \
+      __m512i addr = _mm512_add_epi64(stag, zz2);                           \
+      { /* 8 unconditional narrow stores into the L1 staging rows */        \
+        uint64_t ab[8] __attribute__((aligned(64)));                        \
+        uint64_t vb8[8] __attribute__((aligned(64)));                       \
+        _mm512_store_si512(ab, addr);                                       \
+        _mm512_store_si512(vb8, val);                                       \
+        *(int16_t*)(uintptr_t)ab[0] = (int16_t)vb8[0];                      \
+        *(int16_t*)(uintptr_t)ab[1] = (int16_t)vb8[1];                      \
+        *(int16_t*)(uintptr_t)ab[2] = (int16_t)vb8[2];                      \
+        *(int16_t*)(uintptr_t)ab[3] = (int16_t)vb8[3];                      \
+        *(int16_t*)(uintptr_t)ab[4] = (int16_t)vb8[4];                      \
+        *(int16_t*)(uintptr_t)ab[5] = (int16_t)vb8[5];                      \
+        *(int16_t*)(uintptr_t)ab[6] = (int16_t)vb8[6];                      \
+        *(int16_t*)(uintptr_t)ab[7] = (int16_t)vb8[7];                      \
+      }                                                                     \
+      { /* flush LAST step's completed blocks (stores retired; lanes       \
+         * already accumulate into the other parity buffer) */             \
+        unsigned m = pending;                                               \
+        int s = __builtin_ctz(m | 0x100);                                   \
+        unsigned other =                                                    \
+            ((((parity >> s) & 1u) ^ 1u) & (unsigned)(s < 8)) * 64u;        \
+        int16_t* st = staging + s * 128 + other;                            \
+        MJ_FLUSH_LANE(NT, s, st);                                               \
+        rowp[s] += adv[s];                                                  \
+        m &= m - 1;                                                         \
+        while (m) {                                                         \
+          s = __builtin_ctz(m);                                             \
+          m &= m - 1;                                                       \
+          st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;        \
+          MJ_FLUSH_LANE(NT, s, st);                                             \
+          rowp[s] += adv[s];                                                \
+        }                                                                   \
+      }                                                                     \
+      /* queue this step's completions; toggle their staging buffer */      \
+      is_dc = k_done;                                                       \
+      stag = _mm512_mask_xor_epi64(stag, k_done, stag, c128b);              \
+      pending = (unsigned)k_done;                                           \
+      parity ^= pending;                                                    \
+      blocks_left = _mm512_mask_sub_epi64(blocks_left, k_done,              \
+                                          blocks_left, c1);                 \
+      active = (unsigned)_mm512_cmpgt_epi64_mask(blocks_left, c0);          \
+    }                                                                       \
+  }                                                                         \
+  while (pending) { /* drain the last deferred flushes */                   \
+    int s = __builtin_ctz(pending);                                         \
+    pending &= pending - 1;                                                 \
+    int16_t* st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;     \
+    MJ_FLUSH_LANE(NT, s, st);                                                   \
+  }                                                                         \
+  if (NT) _mm_sfence();                                                     \
+  return (int)err;
+
+static int mj_lanes8_p(const uint8_t* data, const uint64_t* off,
+                       const uint64_t* len, const uint8_t* isp,
+                       int num_blocks, int16_t* const* outp) {
+  MJ_LANES_BODY(0, 0)
+}
+static int mj_lanes8_i(const uint8_t* data, const uint64_t* off,
+                       const uint64_t* len, const uint8_t* isp,
+                       int num_blocks, int16_t* const* outp) {
+  MJ_LANES_BODY(1, 0)
+}
+static int mj_lanes8_p_nt(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* outp) {
+  MJ_LANES_BODY(0, 1)
+}
+static int mj_lanes8_i_nt(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* outp) {
+  MJ_LANES_BODY(1, 1)
+}
+
+/* Decode 8 streams SIMD; returns a lane error mask (0 = all exact).
+ * Caller guarantees every len >= 8 (per-lane gather clamp). */
+static int mj_decode_lanes8(const uint8_t* data, const uint64_t* off,
+                            const uint64_t* len, const uint8_t* isp,
+                            int num_blocks, int16_t* const* outp) {
+  int any_i = 0;
+  for (int s = 0; s < 8; s++) any_i |= !isp[s];
+  /* Streaming (NT) flush variants exist below but are NOT selected:
+   * measured 764 -> 397 frames/s on the 1080p batch — this box's 260 MB
+   * L3 absorbs the regular stores' write-back (the working set stays
+   * resident between the decode and the H2D pack that consumes it), so
+   * forcing DRAM writes doubles the cost instead of saving the RFO.
+   * Kept compiled (zero runtime cost) for bigger-than-L3 hosts to
+   * re-evaluate. */
+  (void)mj_lanes8_i_nt; (void)mj_lanes8_p_nt;
+  return any_i ? mj_lanes8_i(data, off, len, isp, num_blocks, outp)
+               : mj_lanes8_p(data, off, len, isp, num_blocks, outp);
+}
+#else
+#define MJ_HAVE_LANES8 0
+#endif /* AVX-512 lanes8 */
+
+/* ------------------------------------------------------------------ */
 /* Speculative intra-plane parallel decode (two-phase).
  *
  * The VLI/RLE bitstream has no sync markers, so block boundaries are only
@@ -678,18 +950,63 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
                                  const uint64_t* lengths, const uint8_t* is_p,
                                  int n_items, int num_blocks, int16_t* out) {
   int err = 0;
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
+  int n_groups = 0;
+#if MJ_HAVE_LANES8
+  /* SIMD fast path: full groups of 8 items whose streams all carry the
+   * 8-byte tail the per-lane gather clamp needs.  A group whose kernel
+   * pass flags any lane (structurally corrupt stream) is re-decoded
+   * scalar so partial output and the smallest-failing-index error code
+   * are identical to the scalar path. */
+  if (num_blocks > 0) n_groups = n_items / 8;
 #endif
-  for (int i = 0; i < n_items; i++) {
-    int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
-                                num_blocks, is_p[i],
-                                out + (size_t)i * num_blocks * 64);
-    if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+#if MJ_HAVE_LANES8
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1) nowait
+#endif
+    for (int g = 0; g < n_groups; g++) {
+      int base = g * 8;
+      int16_t* outp[8];
+      int short_stream = 0;
+      for (int s = 0; s < 8; s++) {
+        outp[s] = out + (size_t)(base + s) * num_blocks * 64;
+        short_stream |= lengths[base + s] < 8;
+      }
+      int lane_err = 1;
+      if (!short_stream)
+        lane_err = mj_decode_lanes8(data, offsets + base, lengths + base,
+                                    is_p + base, num_blocks, outp);
+      if (lane_err) {
+        for (int s = 0; s < 8; s++) {
+          int i = base + s;
+          int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
+                                      num_blocks, is_p[i], outp[s]);
+          if (rc != 0) {
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { if (err == 0 || i < -err - 1) err = -(1 + i); }
+            { if (err == 0 || i < -err - 1) err = -(1 + i); }
+          }
+        }
+      }
+    }
+#endif /* MJ_HAVE_LANES8 */
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int i = n_groups * 8; i < n_items; i++) {
+      int rc = mj423_decode_plane(data + offsets[i], (size_t)lengths[i],
+                                  num_blocks, is_p[i],
+                                  out + (size_t)i * num_blocks * 64);
+      if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        { if (err == 0 || i < -err - 1) err = -(1 + i); }
+      }
     }
   }
   return err;

@@ -81,11 +81,30 @@ def _build() -> pathlib.Path | None:
         base + ["-fopenmp"],
         base,
     )
-    for cmd in attempts:
+    first_err = None
+    for rung, cmd in enumerate(attempts):
         try:
             subprocess.run(cmd, check=True, capture_output=True)
+            if rung > 0:
+                # A degraded rung is legitimate on hosts lacking the ISA,
+                # but a SOURCE error in the native rung must not silently
+                # cost the SIMD decode path (it did once: a macro bug made
+                # the ladder quietly drop -march=native and the batch
+                # parse ran 1.5x slower while every test stayed green).
+                import warnings
+
+                tail = (first_err or b"").decode(errors="replace")[-400:]
+                warnings.warn(
+                    f"centropy: native-ISA build rung failed; using rung "
+                    f"{rung} ({'openmp' if rung == 1 else 'plain'}). "
+                    f"First rung stderr tail: {tail}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             break
-        except subprocess.CalledProcessError:
+        except subprocess.CalledProcessError as e:
+            if first_err is None:
+                first_err = e.stderr or b""
             continue
     else:
         return None

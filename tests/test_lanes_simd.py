@@ -1,0 +1,175 @@
+"""SIMD 8-lane batch decoder vs the scalar plane decoder.
+
+mj423_decode_batch routes full groups of 8 plane items through the
+AVX-512 lanes kernel (centropy.c mj_decode_lanes8) when the host ISA
+allows; these tests pin the fast path to the scalar decoder bit-for-bit
+across the conditions that distinguish the two implementations:
+
+- mixed I/P lanes inside one group (per-lane DC-chain masks);
+- blocks completing in adjacent steps (double-buffered staging parity —
+  a toggle-addressing bug here once wrote a lane's odd blocks into its
+  neighbor, caught only when OpenMP stack bases shifted: the kernel's
+  staging alignment comment is load-bearing);
+- ZRL runs, early index-63 termination, and EOB-only blocks;
+- truncated streams (the per-lane gather clamp must reproduce the
+  scalar reader's zero-pad-past-end semantics);
+- corrupt streams (the group falls back to scalar re-decode so the
+  error index and partial output match the scalar path exactly);
+- streams shorter than 8 bytes (group-level scalar fallback guard).
+
+Reference semantics: lossless_decode.c:101-133 (the loop the FPGA
+design gave two whole CPUs).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mjpeg423_tpu.native import centropy
+from mjpeg423_tpu.ops import entropy_ref
+
+pytestmark = pytest.mark.skipif(
+    not centropy.native_available(), reason="native codec unavailable"
+)
+
+
+def _batch_inputs(blobs):
+    data = b"".join(blobs)
+    lengths = np.array([len(b) for b in blobs], dtype=np.uint64)
+    offsets = np.zeros(len(blobs), dtype=np.uint64)
+    offsets[1:] = np.cumsum(lengths)[:-1]
+    return data, offsets, lengths
+
+
+def _content(rng, num_blocks, style):
+    c = np.zeros((num_blocks, 64), dtype=np.int16)
+    if style == "dense":
+        c[:, :8] = rng.integers(-64, 64, size=(num_blocks, 8))
+        hi = rng.integers(-8, 8, size=(num_blocks, 56))
+        mask = rng.random((num_blocks, 56)) < 0.15
+        c[:, 8:] = np.where(mask, hi, 0)
+    elif style == "zrl":
+        # long zero runs force ZRL symbols and index arithmetic edges
+        pos = rng.integers(0, 64, size=num_blocks)
+        for b, p in enumerate(pos):
+            c[b, p] = rng.integers(1, 200)
+        c[:, 63] = np.where(rng.random(num_blocks) < 0.5, 7, c[:, 63])
+    elif style == "eob":
+        pass  # all-zero blocks: DC 0 + immediate EOB, 2-symbol blocks
+    elif style == "full":
+        # every block terminates via index==63, never via EOB
+        c[:] = rng.integers(-100, 100, size=(num_blocks, 64))
+        c[c == 0] = 1
+    elif style == "bigamp":
+        c[:, :4] = rng.integers(-2000, 2000, size=(num_blocks, 4))
+        c[:, 63] = rng.integers(-1800, 1800, size=num_blocks)
+    return c
+
+
+@pytest.mark.parametrize("style", ["dense", "zrl", "eob", "full", "bigamp"])
+def test_lanes_groups_match_scalar(style):
+    rng = np.random.default_rng(hash(style) % 2**31)
+    nb = 40
+    n_items = 19  # 2 SIMD groups + 3 scalar remainder items
+    planes = [_content(rng, nb, style) for _ in range(n_items)]
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = (np.arange(n_items) % 3 != 0).astype(np.uint8)  # I/P mix
+    out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    for i in range(n_items):
+        exp = entropy_ref.decode_plane(blobs[i], nb, bool(is_p[i]))
+        np.testing.assert_array_equal(out[i], exp, err_msg=f"item {i}")
+
+
+def test_lanes_truncated_streams_zero_extend():
+    """Cutting a stream mid-block must decode like the scalar reader
+    (zero bits past the end), not like reading the next lane's bytes."""
+    rng = np.random.default_rng(11)
+    nb = 24
+    planes = [_content(rng, nb, "dense") for _ in range(8)]
+    blobs = [bytearray(centropy.encode_plane(c)) for c in planes]
+    # truncate lanes 2 and 5 (keep >= 8 bytes so the SIMD path engages)
+    blobs[2] = blobs[2][: max(8, len(blobs[2]) // 2)]
+    blobs[5] = blobs[5][: max(8, len(blobs[5]) // 3)]
+    blobs = [bytes(b) for b in blobs]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(8, np.uint8)
+    out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    for i in range(8):
+        exp = centropy.decode_plane(blobs[i], nb, True)
+        np.testing.assert_array_equal(out[i], exp, err_msg=f"item {i}")
+
+
+def test_lanes_short_streams_fall_back():
+    """Streams under 8 bytes can't be gather-clamped; the group must
+    fall back to scalar and still decode exactly."""
+    nb = 3
+    blobs = [centropy.encode_plane(np.zeros((nb, 64), np.int16))
+             for _ in range(8)]
+    assert any(len(b) < 8 for b in blobs)
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.zeros(8, np.uint8)
+    out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    for i in range(8):
+        np.testing.assert_array_equal(
+            out[i], np.zeros((nb, 64), np.int16), err_msg=f"item {i}"
+        )
+
+
+def test_lanes_corrupt_group_error_matches_scalar():
+    """A corrupt stream in a SIMD group must surface the same smallest
+    failing index the scalar path reports."""
+    rng = np.random.default_rng(7)
+    nb = 16
+    planes = [_content(rng, nb, "dense") for _ in range(8)]
+    blobs = [centropy.encode_plane(c) for c in planes]
+    blobs[3] = b"\xff" * len(blobs[3])  # run=15,size=15 overruns zig-zag
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(8, np.uint8)
+    with pytest.raises(ValueError, match="item 3"):
+        centropy.decode_batch(data, offsets, lengths, is_p, nb)
+
+
+def test_lanes_consecutive_block_completions():
+    """2-symbol blocks complete on consecutive steps — the hardest case
+    for the deferred double-buffered flush (parity churn every step)."""
+    rng = np.random.default_rng(23)
+    nb = 257  # odd count exercises both staging parities at the drain
+    planes = []
+    for _ in range(9):
+        c = np.zeros((nb, 64), np.int16)
+        c[:, 0] = rng.integers(-100, 100, size=nb)  # DC-only blocks
+        planes.append(c)
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.zeros(9, np.uint8)  # all-I: DC chains through every lane
+    out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    for i in range(9):
+        exp = entropy_ref.decode_plane(blobs[i], nb, False)
+        np.testing.assert_array_equal(out[i], exp, err_msg=f"item {i}")
+
+
+def test_lanes_randomized_parity_with_scalar():
+    """Seeded randomized sweep: shapes, densities, I/P mixes."""
+    rng = np.random.default_rng(0xC0FFEE)
+    for trial in range(6):
+        nb = int(rng.integers(1, 120))
+        n_items = int(rng.integers(8, 20))
+        density = float(rng.uniform(0.0, 0.9))
+        planes = []
+        for _ in range(n_items):
+            c = np.where(
+                rng.random((nb, 64)) < density,
+                rng.integers(-300, 300, size=(nb, 64)),
+                0,
+            ).astype(np.int16)
+            planes.append(c)
+        blobs = [centropy.encode_plane(c) for c in planes]
+        data, offsets, lengths = _batch_inputs(blobs)
+        is_p = rng.integers(0, 2, size=n_items).astype(np.uint8)
+        out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+        for i in range(n_items):
+            exp = entropy_ref.decode_plane(blobs[i], nb, bool(is_p[i]))
+            np.testing.assert_array_equal(
+                out[i], exp, err_msg=f"trial {trial} item {i} nb={nb}"
+            )
