@@ -22,6 +22,10 @@
 #include <stdlib.h>
 #include <string.h>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -254,9 +258,11 @@ MJ_EXPORT int mj423_decode_plane(const uint8_t* bits, size_t bits_len,
  *     9th dummy lane absorbs the no-op flush); >=2 lanes completing in
  *     the same step (~4%) takes a predictable rarely-taken loop.
  *
- * Measured on the 1080p dense bench content: 282 frames/s single thread
- * vs 170 scalar (1.67x, with the output fully written vs scalar needing
- * a zeroed destination).  Bit-exact incl. I-frame DC chains, ZRL, early
+ * Measured on the 1080p dense bench content: ~300 frames/s single
+ * thread vs 170 scalar (1.76x, with the output fully written vs scalar
+ * needing a zeroed destination); ~890 frames/s on 4 cores at 48 items,
+ * ~1,020 on a balanced 144-item batch (see DESIGN.md §2 for the
+ * experiment ledger).  Bit-exact incl. I-frame DC chains, ZRL, early
  * block termination, truncated streams (validated against
  * mj423_decode_plane in tests/test_native.py and the fuzz suite).
  * Reference analog: this is the stage the FPGA design gave two whole
@@ -352,17 +358,28 @@ static const uint8_t ZZ2[64] = {
   __mmask8 is_dc = 0xFF;                                                    \
   unsigned active = 0xFF, pending = 0, parity = 0;                          \
   __mmask8 err = 0;                                                         \
+  /* The refill word is gathered ONE refill ahead: pos only changes at     \
+   * refills, so the next gather's address is known as soon as this        \
+   * refill's pos update lands — issuing it here gives the ~20-cycle       \
+   * gather a whole iteration of symbol work to complete off the chain     \
+   * (clamped to the per-lane stream end, zero-padding past it). */        \
+  __m512i next_w;                                                           \
+  {                                                                         \
+    __m512i aidx = _mm512_min_epu64(pos, limit);                            \
+    __m512i w = _mm512_i64gather_epi64(aidx, (const long long*)data, 1);    \
+    __m512i past = _mm512_slli_epi64(_mm512_sub_epi64(pos, aidx), 3);       \
+    next_w = _mm512_sllv_epi64(_mm512_shuffle_epi8(w, bswc), past);         \
+  }                                                                         \
   while (active) {                                                          \
-    { /* refill to >= 56 bits per lane (clamped, zero-pad past end) */      \
-      __m512i aidx = _mm512_min_epu64(pos, limit);                          \
-      __m512i w = _mm512_i64gather_epi64(aidx, (const long long*)data, 1);  \
-      w = _mm512_shuffle_epi8(w, bswc);                                     \
-      __m512i past = _mm512_slli_epi64(_mm512_sub_epi64(pos, aidx), 3);     \
-      w = _mm512_sllv_epi64(w, past);                                       \
-      acc = _mm512_or_si512(acc, _mm512_srlv_epi64(w, bitcnt));             \
+    { /* refill to >= 56 bits per lane from the prefetched word */          \
+      acc = _mm512_or_si512(acc, _mm512_srlv_epi64(next_w, bitcnt));        \
       pos = _mm512_add_epi64(                                               \
           pos, _mm512_srli_epi64(_mm512_sub_epi64(c63q, bitcnt), 3));       \
       bitcnt = _mm512_or_si512(bitcnt, c56);                                \
+      __m512i aidx = _mm512_min_epu64(pos, limit);                          \
+      __m512i w = _mm512_i64gather_epi64(aidx, (const long long*)data, 1);  \
+      __m512i past = _mm512_slli_epi64(_mm512_sub_epi64(pos, aidx), 3);     \
+      next_w = _mm512_sllv_epi64(_mm512_shuffle_epi8(w, bswc), past);       \
     }                                                                       \
     /* two symbol steps per refill: 2 x 23 worst-case bits <= 56 */         \
     for (int step = 0; step < 2; step++) {                                  \
@@ -375,10 +392,10 @@ static const uint8_t ZZ2[64] = {
       __m512i hdr = _mm512_mask_blend_epi64(is_dc, c8, c4);                 \
       __m512i t = _mm512_sllv_epi64(a, hdr);                                \
       __m512i vb = _mm512_srlv_epi64(t, _mm512_sub_epi64(c64, size));       \
-      /* huff_extend: negative iff the size-bit field's top bit is clear */ \
-      __m512i msb = _mm512_sllv_epi64(c1, _mm512_sub_epi64(size, c1));      \
-      __mmask8 k_neg = _mm512_testn_epi64_mask(vb, msb);                    \
+      /* huff_extend: negative iff 2*vb <= (1<<size)-1 (size=0 -> amp 0) */ \
       __m512i bias = _mm512_sub_epi64(_mm512_sllv_epi64(c1, size), c1);     \
+      __mmask8 k_neg =                                                      \
+          _mm512_cmple_epu64_mask(_mm512_add_epi64(vb, vb), bias);          \
       __m512i amp = _mm512_mask_sub_epi64(vb, k_neg, vb, bias);             \
       __mmask8 k_ac = k_act & (__mmask8)~is_dc;                             \
       __mmask8 k_sz0 = _mm512_cmpeq_epi64_mask(asize, c0);                  \
@@ -403,19 +420,38 @@ static const uint8_t ZZ2[64] = {
       }                                                                     \
       __m512i zz2 = _mm512_permutexvar_epi8(posz, zztab);                   \
       __m512i addr = _mm512_add_epi64(stag, zz2);                           \
-      { /* 8 unconditional narrow stores into the L1 staging rows */        \
-        uint64_t ab[8] __attribute__((aligned(64)));                        \
-        uint64_t vb8[8] __attribute__((aligned(64)));                       \
-        _mm512_store_si512(ab, addr);                                       \
-        _mm512_store_si512(vb8, val);                                       \
-        *(int16_t*)(uintptr_t)ab[0] = (int16_t)vb8[0];                      \
-        *(int16_t*)(uintptr_t)ab[1] = (int16_t)vb8[1];                      \
-        *(int16_t*)(uintptr_t)ab[2] = (int16_t)vb8[2];                      \
-        *(int16_t*)(uintptr_t)ab[3] = (int16_t)vb8[3];                      \
-        *(int16_t*)(uintptr_t)ab[4] = (int16_t)vb8[4];                      \
-        *(int16_t*)(uintptr_t)ab[5] = (int16_t)vb8[5];                      \
-        *(int16_t*)(uintptr_t)ab[6] = (int16_t)vb8[6];                      \
-        *(int16_t*)(uintptr_t)ab[7] = (int16_t)vb8[7];                      \
+      { /* 8 unconditional narrow stores into the L1 staging rows.         \
+         * Lanes extract via register moves: a zmm spill + 8-byte         \
+         * reloads would cross the store-to-load forwarding path 16       \
+         * times per step. */                                             \
+        __m256i alo_ = _mm512_castsi512_si256(addr);                       \
+        __m256i ahi_ = _mm512_extracti64x4_epi64(addr, 1);                 \
+        __m256i vlo_ = _mm512_castsi512_si256(val);                        \
+        __m256i vhi_ = _mm512_extracti64x4_epi64(val, 1);                  \
+        __m128i a01_ = _mm256_castsi256_si128(alo_);                       \
+        __m128i a23_ = _mm256_extracti128_si256(alo_, 1);                  \
+        __m128i a45_ = _mm256_castsi256_si128(ahi_);                       \
+        __m128i a67_ = _mm256_extracti128_si256(ahi_, 1);                  \
+        __m128i v01_ = _mm256_castsi256_si128(vlo_);                       \
+        __m128i v23_ = _mm256_extracti128_si256(vlo_, 1);                  \
+        __m128i v45_ = _mm256_castsi256_si128(vhi_);                       \
+        __m128i v67_ = _mm256_extracti128_si256(vhi_, 1);                  \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_cvtsi128_si64(a01_) =          \
+            (int16_t)_mm_cvtsi128_si64(v01_);                              \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_extract_epi64(a01_, 1) =       \
+            (int16_t)_mm_extract_epi64(v01_, 1);                           \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_cvtsi128_si64(a23_) =          \
+            (int16_t)_mm_cvtsi128_si64(v23_);                              \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_extract_epi64(a23_, 1) =       \
+            (int16_t)_mm_extract_epi64(v23_, 1);                           \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_cvtsi128_si64(a45_) =          \
+            (int16_t)_mm_cvtsi128_si64(v45_);                              \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_extract_epi64(a45_, 1) =       \
+            (int16_t)_mm_extract_epi64(v45_, 1);                           \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_cvtsi128_si64(a67_) =          \
+            (int16_t)_mm_cvtsi128_si64(v67_);                              \
+        *(int16_t*)(uintptr_t)(uint64_t)_mm_extract_epi64(a67_, 1) =       \
+            (int16_t)_mm_extract_epi64(v67_, 1);                           \
       }                                                                     \
       { /* flush LAST step's completed blocks (stores retired; lanes       \
          * already accumulate into the other parity buffer) */             \
@@ -958,6 +994,27 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
    * scalar so partial output and the smallest-failing-index error code
    * are identical to the scalar path. */
   if (num_blocks > 0) n_groups = n_items / 8;
+#ifdef _OPENMP
+  /* Group-quantum balancing: one lanes8 call is an indivisible ~8-plane
+   * work unit, so a group count that doesn't divide the thread count
+   * leaves the last round nearly empty (6 groups on 4 cores schedule at
+   * 0.75).  Demote the excess groups to scalar items when the makespan
+   * model favors it; the measured SIMD/scalar ratio on this class of
+   * content is ~1.76x, so one demoted group costs 8/1.76 -> 8
+   * plane-times of work but removes a whole straggler round. */
+  {
+    int T = omp_get_max_threads();
+    const char* dis = getenv("MJ_NO_DEMOTE");
+    if (!(dis && dis[0] == '1') && T > 1 && n_groups > T && (n_groups % T)) {
+      int k = n_groups - (n_groups % T);
+      double group_cost = 8.0 / 1.76; /* plane-times per lanes8 call */
+      double full = (double)((n_groups + T - 1) / T) * group_cost;
+      double demoted = (double)(k / T) * group_cost +
+                       (double)(n_items - 8 * k) / T;
+      if (demoted < full) n_groups = k;
+    }
+  }
+#endif
 #endif
 #ifdef _OPENMP
 #pragma omp parallel
