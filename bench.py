@@ -504,8 +504,8 @@ def bench_latency(rng, use_pallas):
                                        frames_per_batch=f_gop))
     pipe.decode_array(data)  # warm: compile + allocator/THP steady state
 
-    def first_frame(end_frame=None):
-        for win in pipe.decode(data, end_frame=end_frame):
+    def first_frame(end_frame=None, latency=None):
+        for win in pipe.decode(data, end_frame=end_frame, latency=latency):
             return float(win.frames[0, 0, 0])  # frame 0 on host
 
     gop = f_gop * (n_gops // 2)  # mid-stream I-frame (trailer seek target)
@@ -515,7 +515,8 @@ def bench_latency(rng, use_pallas):
         index = fmt.index_frames(data)  # trailer walk is part of a seek
         assert index.is_iframe[gop]
         for win in pipe.decode(data, start_frame=gop, end_frame=target + 1,
-                               device_resident=device_resident):
+                               device_resident=device_resident,
+                               latency=True):
             if win.start_frame + win.count > target:
                 rel = target - win.start_frame
                 # Device-resident windows keep the blocked kernel layout
@@ -531,7 +532,14 @@ def bench_latency(rng, use_pallas):
     # 0's delivery (measured ~2.3x); first_frame_bounded_ms (end_frame =
     # one GOP, no prefetch beyond it) isolates that — on duplex PCIe the
     # two converge.
+    # first_frame_latency_ms is the PLAYER's entry path (latency=True:
+    # first window parses alone, drains before any later H2D post) — the
+    # round-3 gap where the unbounded call paid 2.5x for prefetch
+    # contention; first_frame_ms stays the bulk-throughput call and
+    # first_frame_bounded_ms the single-GOP control row.
     for name, fn in (("first_frame_ms", first_frame),
+                     ("first_frame_latency_ms",
+                      lambda: first_frame(latency=True)),
                      ("first_frame_bounded_ms",
                       lambda: first_frame(f_gop)),
                      ("seek_ms", lambda: seek(False)),
@@ -576,7 +584,8 @@ def bench_latency(rng, use_pallas):
                        "seek_device_ms is tunnel-H2D-dominated — "
                        "seek_compute_ms is the PCIe-class projection")
     _log(
-        f"stage=latency: first_frame {res['first_frame_ms']:.1f} ms, "
+        f"stage=latency: first_frame {res['first_frame_ms']:.1f} ms "
+        f"(latency-mode {res['first_frame_latency_ms']:.1f}), "
         f"seek(last-of-GOP, host) {res['seek_ms']:.1f} ms, "
         f"seek(device-resident) {res['seek_device_ms']:.1f} ms"
         + (f" (of which H2D {res['h2d_ms']:.1f} -> compute "

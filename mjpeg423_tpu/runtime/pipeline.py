@@ -491,6 +491,7 @@ class DecodePipeline:
         end_frame: int | None = None,
         device_resident: bool = False,
         scale: int = 1,
+        latency: bool | None = None,
         _index: fmt.FrameIndex | None = None,
     ) -> Iterator[DecodedWindow]:
         """Decode frames [start_frame, end_frame) , yielding frame windows.
@@ -505,6 +506,14 @@ class DecodePipeline:
         scale^2 x (preview scrubbing / proxy playback).  Single-device
         only; with device_resident the on-device windows are raster at
         the reduced size.
+
+        latency (None = config.latency_mode): prioritize the FIRST
+        window's delivery over stream throughput — it parses alone,
+        dispatches, and is drained before any later window's H2D is
+        posted, so the first frame never queues behind prefetch traffic
+        (the reference displays the sought frame immediately,
+        playback.c:245).  Player.play/seek pass True; the stream reverts
+        to fully pipelined decode after that first window.
 
         start_frame must be an I-frame index (seek targets come from the
         trailer, like the reference — playback.c:136-152).  end_frame
@@ -536,6 +545,7 @@ class DecodePipeline:
             yield from self._decode_mesh(data, start_frame, stop, end_frame)
             return
         cfg = self.config
+        latency_first = cfg.latency_mode if latency is None else latency
         index = _index if _index is not None else fmt.index_frames(data)
         hdr = index.header
         bh, bw = hdr.blocks_h, hdr.blocks_w
@@ -603,7 +613,10 @@ class DecodePipeline:
                             want_packed, want_cm,
                         )))
 
-                    for _ in range(max_inflight):
+                    # Latency mode: the first window's parse runs with
+                    # the whole host to itself; prefetch resumes once it
+                    # resolves.
+                    for _ in range(1 if latency_first else max_inflight):
                         submit_next()
                     while futs:
                         if stop_flag.is_set():
@@ -612,7 +625,11 @@ class DecodePipeline:
                             break
                         s, c, fut = futs.pop(0)
                         res = fut.result()
-                        submit_next()
+                        while len(futs) < max_inflight:
+                            prev = len(futs)
+                            submit_next()
+                            if len(futs) == prev:
+                                break
                         if not _put_or_drop((s, c, res)):
                             for _, _, f2 in futs:
                                 f2.cancel()
@@ -664,6 +681,16 @@ class DecodePipeline:
                     if downscale is not None:
                         frames = downscale(frames)
                 pending.append((s, c, frames))
+                if latency_first and s == start_frame:
+                    # Deliver the first window NOW — before any later
+                    # window's H2D is posted (on half-duplex links a
+                    # queued post delays this egress ~2.5x; on duplex
+                    # PCIe the two paths merely share nothing).
+                    yield self._drain(pending.pop(0), bh, bw,
+                                      device_resident)
+                    if stop is not None and stop():
+                        stop_flag.set()
+                        return
                 # The output ring: up to num_output_buffers decoded windows
                 # stay device-resident in flight (the N-deep framebuffer
                 # ring, ece423_vid_ctl.c:96-116); drain the oldest beyond it.

@@ -324,6 +324,9 @@ class Player:
                 # restart — O(num_frames) of avoidable seek latency.
                 gen = self.pipeline.decode(
                     self.data, start_frame, stop=stop, scale=scale,
+                    latency=True,  # play/seek entry: first frame beats
+                    #                prefetch (playback.c:245 shows the
+                    #                sought frame immediately)
                     _index=self.index,
                 )
                 try:

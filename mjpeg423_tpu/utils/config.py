@@ -81,6 +81,18 @@ class DecodeConfig:
                                       # Window boundaries need no GOP
                                       # alignment (the carry is exact)
     prefetch_batches: int = 2          # host->device in-flight batches
+    latency_mode: bool = False         # first-window latency over
+                                       # throughput: the FIRST window of a
+                                       # decode() parses alone, dispatches,
+                                       # and is drained BEFORE any later
+                                       # window's H2D is posted, so its
+                                       # delivery never queues behind
+                                       # prefetch traffic (the reference
+                                       # shows the sought frame
+                                       # immediately, playback.c:245).
+                                       # Player.play/seek force this per
+                                       # call; bulk decode keeps the
+                                       # pipelined default.
 
     # Host entropy decode
     parse_workers: int = 0             # 0 = os.cpu_count()

@@ -461,3 +461,36 @@ def test_decode_streams_abandoned_generator_cleans_up(rng):
             break
         _t.sleep(0.05)
     assert threading.active_count() <= base + 1
+
+
+def test_latency_mode_bit_identical(stream):
+    """latency=True reorders delivery bookkeeping only: every window's
+    pixels are bit-identical to the pipelined default, across a multi-GOP
+    stream and from a mid-stream seek."""
+    data, _ = stream
+    pipe = DecodePipeline(DecodeConfig(frames_per_batch=5,
+                                       use_pallas=False))
+    base = [
+        (win.start_frame, win.count, np.asarray(win.frames).copy())
+        for win in pipe.decode(data)
+    ]
+    lat = [
+        (win.start_frame, win.count, np.asarray(win.frames).copy())
+        for win in pipe.decode(data, latency=True)
+    ]
+    assert [(s, c) for s, c, _ in base] == [(s, c) for s, c, _ in lat]
+    for (_, _, a), (_, _, b) in zip(base, lat):
+        np.testing.assert_array_equal(a, b)
+
+    from mjpeg423_tpu.core import format as fmt
+    index = fmt.index_frames(data)
+    gops = index.gop_starts()
+    if len(gops) > 1:
+        s0 = gops[1]
+        base = [np.asarray(w_.frames).copy()
+                for w_ in pipe.decode(data, start_frame=s0)]
+        lat = [np.asarray(w_.frames).copy()
+               for w_ in pipe.decode(data, start_frame=s0, latency=True)]
+        assert len(base) == len(lat)
+        for a, b in zip(base, lat):
+            np.testing.assert_array_equal(a, b)
