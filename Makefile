@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: install test bench selftest soak native clean tpu-check
+.PHONY: install test bench selftest soak soak-quick native clean tpu-check
 
 install:
 	$(PY) -m pip install -e . --no-build-isolation
@@ -23,6 +23,13 @@ soak:
 	$(PY) scripts/parity_soak.py 30
 	$(PY) scripts/fuzz_native.py 30
 	$(PY) scripts/bench_multihost.py --hosts 2 --out MULTIHOST_BENCH.json
+
+# Bounded (~2 min) seeded soak for CI: the seed is printed first so any
+# failure reproduces with `make soak-quick SOAK_SEED=<seed>`.
+soak-quick:
+	@SEED=$${SOAK_SEED:-$$(date +%s)}; echo "soak-quick seed=$$SEED"; \
+	$(PY) scripts/parity_soak.py 5 $$SEED && \
+	$(PY) scripts/fuzz_native.py 10 $$SEED
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:

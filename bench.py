@@ -161,10 +161,17 @@ def _kernel_quality(trace_dir, bytes_per_iter):
         if line is None:
             return None
         by_op: dict = {}
+        max_single = 0.0
         for ev in line.events:
             name = ev.name.split(" = ")[0]
             tot, n = by_op.get(name, (0.0, 0))
             by_op[name] = (tot + float(ev.duration_ns), n + 1)
+            max_single = max(max_single, float(ev.duration_ns))
+        # Drop container ops (%while / the chained loop wrapper): any op
+        # with a single event spanning ~the whole module double-counts
+        # every leaf beneath it.
+        by_op = {k: v for k, v in by_op.items()
+                 if not (v[1] == 1 and v[0] >= 0.90 * max_single)}
         if not by_op:
             return None
         total_ns = sum(t for t, _ in by_op.values())
