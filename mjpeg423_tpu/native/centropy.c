@@ -282,6 +282,23 @@ static const uint8_t ZZ2[64] = {
     116, 118, 104, 90, 76, 62, 78, 92, 106, 120, 122, 108, 94, 110, 124, 126,
 };
 
+static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
+                            int nt);
+
+/* Coefficient-major wrap: when a lane's tile completes a block-row, run
+ * the AVX2 16x16 transpose flush into the cm destination and rewind the
+ * lane's row pointer to the tile base.  Compiled out (CM_=0) for the
+ * block-major instantiations. */
+#define MJ_CM_WRAP(CM_, s_)                                             \
+  if (CM_ && (s_) < 8) {                                                \
+    if (++cm_rowcnt[s_] == cm_rb) {                                     \
+      cm_rowcnt[s_] = 0;                                                \
+      mj_cm_flush_row(outp[s_], cm_dst[s_], cm_rb, cm_nt);              \
+      cm_dst[s_] += (size_t)cm_rb * 64;                                 \
+      rowp[s_] = outp[s_];                                              \
+    }                                                                   \
+  }
+
 /* Flush one completed block: copy the 128-byte staging row to the
  * output contiguously and rezero it.  Streaming (NT) stores were
  * measured here and LOST (roughly half speed on the 1080p batch):
@@ -303,7 +320,7 @@ static const uint8_t ZZ2[64] = {
     _mm512_store_si512((st_) + 32, c0);                                 \
   } while (0)
 
-#define MJ_LANES_BODY(HAS_I, NT)                                                \
+#define MJ_LANES_BODY(HAS_I, NT, CM)                                                \
   const __m512i c0 = _mm512_setzero_si512();                                \
   const __m512i c1 = _mm512_set1_epi64(1);                                  \
   const __m512i c4 = _mm512_set1_epi64(4);                                  \
@@ -351,6 +368,8 @@ static const uint8_t ZZ2[64] = {
   __m512i blocks_left = _mm512_set1_epi64((uint64_t)num_blocks);            \
   int16_t* rowp[9];                                                         \
   int adv[9];                                                               \
+  int cm_rowcnt[8] = {0};                                                   \
+  (void)cm_rowcnt;                                                          \
   for (int s = 0; s < 8; s++) { rowp[s] = outp[s]; adv[s] = 64; }           \
   rowp[8] = sink; adv[8] = 0;                                               \
   __mmask8 k_isp = 0;                                                       \
@@ -462,6 +481,7 @@ static const uint8_t ZZ2[64] = {
         int16_t* st = staging + s * 128 + other;                            \
         MJ_FLUSH_LANE(NT, s, st);                                               \
         rowp[s] += adv[s];                                                  \
+        MJ_CM_WRAP(CM, s)                                                   \
         m &= m - 1;                                                         \
         while (m) {                                                         \
           s = __builtin_ctz(m);                                             \
@@ -469,6 +489,7 @@ static const uint8_t ZZ2[64] = {
           st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;        \
           MJ_FLUSH_LANE(NT, s, st);                                             \
           rowp[s] += adv[s];                                                \
+          MJ_CM_WRAP(CM, s)                                                 \
         }                                                                   \
       }                                                                     \
       /* queue this step's completions; toggle their staging buffer */      \
@@ -486,29 +507,70 @@ static const uint8_t ZZ2[64] = {
     pending &= pending - 1;                                                 \
     int16_t* st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;     \
     MJ_FLUSH_LANE(NT, s, st);                                                   \
+    rowp[s] += 64;                                                          \
+    MJ_CM_WRAP(CM, s)                                                       \
   }                                                                         \
   if (NT) _mm_sfence();                                                     \
   return (int)err;
 
+#define MJ_NO_CM int cm_rb = 0; int16_t** cm_dst = 0; int cm_nt = 0; \
+  (void)cm_rb; (void)cm_dst; (void)cm_nt;
+
 static int mj_lanes8_p(const uint8_t* data, const uint64_t* off,
                        const uint64_t* len, const uint8_t* isp,
                        int num_blocks, int16_t* const* outp) {
-  MJ_LANES_BODY(0, 0)
+  MJ_NO_CM
+  MJ_LANES_BODY(0, 0, 0)
 }
 static int mj_lanes8_i(const uint8_t* data, const uint64_t* off,
                        const uint64_t* len, const uint8_t* isp,
                        int num_blocks, int16_t* const* outp) {
-  MJ_LANES_BODY(1, 0)
+  MJ_NO_CM
+  MJ_LANES_BODY(1, 0, 0)
 }
 static int mj_lanes8_p_nt(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp) {
-  MJ_LANES_BODY(0, 1)
+  MJ_NO_CM
+  MJ_LANES_BODY(0, 1, 0)
 }
 static int mj_lanes8_i_nt(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp) {
-  MJ_LANES_BODY(1, 1)
+  MJ_NO_CM
+  MJ_LANES_BODY(1, 1, 0)
+}
+
+/* Coefficient-major instantiations: lanes decode into per-lane
+ * row_blocks x 64 tiles (outp), MJ_CM_WRAP transposes each completed
+ * block-row into the cm destination. */
+static int mj_lanes8_p_cm(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* outp,
+                          int cm_rb, int16_t** cm_dst, int cm_nt) {
+  MJ_LANES_BODY(0, 0, 1)
+}
+static int mj_lanes8_i_cm(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* outp,
+                          int cm_rb, int16_t** cm_dst, int cm_nt) {
+  MJ_LANES_BODY(1, 0, 1)
+}
+
+/* Decode 8 streams SIMD straight into coefficient-major destinations;
+ * returns the lane error mask.  Caller guarantees len >= 8 per stream
+ * and num_blocks % row_blocks == 0. */
+static int mj_decode_lanes8_cm(const uint8_t* data, const uint64_t* off,
+                               const uint64_t* len, const uint8_t* isp,
+                               int num_blocks, int16_t* const* tiles,
+                               int row_blocks, int16_t** dst, int nt) {
+  int any_i = 0;
+  for (int s = 0; s < 8; s++) any_i |= !isp[s];
+  return any_i
+      ? mj_lanes8_i_cm(data, off, len, isp, num_blocks, tiles,
+                       row_blocks, dst, nt)
+      : mj_lanes8_p_cm(data, off, len, isp, num_blocks, tiles,
+                       row_blocks, dst, nt);
 }
 
 /* Decode 8 streams SIMD; returns a lane error mask (0 = all exact).
@@ -1092,27 +1154,94 @@ MJ_EXPORT int mj423_decode_batch_cm(const uint8_t* data,
 #if defined(__AVX2__)
   nt = (row_blocks % 16 == 0) && (((uintptr_t)out & 31u) == 0);
 #endif
-#ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
+  int n_groups = 0;
+#if MJ_HAVE_LANES8
+  /* SIMD fast path (mirrors mj423_decode_batch): groups of 8 items
+   * decode in lanes into per-lane tiles; each completed block-row
+   * transposes into the cm destination via the same AVX2 16x16 flush
+   * the scalar path uses.  Corrupt/short groups re-decode scalar. */
+  if (num_blocks > 0) n_groups = n_items / 8;
 #endif
-  for (int i = 0; i < n_items; i++) {
-    int16_t* tile = (int16_t*)malloc((size_t)row_blocks * 64 * sizeof(int16_t));
-    if (!tile) {
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+#if MJ_HAVE_LANES8
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1) nowait
+#endif
+    for (int g = 0; g < n_groups; g++) {
+      int base = g * 8;
+      int short_stream = 0;
+      for (int s2 = 0; s2 < 8; s2++)
+        short_stream |= lengths[base + s2] < 8;
+      int lane_err = 1;
+      int16_t* tiles8 = (int16_t*)malloc(
+          (size_t)8 * row_blocks * 64 * sizeof(int16_t));
+      if (tiles8 && !short_stream) {
+        int16_t* tilep[8];
+        int16_t* dstp[8];
+        for (int s2 = 0; s2 < 8; s2++) {
+          tilep[s2] = tiles8 + (size_t)s2 * row_blocks * 64;
+          dstp[s2] = out + (size_t)(base + s2) * num_blocks * 64;
+        }
+        lane_err = mj_decode_lanes8_cm(
+            data, offsets + base, lengths + base, is_p + base,
+            num_blocks, tilep, row_blocks, dstp, nt);
+      }
+      if (lane_err) {
+        int16_t* tile = tiles8 ? tiles8
+                               : (int16_t*)malloc((size_t)row_blocks * 64 *
+                                                  sizeof(int16_t));
+        if (!tile) {
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { err = -1000001; }
-      continue;
+          { err = -1000001; }
+        } else {
+          for (int s2 = 0; s2 < 8; s2++) {
+            int i = base + s2;
+            int rc = decode_plane_cm(
+                data + offsets[i], (size_t)lengths[i], num_blocks,
+                row_blocks, is_p[i], tile,
+                out + (size_t)i * num_blocks * 64, nt);
+            if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+              { if (err == 0 || (err != -1000001 && i < -err - 1))
+                  err = -(1 + i); }
+            }
+          }
+        }
+      }
+      free(tiles8);
     }
-    int rc = decode_plane_cm(data + offsets[i], (size_t)lengths[i],
-                             num_blocks, row_blocks, is_p[i], tile,
-                             out + (size_t)i * num_blocks * 64, nt);
-    free(tile);
-    if (rc != 0) {
+#endif /* MJ_HAVE_LANES8 */
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int i = n_groups * 8; i < n_items; i++) {
+      int16_t* tile =
+          (int16_t*)malloc((size_t)row_blocks * 64 * sizeof(int16_t));
+      if (!tile) {
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { if (err == 0 || (err != -1000001 && i < -err - 1)) err = -(1 + i); }
+        { err = -1000001; }
+        continue;
+      }
+      int rc = decode_plane_cm(data + offsets[i], (size_t)lengths[i],
+                               num_blocks, row_blocks, is_p[i], tile,
+                               out + (size_t)i * num_blocks * 64, nt);
+      free(tile);
+      if (rc != 0) {
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        { if (err == 0 || (err != -1000001 && i < -err - 1))
+            err = -(1 + i); }
+      }
     }
   }
 #if defined(__AVX2__)

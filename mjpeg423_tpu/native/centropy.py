@@ -67,11 +67,17 @@ def _build() -> pathlib.Path | None:
     if so.exists() and stamp.exists() and stamp.read_text() == want:
         return so
     _BUILD.mkdir(exist_ok=True)
+    # Build into a per-process temp name and os.replace() it into place:
+    # two processes compiling concurrently (a test run racing a bench
+    # stage subprocess) would otherwise interleave writes into the SAME
+    # output file and a third process could dlopen the torn result
+    # (observed once as a transient bit-exactness failure).
+    so_tmp = _BUILD / f"libcentropy.so.tmp.{os.getpid()}"
     # -ffp-contract=off: the color-convert doubles must round mul/add
     # separately (no FMA contraction) to stay bit-exact with the NumPy
     # oracle and the reference's strict-IEEE expressions.
     base = [cc, "-O3", "-std=c11", "-fwrapv", "-ffp-contract=off", "-fPIC",
-            "-shared", "-o", str(so), str(_SRC)]
+            "-shared", "-o", str(so_tmp), str(_SRC)]
     # Build ladder: native ISA + OpenMP -> OpenMP -> plain.  -march=native
     # is safe here because the library is always compiled on the machine
     # that runs it (on-demand build); OpenMP parallelizes the batch decode
@@ -107,7 +113,9 @@ def _build() -> pathlib.Path | None:
                 first_err = e.stderr or b""
             continue
     else:
+        so_tmp.unlink(missing_ok=True)
         return None
+    os.replace(so_tmp, so)
     stamp.write_text(want)
     return so
 
