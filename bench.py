@@ -911,7 +911,7 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
                 ))
                 return lambda: jnp.sum(run(d_a, d_s, d_c))
 
-            dt = bench_chained(make_chain, f_s)
+            dt, _ = bench_chained(make_chain, f_s)
             times[n_data] = dt / f_s
             _log(f"sharded n_data={n_data} (gop-aligned, fused, "
                  f"carry-chained): {dt * 1e3:.2f} ms/{f_s}-frame batch, "
@@ -996,7 +996,7 @@ def bench_encode_transform(rng, f, b, bh, bw, h, w):
             )
         return lambda: run(d_s)
 
-    dt = bench_chained(make_chain, f)
+    dt, _ = bench_chained(make_chain, f)
     fps = f / dt
     _log(
         f"stage=encode_transform: {dt * 1e3:.2f} ms/{f}-frame batch = "
