@@ -321,6 +321,37 @@ def bench_parse(rng, f, b, h, w):
     _log(f"stage=parse (balanced batch, {f_bal} frames / "
          f"{len(blobs_bal)} items): {bal_fps:.1f} frames/s")
 
+    # Sparse-content row: the synthetic dense stream (~16 nonzeros/block)
+    # is the encoder's WORST case; real camera content quantizes far
+    # sparser.  A typical-video-like stream (~4 nonzeros/block) bounds
+    # the other end of the parse envelope on identical code.
+    rng_sp = np.random.default_rng(7)
+    amps_sp = np.zeros((3, f, b, 64), dtype=np.int16)
+    amps_sp[..., 0] = rng_sp.integers(-64, 64, size=(3, f, b))
+    lo = rng_sp.integers(-6, 6, size=(3, f, b, 15))
+    mask_sp = rng_sp.random((3, f, b, 15)) < 0.2
+    amps_sp[..., 1:16] = np.where(mask_sp, lo, 0).astype(np.int16)
+    blobs_sp = [centropy.encode_plane(amps_sp[p, fi])
+                for p in range(3) for fi in range(f)]
+    data_sp = b"".join(blobs_sp)
+    len_sp = np.array([len(x) for x in blobs_sp], dtype=np.uint64)
+    off_sp = np.zeros(len(blobs_sp), dtype=np.uint64)
+    off_sp[1:] = np.cumsum(len_sp)[:-1]
+    out_sp = centropy.decode_batch(data_sp, off_sp, len_sp, is_p, b)  # warm
+    it_sp = max(1, int(0.3 / max(1e-4, _time_once(
+        centropy.decode_batch, data_sp, off_sp, len_sp, is_p, b, out_sp))))
+
+    def one_sp():
+        for _ in range(it_sp):
+            centropy.decode_batch(data_sp, off_sp, len_sp, is_p, b,
+                                  out=out_sp)
+
+    sp_dt, _ = _timed_reps(one_sp, 3)
+    sp_fps = f / (sp_dt / it_sp)
+    sp_nz = float((amps_sp != 0).sum() / (3 * f * b))
+    _log(f"stage=parse (sparse content, {sp_nz:.1f} nz/block): "
+         f"{sp_fps:.1f} frames/s")
+
     # Content descriptor (VERDICT r3: stage numbers need a content
     # fingerprint so cross-round trends mean something).
     nz_per_block = float((amps != 0).sum() / (3 * f * b))
@@ -328,6 +359,8 @@ def bench_parse(rng, f, b, h, w):
         "calibration": _calibration_probe(),
         "frames_per_s": round(fps, 1),
         "frames_per_s_balanced": round(bal_fps, 1),
+        "frames_per_s_sparse": round(sp_fps, 1),
+        "sparse_nonzeros_per_block": round(sp_nz, 2),
         "cm_frames_per_s": round(cm_fps, 1) if cm_fps else None,
         "mb_per_s": round(len(data) / dt / 1e6, 1),
         "geometry": f"{w}x{h}",
