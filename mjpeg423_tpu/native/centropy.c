@@ -345,6 +345,7 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
    * tests/test_native.py when OpenMP stacks shifted the base). */          \
   int16_t staging[17 * 64] __attribute__((aligned(256)));                   \
   int16_t sink[64] __attribute__((aligned(64)));                            \
+  const __m512i vsink = _mm512_set1_epi64((uint64_t)(uintptr_t)sink);       \
   memset(staging, 0, sizeof(staging));                                      \
   __m512i stag = _mm512_set_epi64(                                          \
       (uint64_t)(uintptr_t)(staging + 14 * 64),                             \
@@ -439,6 +440,14 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
       }                                                                     \
       __m512i zz2 = _mm512_permutexvar_epi8(posz, zztab);                   \
       __m512i addr = _mm512_add_epi64(stag, zz2);                           \
+      /* Non-storing lanes (EOB/ZRL/inactive) target the sink: an EOB     \
+       * reached at the legal transient index==64 (a ZRL can land there,  \
+       * matching the scalar decoder's `index > 64` check) would          \
+       * otherwise wrap through vpermb onto ZZ[(index+run) & 63] — an     \
+       * ALREADY-WRITTEN position (found by the corruption soak: the      \
+       * phantom zero store clobbered a block's DC). */                   \
+      __mmask8 k_store = (k_act & is_dc) | k_code;                          \
+      addr = _mm512_mask_mov_epi64(vsink, k_store, addr);                   \
       { /* 8 unconditional narrow stores into the L1 staging rows.         \
          * Lanes extract via register moves: a zmm spill + 8-byte         \
          * reloads would cross the store-to-load forwarding path 16       \

@@ -173,3 +173,50 @@ def test_lanes_randomized_parity_with_scalar():
             np.testing.assert_array_equal(
                 out[i], exp, err_msg=f"trial {trial} item {i} nb={nb}"
             )
+
+
+def _pack_bits(symbols):
+    """MSB-first bit packer for hand-built pathological streams.
+
+    symbols: list of (value, nbits)."""
+    acc = 0
+    n = 0
+    out = bytearray()
+    for v, k in symbols:
+        acc = (acc << k) | (v & ((1 << k) - 1))
+        n += k
+        while n >= 8:
+            out.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        out.append((acc << (8 - n)) & 0xFF)
+    return bytes(out)
+
+
+def test_lanes_eob_at_transient_index_64():
+    """A ZRL may land exactly on index 64 (the scalar decoder's bound is
+    `index > 64`), and an EOB there must NOT store: the lanes kernel once
+    wrapped its unconditional zero store through vpermb onto
+    ZZ[(index+run) & 63] == position 0 and clobbered the block's DC
+    (found by scripts/fuzz_native.py on a corrupt container)."""
+    # Block: DC=5 (size 3), coef run=14 -> index 15 (amp 3, size 2),
+    # then ZRL x3 (index 16 -> 32 -> 48 -> 64), then EOB (rs=0x00).
+    block = [
+        (0b011, 4), (0b101, 3),          # DC size=3, VLI 101 -> +5
+        (0xE2, 8), (0b11, 2),            # run=14 size=2, VLI 11 -> +3
+        (0xF0, 8), (0xF0, 8), (0xF0, 8),  # ZRLs: 16 -> 64
+        (0x00, 8),                        # EOB with index == 64
+    ]
+    # A second, ordinary block so the stream has structure after the edge.
+    block2 = [(0b0000, 4), (0x00, 8)]     # DC 0, EOB
+    bits = _pack_bits(block + block2)
+    bits += b"\x00" * 8  # slack so the 8-byte-minimum SIMD guard engages
+    nb = 2
+    exp = centropy.decode_plane(bits, nb, True)
+    assert exp[0, 0] == 5, "scalar decode sanity (DC survives)"
+    blobs = [bits] * 8
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(8, np.uint8)
+    out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    for i in range(8):
+        np.testing.assert_array_equal(out[i], exp, err_msg=f"item {i}")
