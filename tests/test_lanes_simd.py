@@ -220,3 +220,22 @@ def test_lanes_eob_at_transient_index_64():
     out = centropy.decode_batch(data, offsets, lengths, is_p, nb)
     for i in range(8):
         np.testing.assert_array_equal(out[i], exp, err_msg=f"item {i}")
+
+
+def test_lanes_cm_groups_match_scalar():
+    """The cm lanes path (per-lane tiles + AVX2 transpose flush) must
+    equal the reordered bm decode across a SIMD-group-sized batch,
+    including the EOB-at-index-64 pathological stream."""
+    rng = np.random.default_rng(0xCE11)
+    bh, bw = 5, 16  # nb=80, row_blocks=16: transpose fast path engages
+    nb = bh * bw
+    planes = [_content(rng, nb, s)
+              for s in ("dense", "zrl", "eob", "full", "dense", "zrl",
+                        "eob", "full", "dense")]
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = (np.arange(9) % 2).astype(np.uint8)
+    cm = centropy.decode_batch_cm(data, offsets, lengths, is_p, nb, bw)
+    bm = centropy.decode_batch(data, offsets, lengths, is_p, nb)
+    want = bm.reshape(-1, bh, bw, 64).transpose(0, 1, 3, 2)
+    np.testing.assert_array_equal(cm, want)
