@@ -29,7 +29,8 @@ soak:
 soak-quick:
 	@SEED=$${SOAK_SEED:-$$(date +%s)}; echo "soak-quick seed=$$SEED"; \
 	$(PY) scripts/parity_soak.py 5 $$SEED && \
-	$(PY) scripts/fuzz_native.py 10 $$SEED
+	$(PY) scripts/fuzz_native.py 10 $$SEED && \
+	$(PY) scripts/lanes_sweep.py 300 $$SEED
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:
