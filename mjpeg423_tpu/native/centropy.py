@@ -73,6 +73,17 @@ def _build() -> pathlib.Path | None:
     # output file and a third process could dlopen the torn result
     # (observed once as a transient bit-exactness failure).
     so_tmp = _BUILD / f"libcentropy.so.tmp.{os.getpid()}"
+    # Sweep temp files stranded by crashed builders (a process that died
+    # between compile and os.replace leaves its pid-named temp behind;
+    # any pid-suffixed temp whose owner is gone is garbage).
+    for stale in _BUILD.glob("libcentropy.so.tmp.*"):
+        try:
+            pid = int(stale.suffix.lstrip("."))
+            os.kill(pid, 0)  # raises if no such process
+        except (ValueError, ProcessLookupError):
+            stale.unlink(missing_ok=True)
+        except PermissionError:
+            pass  # pid exists under another user: leave it
     # -ffp-contract=off: the color-convert doubles must round mul/add
     # separately (no FMA contraction) to stay bit-exact with the NumPy
     # oracle and the reference's strict-IEEE expressions.
@@ -88,34 +99,37 @@ def _build() -> pathlib.Path | None:
         base,
     )
     first_err = None
-    for rung, cmd in enumerate(attempts):
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-            if rung > 0:
-                # A degraded rung is legitimate on hosts lacking the ISA,
-                # but a SOURCE error in the native rung must not silently
-                # cost the SIMD decode path (it did once: a macro bug made
-                # the ladder quietly drop -march=native and the batch
-                # parse ran 1.5x slower while every test stayed green).
-                import warnings
+    try:
+        for rung, cmd in enumerate(attempts):
+            try:
+                subprocess.run(cmd, check=True, capture_output=True)
+                if rung > 0:
+                    # A degraded rung is legitimate on hosts lacking the
+                    # ISA, but a SOURCE error in the native rung must not
+                    # silently cost the SIMD decode path (it did once: a
+                    # macro bug made the ladder quietly drop -march=native
+                    # and the batch parse ran 1.5x slower while every test
+                    # stayed green).
+                    import warnings
 
-                tail = (first_err or b"").decode(errors="replace")[-400:]
-                warnings.warn(
-                    f"centropy: native-ISA build rung failed; using rung "
-                    f"{rung} ({'openmp' if rung == 1 else 'plain'}). "
-                    f"First rung stderr tail: {tail}",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-            break
-        except subprocess.CalledProcessError as e:
-            if first_err is None:
-                first_err = e.stderr or b""
-            continue
-    else:
-        so_tmp.unlink(missing_ok=True)
-        return None
-    os.replace(so_tmp, so)
+                    tail = (first_err or b"").decode(errors="replace")[-400:]
+                    warnings.warn(
+                        f"centropy: native-ISA build rung failed; using rung "
+                        f"{rung} ({'openmp' if rung == 1 else 'plain'}). "
+                        f"First rung stderr tail: {tail}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
+                break
+            except subprocess.CalledProcessError as e:
+                if first_err is None:
+                    first_err = e.stderr or b""
+                continue
+        else:
+            return None
+        os.replace(so_tmp, so)
+    finally:
+        so_tmp.unlink(missing_ok=True)  # no-op after a successful replace
     stamp.write_text(want)
     return so
 
@@ -409,13 +423,17 @@ def decode_batch_i8(
     lengths: np.ndarray,
     is_p: np.ndarray,
     num_blocks: int,
+    out: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """Packed-format batch decode: (dc (N, B) int16, ac (N, B, 64) int8).
 
     Returns None when the native codec is unavailable OR any AC amplitude
     exceeds int8 (caller falls back to decode_batch); raises on corrupt
     streams.  This is the zero-extra-cost producer for the compressed fused
-    kernel (decode_window_fused_i8).
+    kernel (decode_window_fused_i8).  `out` reuses a (dc, ac) buffer pair
+    across calls (the production buffer-ring pattern — fresh 100 MB numpy
+    buffers per 1080p window were measured to halve the lanes rate via
+    page-fault churn).
     """
     lib = _load()
     if lib is None:
@@ -425,8 +443,14 @@ def decode_batch_i8(
     lengths = np.ascontiguousarray(lengths, dtype=np.uint64)
     is_p = np.ascontiguousarray(is_p, dtype=np.uint8)
     cbuf, _keep = _as_cbuf(data)
-    dc = np.empty((n, num_blocks), dtype=np.int16)
-    ac = np.empty((n, num_blocks, 64), dtype=np.int8)
+    if out is not None:
+        dc, ac = out
+        assert dc.shape == (n, num_blocks) and dc.dtype == np.int16
+        assert ac.shape == (n, num_blocks, 64) and ac.dtype == np.int8
+        assert dc.flags.c_contiguous and ac.flags.c_contiguous
+    else:
+        dc = np.empty((n, num_blocks), dtype=np.int16)
+        ac = np.empty((n, num_blocks, 64), dtype=np.int8)
     rc = lib.mj423_decode_batch_i8(
         cbuf,
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),

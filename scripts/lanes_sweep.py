@@ -77,6 +77,36 @@ for t in range(trials):
             d0 = np.argwhere(out[i] != sc)[0]
             raise AssertionError(
                 f"trial {t} item {i} nb={nb} isp={isp[i]}: diverges at {d0}")
+    # i8 lanes path vs its forced-scalar oracle (MJ_I8_NO_LANES): both
+    # must agree on the outcome class (packed tuple / overflow-None /
+    # raise) and byte-identically on the packed outputs.
+    def _i8(forced):
+        if forced:
+            os.environ["MJ_I8_NO_LANES"] = "1"
+        try:
+            return centropy.decode_batch_i8(data, offs, lens, isp, nb)
+        except ValueError as e:
+            return ("raise", str(e))
+        finally:
+            os.environ.pop("MJ_I8_NO_LANES", None)
+    fast, slow = _i8(False), _i8(True)
+    def _raised(r):
+        return isinstance(r, tuple) and len(r) == 2 and isinstance(r[0], str)
+    if _raised(fast):
+        assert _raised(slow), (
+            f"trial {t}: i8 lanes raised {fast[1]!r} but scalar returned")
+        assert fast[1] == slow[1], (
+            f"trial {t}: i8 error mismatch {fast[1]!r} vs {slow[1]!r}")
+    elif fast is None:
+        assert slow is None, f"trial {t}: i8 lanes None but scalar decoded"
+    else:
+        assert slow is not None and not _raised(slow), (
+            f"trial {t}: i8 lanes decoded but scalar did not: {slow!r}")
+        for k, name in ((0, "dc"), (1, "ac")):
+            if not np.array_equal(fast[k], slow[k]):
+                d0 = np.argwhere(fast[k] != slow[k])[0]
+                raise AssertionError(
+                    f"trial {t} i8 {name} diverges at {d0} nb={nb}")
     if t % 50 == 0:
         print(f"trial {t} ok ({time.time()-t0:.0f}s)", flush=True)
 print(f"ALL {trials} TRIALS CLEAN ({time.time()-t0:.0f}s)")

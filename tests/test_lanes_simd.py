@@ -239,3 +239,128 @@ def test_lanes_cm_groups_match_scalar():
     bm = centropy.decode_batch(data, offsets, lengths, is_p, nb)
     want = bm.reshape(-1, bh, bw, 64).transpose(0, 1, 3, 2)
     np.testing.assert_array_equal(cm, want)
+
+
+# ----- packed i8-output lanes path (int16 DC + int8 AC) ---------------
+
+def _i8_expect(blobs, nb, is_p):
+    """Packed-format expectation derived from the int16 scalar oracle."""
+    dc = np.empty((len(blobs), nb), dtype=np.int16)
+    ac = np.empty((len(blobs), nb, 64), dtype=np.int8)
+    for i, blob in enumerate(blobs):
+        full = entropy_ref.decode_plane(blob, nb, bool(is_p[i]))
+        dc[i] = full[:, 0]
+        a = full.astype(np.int8)
+        a[:, 0] = 0
+        ac[i] = a
+    return dc, ac
+
+
+@pytest.mark.parametrize("style", ["dense", "zrl", "eob", "full"])
+def test_lanes_i8_groups_match_scalar(style):
+    """The i8-output lanes flush (int16 DC row + narrowed int8 AC row)
+    must be bit-exact with the packed format derived from the scalar
+    decoder, across I/P mixes and SIMD/scalar group boundaries.  The
+    `bigamp` style is excluded here: it exceeds int8 by construction
+    (covered by test_lanes_i8_overflow_falls_back)."""
+    rng = np.random.default_rng(hash("i8" + style) % 2**31)
+    nb = 40
+    n_items = 19  # 2 SIMD groups + 3 scalar remainder items
+    planes = [np.clip(_content(rng, nb, style), -128, 127).astype(np.int16)
+              for _ in range(n_items)]
+    for c in planes:  # DC may use the full int16 range in the packed format
+        c[:, 0] = rng.integers(-2000, 2000, size=nb)
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = (np.arange(n_items) % 3 != 0).astype(np.uint8)
+    got = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+    assert got is not None, "unexpected overflow fallback"
+    dc_exp, ac_exp = _i8_expect(blobs, nb, is_p)
+    np.testing.assert_array_equal(got[0], dc_exp, err_msg=style + " dc")
+    np.testing.assert_array_equal(got[1], ac_exp, err_msg=style + " ac")
+
+
+def test_lanes_i8_overflow_falls_back():
+    """Any AC amplitude past int8 anywhere in the batch -> None (the
+    caller re-decodes through the int16 path), whether the overflowing
+    item sits in a SIMD group or the scalar remainder."""
+    rng = np.random.default_rng(7)
+    nb = 16
+    for bad_at in (3, 17):  # inside group 0 / in the scalar remainder
+        planes = [np.zeros((nb, 64), dtype=np.int16) for _ in range(19)]
+        for c in planes:
+            c[:, 1] = rng.integers(-100, 100, size=nb)
+        planes[bad_at][5, 9] = 300  # exceeds int8
+        blobs = [centropy.encode_plane(c) for c in planes]
+        data, offsets, lengths = _batch_inputs(blobs)
+        is_p = np.ones(19, np.uint8)
+        assert centropy.decode_batch_i8(
+            data, offsets, lengths, is_p, nb) is None
+
+
+def test_lanes_i8_corrupt_group_error_matches_scalar():
+    """A structurally corrupt stream inside a SIMD group must surface the
+    same per-item error the scalar path reports (the group re-decodes
+    scalar on any flagged lane)."""
+    rng = np.random.default_rng(11)
+    nb = 24
+    planes = [np.zeros((nb, 64), dtype=np.int16) for _ in range(8)]
+    for c in planes:
+        c[:, 2] = rng.integers(-50, 50, size=nb)
+    blobs = [centropy.encode_plane(c) for c in planes]
+    # item 5: DC size=0 then 5x ZRL -> zig-zag overrun with NO amplitude
+    # overflow (the all-ones classic hits the amp check first and reports
+    # +1 instead — overflow-precedence is part of the scalar contract).
+    blobs[5] = bytes([0x0F] * 5 + [0x00] * 3)
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(8, np.uint8)
+    with pytest.raises(ValueError, match="item 5"):
+        centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+
+
+def test_lanes_i8_eob_at_transient_index_64():
+    """The EOB-at-64 phantom-store pathology through the i8 flush."""
+    block = [
+        (0b011, 4), (0b101, 3),
+        (0xE2, 8), (0b11, 2),
+        (0xF0, 8), (0xF0, 8), (0xF0, 8),
+        (0x00, 8),
+    ]
+    block2 = [(0b0000, 4), (0x00, 8)]
+    bits = _pack_bits(block + block2) + b"\x00" * 8
+    nb = 2
+    blobs = [bits] * 8
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(8, np.uint8)
+    got = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+    assert got is not None
+    dc_exp, ac_exp = _i8_expect(blobs, nb, is_p)
+    assert dc_exp[0, 0] == 5, "oracle sanity (DC survives)"
+    np.testing.assert_array_equal(got[0], dc_exp)
+    np.testing.assert_array_equal(got[1], ac_exp)
+
+
+def test_lanes_i8_forced_scalar_parity():
+    """MJ_I8_NO_LANES=1 (the A/B and sweep oracle knob) must produce the
+    identical packed output (C getenv reads the live environment, so the
+    toggle works within one process)."""
+    import os
+
+    rng = np.random.default_rng(23)
+    nb = 32
+    planes = [
+        np.where(rng.random((nb, 64)) < 0.4,
+                 rng.integers(-90, 90, size=(nb, 64)), 0).astype(np.int16)
+        for _ in range(16)
+    ]
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = rng.integers(0, 2, size=16).astype(np.uint8)
+    fast = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+    os.environ["MJ_I8_NO_LANES"] = "1"
+    try:
+        slow = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+    finally:
+        del os.environ["MJ_I8_NO_LANES"]
+    np.testing.assert_array_equal(fast[0], slow[0])
+    np.testing.assert_array_equal(fast[1], slow[1])
