@@ -492,6 +492,16 @@ def _encode_frames_device_fused(
     encode_quantized_frames — byte-identical output by construction.
     With mesh=, each window's frames shard over the "data" axis via
     parallel/encode.encode_window_fused_sharded (zero collectives).
+
+    config.overlap_device (default True): host convert of window N+1 and
+    the serial pack of window N run CONCURRENTLY with the device transform
+    and D2H of the windows between them — a producer thread converts,
+    dispatches, and posts the async D2H; the packer thread consumes in
+    order (P-candidate state is sequential).  Bounded by
+    config.inflight_windows staging slots so host memory stays O(window).
+    Mirrors the decode pipeline's stage discipline (runtime/pipeline.py)
+    and the reference's post-early/join-late structure
+    (playback.c:80-134: core1 reads N+1 while core0 transforms N).
     """
     import jax
     import jax.numpy as jnp
@@ -510,9 +520,29 @@ def _encode_frames_device_fused(
         n_data = mesh.shape[DATA_AXIS]
         W = max(W, n_data) // n_data * n_data  # window divisible by shards
     k = auto_rows_per_step_encode(bh, bw)
+    prof = profiler or default_profiler
 
-    def quantized():
-        prof = profiler or default_profiler
+    def transform(stage):
+        """Dispatch one staged uint8 window; returns the device array."""
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.encode import encode_window_fused_sharded
+            from ..parallel.mesh import DATA_AXIS
+
+            d_stage = jax.device_put(
+                jnp.asarray(stage),
+                NamedSharding(mesh, P(None, DATA_AXIS)),
+            )
+            return encode_window_fused_sharded(
+                d_stage, mesh=mesh, blocks_h=bh, blocks_w=bw,
+                rows_per_step=k,
+            )
+        return encode_window_fused(
+            jnp.asarray(stage), blocks_h=bh, blocks_w=bw, rows_per_step=k,
+        )
+
+    def quantized_sequential():
         scratch: dict = {}
         stage = np.zeros((3, W, nb, 64), np.uint8)
         # q3w[:, j] is non-contiguous (W > 1 strides the frame axis), and
@@ -538,34 +568,108 @@ def _encode_frames_device_fused(
             # Always ship the full W-frame window (stale tail rows are
             # ignored) so every batch compiles to ONE shape.
             with prof.time("encode/device_transform"):
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    from ..parallel.encode import encode_window_fused_sharded
-                    from ..parallel.mesh import DATA_AXIS
-
-                    d_stage = jax.device_put(
-                        jnp.asarray(stage),
-                        NamedSharding(mesh, P(None, DATA_AXIS)),
-                    )
-                    q3w = np.asarray(
-                        jax.device_get(encode_window_fused_sharded(
-                            d_stage, mesh=mesh, blocks_h=bh, blocks_w=bw,
-                            rows_per_step=k,
-                        )))
-                else:
-                    q3w = np.asarray(jax.device_get(encode_window_fused(
-                        jnp.asarray(stage), blocks_h=bh, blocks_w=bw,
-                        rows_per_step=k,
-                    )))
+                q3w = np.asarray(jax.device_get(transform(stage)))
             for j in range(count):
                 q3 = q3_pair[fi % 2]
                 np.copyto(q3, q3w[:, j])
                 fi += 1
                 yield q3
 
+    def quantized_overlapped():
+        import queue
+        import threading
+
+        class _StageError:
+            def __init__(self, exc):
+                self.exc = exc
+
+        inflight = max(1, int(config.inflight_windows))
+        # Staging slot pool: the device_put of slot S is only provably
+        # complete once S's OUTPUT has been fetched (the jit consumed its
+        # input), so a slot returns to the pool after the consumer's
+        # device_get — inflight+1 slots keep the producer converting
+        # while `inflight` windows are in flight.
+        slot_pool: queue.Queue = queue.Queue()
+        for _ in range(inflight + 1):
+            slot_pool.put(np.zeros((3, W, nb, 64), np.uint8))
+        out_q: queue.Queue = queue.Queue(maxsize=inflight)
+        stop = threading.Event()
+
+        def _put_or_drop(item) -> bool:
+            while True:
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
+
+        def producer():
+            err: BaseException | None = None
+            try:
+                scratch: dict = {}
+                for ws in range(0, nf, W):
+                    count = min(W, nf - ws)
+                    while True:
+                        try:
+                            stage = slot_pool.get(timeout=0.1)
+                            break
+                        except queue.Empty:
+                            if stop.is_set():
+                                return
+                    with prof.time("encode/convert"):
+                        for j in range(count):
+                            yb, cbb, crb = _rgb_to_blocked_planes(
+                                frames_rgb[ws + j], scratch
+                            )
+                            stage[0, j] = yb.reshape(nb, 64)
+                            stage[1, j] = cbb.reshape(nb, 64)
+                            stage[2, j] = crb.reshape(nb, 64)
+                    with prof.time("encode/device_dispatch"):
+                        q3w_dev = transform(stage)
+                        try:
+                            q3w_dev.copy_to_host_async()
+                        except AttributeError:
+                            pass  # non-Array (interpret/sharded fallback)
+                    if not _put_or_drop((count, stage, q3w_dev)):
+                        return
+            except BaseException as e:  # noqa: BLE001 — propagate to packer
+                err = e
+            finally:
+                _put_or_drop(_StageError(err) if err is not None else None)
+
+        t = threading.Thread(
+            target=producer, daemon=True, name="mj-encode-producer"
+        )
+        t.start()
+        q3_pair = [
+            np.empty((3, nb, 64), np.int16), np.empty((3, nb, 64), np.int16)
+        ]
+        fi = 0
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                if isinstance(item, _StageError):
+                    raise item.exc
+                count, stage, q3w_dev = item
+                with prof.time("encode/device_fetch"):
+                    q3w = np.asarray(jax.device_get(q3w_dev))
+                slot_pool.put(stage)  # input consumed: slot is reusable
+                for j in range(count):
+                    q3 = q3_pair[fi % 2]
+                    np.copyto(q3, q3w[:, j])
+                    fi += 1
+                    yield q3
+        finally:
+            stop.set()
+            t.join(timeout=30.0)
+
+    gen = quantized_overlapped if config.overlap_device else (
+        quantized_sequential)
     return encode_quantized_frames(
-        quantized(), w, h, max_i_interval, entropy_encode, config,
+        gen(), w, h, max_i_interval, entropy_encode, config,
         profiler=profiler,
     )
 

@@ -125,3 +125,12 @@ class EncodeConfig:
     # transformed, and packed per window — bounds host memory at
     # O(window) blocked planes instead of the whole clip.
     frames_per_batch: int = 16
+    # Device-path stage overlap: host convert (window N+1) and serial pack
+    # (window N) run concurrently with the device FDCT+quantize + D2H of
+    # the windows between them (producer thread + bounded staging slots —
+    # the reference's post-early/join-late shape, playback.c:80-134).
+    # False: strict convert -> transform -> pack sequence per window.
+    overlap_device: bool = True
+    inflight_windows: int = 2          # staged windows in flight (device
+                                       # path); host memory O(inflight+1
+                                       # windows)

@@ -124,3 +124,33 @@ def test_pallas_encoded_container_decodes_on_reference(rng):
     ours = np.asarray(decode_stream_array(mpg))
     ref = np.asarray(harness.Oracle().decode(mpg, F, w, h))
     np.testing.assert_array_equal(ours, ref)
+
+
+def test_encode_frames_device_overlap_identical_and_propagates(rng):
+    """The overlapped device-encode pipeline (producer thread converts +
+    dispatches + posts async D2H while the packer consumes in order) is
+    byte-identical to the strict sequential path, and a producer fault
+    (bad frame shape mid-clip) surfaces in the caller, not a hang."""
+    h, w = 24, 32
+    frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+              for _ in range(7)]
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    seq = enc.encode_frames_device(
+        frames, max_i_interval=4, use_pallas=True,
+        config=EncodeConfig(frames_per_batch=3, overlap_device=False),
+    )
+    for inflight in (1, 3):
+        ov = enc.encode_frames_device(
+            frames, max_i_interval=4, use_pallas=True,
+            config=EncodeConfig(frames_per_batch=3, overlap_device=True,
+                                inflight_windows=inflight),
+        )
+        assert ov == seq, f"inflight={inflight} diverges"
+
+    bad = frames[:4] + [rng.integers(0, 256, (h, w + 8, 3)).astype(np.uint8)]
+    with pytest.raises(Exception):
+        enc.encode_frames_device(
+            bad, max_i_interval=4, use_pallas=True,
+            config=EncodeConfig(frames_per_batch=2, overlap_device=True),
+        )
