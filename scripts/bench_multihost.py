@@ -219,6 +219,12 @@ def main() -> int:
                     help="write the full JSON artifact here (default: "
                          "stdout only)")
     ap.add_argument("--port", type=int, default=12431)
+    ap.add_argument("--kb-hosts", default="2,4",
+                    help="comma-separated host counts for the kernel-bound "
+                         "scaling CURVE (VERDICT r4 next#4: one point is "
+                         "not a curve); each N pins every host to "
+                         "cpu_count//N cores in both the 1-host and "
+                         "N-host runs")
     args = ap.parse_args()
 
     # Build the corpus with the host encoder (one unique GOP replicated:
@@ -267,25 +273,44 @@ def main() -> int:
     # Kernel-bound rows: pre-parsed amplitudes + fixed equal core slices
     # per host in both runs (see _launch).  This is the configuration in
     # which the virtual mesh CAN demonstrate real scaling: partitions
-    # share nothing, hosts have identical resources.
-    with tempfile.TemporaryDirectory() as td:
-        stream = os.path.join(td, "bench.mpg")
-        with open(stream, "wb") as f:
-            f.write(data)
-        slice_c = max(1, (os.cpu_count() or 4) // args.hosts)
-        kb1 = _launch(1, args.devices_per_host, stream,
-                      os.path.join(td, "kb1.json"), args.port + 2,
-                      kernel_bound=True, fixed_slice=slice_c)
-        print(f"kernel-bound 1 host ({slice_c} cores): "
-              f"{kb1['aggregate_frames_per_s']} frames/s", file=sys.stderr)
-        kbn = _launch(args.hosts, args.devices_per_host, stream,
-                      os.path.join(td, "kbn.json"), args.port + 3,
-                      kernel_bound=True, fixed_slice=slice_c)
-        print(f"kernel-bound {args.hosts} hosts: "
-              f"{kbn['aggregate_frames_per_s']} frames/s aggregate",
-              file=sys.stderr)
-    kb_eff = (kbn["aggregate_frames_per_s"]
-              / (kb1["aggregate_frames_per_s"] * args.hosts))
+    # share nothing, hosts have identical resources.  Measured at EVERY
+    # host count in --kb-hosts so the artifact carries a curve, not a
+    # single point (VERDICT r4 next#4).
+    kb_hosts = sorted({int(x) for x in args.kb_hosts.split(",") if x})
+    kb_curve = []
+    port = args.port + 2
+    for n_kb in kb_hosts:
+        with tempfile.TemporaryDirectory() as td:
+            stream = os.path.join(td, "bench.mpg")
+            with open(stream, "wb") as f:
+                f.write(data)
+            slice_c = max(1, (os.cpu_count() or 4) // n_kb)
+            kb1 = _launch(1, args.devices_per_host, stream,
+                          os.path.join(td, "kb1.json"), port,
+                          kernel_bound=True, fixed_slice=slice_c)
+            print(f"kernel-bound 1 host ({slice_c} cores): "
+                  f"{kb1['aggregate_frames_per_s']} frames/s",
+                  file=sys.stderr)
+            kbn = _launch(n_kb, args.devices_per_host, stream,
+                          os.path.join(td, "kbn.json"), port + 1,
+                          kernel_bound=True, fixed_slice=slice_c)
+            print(f"kernel-bound {n_kb} hosts: "
+                  f"{kbn['aggregate_frames_per_s']} frames/s aggregate",
+                  file=sys.stderr)
+            port += 2
+        kb_curve.append({
+            "one_host": kb1,
+            "n_hosts": kbn,
+            "hosts": n_kb,
+            "scaling_efficiency": round(
+                kbn["aggregate_frames_per_s"]
+                / (kb1["aggregate_frames_per_s"] * n_kb), 3),
+            "cores_per_host": slice_c,
+            "note": ("pre-parsed amplitudes, each host pinned to its own "
+                     f"{slice_c}-core slice in BOTH runs — equal hosts, "
+                     "disjoint resources: the configuration whose "
+                     "efficiency measures the sharded decode path itself"),
+        })
 
     eff = (rn["aggregate_frames_per_s"]
            / (r1["aggregate_frames_per_s"] * args.hosts))
@@ -302,16 +327,20 @@ def main() -> int:
         # overhead, which is what the virtual mesh CAN measure honestly.
         "shared_box_throughput_ratio": round(
             rn["aggregate_frames_per_s"] / r1["aggregate_frames_per_s"], 3),
-        "kernel_bound": {
-            "one_host": kb1,
-            "n_hosts": kbn,
-            "scaling_efficiency": round(kb_eff, 3),
-            "cores_per_host": slice_c,
-            "note": ("pre-parsed amplitudes, each host pinned to its own "
-                     f"{slice_c}-core slice in BOTH runs — equal hosts, "
-                     "disjoint resources: the configuration whose "
-                     "efficiency measures the sharded decode path itself"),
-        },
+        # Back-compat single block (the --hosts point if measured, else
+        # the first curve point) + the full curve.
+        "kernel_bound": next(
+            (e for e in kb_curve if e["hosts"] == args.hosts),
+            kb_curve[0] if kb_curve else None),
+        "kernel_bound_curve": [
+            {k: e[k] for k in
+             ("hosts", "cores_per_host", "scaling_efficiency")}
+            | {"aggregate_frames_per_s":
+               e["n_hosts"]["aggregate_frames_per_s"],
+               "one_host_frames_per_s":
+               e["one_host"]["aggregate_frames_per_s"]}
+            for e in kb_curve
+        ],
         "note": ("virtual CPU mesh on one box: N processes share the same "
                  f"{os.cpu_count()}-core host, so parse-bound efficiency "
                  "understates real N-box scaling (GOP partitions share "
