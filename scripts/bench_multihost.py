@@ -225,6 +225,13 @@ def main() -> int:
                          "not a curve); each N pins every host to "
                          "cpu_count//N cores in both the 1-host and "
                          "N-host runs")
+    ap.add_argument("--kb-reps", type=int, default=3,
+                    help="repeat each kernel-bound (1-host, N-host) pair "
+                         "this many times and report the MEDIAN efficiency "
+                         "with all samples — the two launches sit minutes "
+                         "apart on a shared box, so a single pair carries "
+                         "the hour's drift (observed 0.77-0.83 on "
+                         "identical code)")
     args = ap.parse_args()
 
     # Build the corpus with the host encoder (one unique GOP replicated:
@@ -280,36 +287,41 @@ def main() -> int:
     kb_curve = []
     port = args.port + 2
     for n_kb in kb_hosts:
-        with tempfile.TemporaryDirectory() as td:
-            stream = os.path.join(td, "bench.mpg")
-            with open(stream, "wb") as f:
-                f.write(data)
-            slice_c = max(1, (os.cpu_count() or 4) // n_kb)
-            kb1 = _launch(1, args.devices_per_host, stream,
-                          os.path.join(td, "kb1.json"), port,
-                          kernel_bound=True, fixed_slice=slice_c)
-            print(f"kernel-bound 1 host ({slice_c} cores): "
-                  f"{kb1['aggregate_frames_per_s']} frames/s",
-                  file=sys.stderr)
-            kbn = _launch(n_kb, args.devices_per_host, stream,
-                          os.path.join(td, "kbn.json"), port + 1,
-                          kernel_bound=True, fixed_slice=slice_c)
-            print(f"kernel-bound {n_kb} hosts: "
-                  f"{kbn['aggregate_frames_per_s']} frames/s aggregate",
-                  file=sys.stderr)
-            port += 2
+        slice_c = max(1, (os.cpu_count() or 4) // n_kb)
+        samples = []
+        kb1 = kbn = None
+        for rep in range(max(1, args.kb_reps)):
+            with tempfile.TemporaryDirectory() as td:
+                stream = os.path.join(td, "bench.mpg")
+                with open(stream, "wb") as f:
+                    f.write(data)
+                kb1 = _launch(1, args.devices_per_host, stream,
+                              os.path.join(td, "kb1.json"), port,
+                              kernel_bound=True, fixed_slice=slice_c)
+                kbn = _launch(n_kb, args.devices_per_host, stream,
+                              os.path.join(td, "kbn.json"), port + 1,
+                              kernel_bound=True, fixed_slice=slice_c)
+                port += 2
+            eff = (kbn["aggregate_frames_per_s"]
+                   / (kb1["aggregate_frames_per_s"] * n_kb))
+            samples.append(round(eff, 3))
+            print(f"kernel-bound N={n_kb} rep {rep}: 1-host "
+                  f"{kb1['aggregate_frames_per_s']} -> {n_kb}-host "
+                  f"{kbn['aggregate_frames_per_s']} frames/s "
+                  f"(eff {eff:.3f})", file=sys.stderr)
+        med = sorted(samples)[len(samples) // 2]
         kb_curve.append({
             "one_host": kb1,
             "n_hosts": kbn,
             "hosts": n_kb,
-            "scaling_efficiency": round(
-                kbn["aggregate_frames_per_s"]
-                / (kb1["aggregate_frames_per_s"] * n_kb), 3),
+            "scaling_efficiency": med,
+            "efficiency_samples": samples,
             "cores_per_host": slice_c,
             "note": ("pre-parsed amplitudes, each host pinned to its own "
                      f"{slice_c}-core slice in BOTH runs — equal hosts, "
                      "disjoint resources: the configuration whose "
-                     "efficiency measures the sharded decode path itself"),
+                     "efficiency measures the sharded decode path itself; "
+                     "median of all samples, every sample reported"),
         })
 
     eff = (rn["aggregate_frames_per_s"]
