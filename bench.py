@@ -1883,7 +1883,7 @@ def main():
         # 2100 s: every stage (3 device compiles x 540 s cap + parse) fits
         # even when the remote compile service degrades — a 540 s sharded
         # timeout must not also starve e2e/encode (observed in rehearsal).
-        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "2700"))
+        budget = float(os.environ.get("BENCH_STAGE_BUDGET_S", "3100"))
         per_stage_cap = float(os.environ.get("BENCH_STAGE_TIMEOUT_S", "540"))
         extra = []
         if cli.small:
@@ -1894,9 +1894,12 @@ def main():
             extra += ["--frames", str(cli.frames)]
         t_start = time.perf_counter()
         stages = {}
+        # Order = evidence priority under the budget: the round-5 asks
+        # (overlap, encode_device, latency's 640x480 row) must land in
+        # the artifact even on a degraded-compile hour.
         for stage in ("parse", "overlap", "pipeline_1080p", "sharded",
-                      "e2e_device", "e2e", "latency", "encode",
-                      "encode_device", "transcode", "encode_transform"):
+                      "e2e_device", "encode_device", "latency", "e2e",
+                      "encode", "transcode", "encode_transform"):
             remaining = budget - (time.perf_counter() - t_start)
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")
