@@ -1090,10 +1090,14 @@ def _latency_one_geometry(rng, use_pallas, h, w, row_budget_s=20.0,
         # PCIe-class warm-seek projection, MEASURED.
         try:
             index = fmt.index_frames(data)
-            t0 = time.perf_counter()
-            for _ in range(5):
+            amps_w = pipe.parse_window(data, index, gop, f_gop)  # warm
+            pts = []
+            for _ in range(7):
+                t0 = time.perf_counter()
                 amps_w = pipe.parse_window(data, index, gop, f_gop)
-            parse_ms = (time.perf_counter() - t0) / 5 * 1e3
+                pts.append((time.perf_counter() - t0) * 1e3)
+            pts.sort()
+            parse_ms = pts[len(pts) // 2]
             dev_amps = pipe._put_window(amps_w, f_gop, f_gop, b)
             segw = np.zeros(f_gop, dtype=bool)
             segw[0] = True
