@@ -154,3 +154,37 @@ def test_encode_frames_device_overlap_identical_and_propagates(rng):
             bad, max_i_interval=4, use_pallas=True,
             config=EncodeConfig(frames_per_batch=2, overlap_device=True),
         )
+
+
+def test_encode_frames_device_overlap_consumer_abort(rng):
+    """A fault on the CONSUMER side (entropy packer raising mid-clip)
+    must tear the producer thread down promptly — the finally sets the
+    stop flag and joins; a blocking slot-pool/queue put would hang."""
+    import threading
+
+    h, w = 24, 32
+    frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+              for _ in range(9)]
+    calls = {"n": 0}
+
+    def bad_pack(coeffs):
+        calls["n"] += 1
+        if calls["n"] > 7:  # mid-stream, after a couple of windows
+            raise RuntimeError("packer fault")
+        from mjpeg423_tpu.native import centropy
+        return centropy.encode_plane(coeffs)
+
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    n_before = threading.active_count()
+    with pytest.raises(RuntimeError, match="packer fault"):
+        enc.encode_frames_device(
+            frames, max_i_interval=4, use_pallas=True,
+            entropy_encode=bad_pack,
+            config=EncodeConfig(frames_per_batch=2, overlap_device=True),
+        )
+    deadline = __import__("time").time() + 30
+    while threading.active_count() > n_before and (
+            __import__("time").time() < deadline):
+        __import__("time").sleep(0.05)
+    assert threading.active_count() <= n_before, "producer thread leaked"
