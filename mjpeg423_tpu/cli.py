@@ -256,12 +256,17 @@ def cmd_encode(args) -> int:
     from .utils.profile import Profiler
 
     profiler = Profiler()
-    encode = (
-        encoder.encode_frames if args.no_device else encoder.encode_frames_device
-    )
-    data = encode(
-        frames, max_i_interval=args.max_i_interval, profiler=profiler
-    )
+    if args.no_device:
+        data = encoder.encode_frames(
+            frames, max_i_interval=args.max_i_interval, profiler=profiler
+        )
+    else:
+        from .utils.config import EncodeConfig
+
+        data = encoder.encode_frames_device(
+            frames, max_i_interval=args.max_i_interval, profiler=profiler,
+            config=EncodeConfig(fetch_i8=args.fetch_i8),
+        )
     with open(args.output, "wb") as f:
         f.write(data)
     print(f"encoded {len(frames)} frames -> {args.output} "
@@ -615,6 +620,11 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="+")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("--max-i-interval", type=int, default=24)
+    p.add_argument("--fetch-i8", action="store_true",
+                   help="device path: narrow quantized planes on device "
+                        "before device->host transfer (halves the "
+                        "dominant transfer when that link is the "
+                        "bottleneck; byte-identical output)")
     p.add_argument("--no-device", action="store_true",
                    help="use the NumPy reference transform instead of the "
                         "device FDCT path (outputs are byte-identical)")
