@@ -364,3 +364,26 @@ def test_lanes_i8_forced_scalar_parity():
         del os.environ["MJ_I8_NO_LANES"]
     np.testing.assert_array_equal(fast[0], slow[0])
     np.testing.assert_array_equal(fast[1], slow[1])
+
+
+def test_lanes_i8_out_buffer_reuse():
+    """decode_batch_i8(out=(dc, ac)) writes into the caller's buffers
+    (the bench/pipeline buffer-ring pattern) and returns views of them."""
+    rng = np.random.default_rng(31)
+    nb = 24
+    planes = [
+        np.where(rng.random((nb, 64)) < 0.4,
+                 rng.integers(-90, 90, size=(nb, 64)), 0).astype(np.int16)
+        for _ in range(10)
+    ]
+    blobs = [centropy.encode_plane(c) for c in planes]
+    data, offsets, lengths = _batch_inputs(blobs)
+    is_p = np.ones(10, np.uint8)
+    ref = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb)
+    dc = np.full((10, nb), -7, dtype=np.int16)
+    ac = np.full((10, nb, 64), -7, dtype=np.int8)
+    got = centropy.decode_batch_i8(data, offsets, lengths, is_p, nb,
+                                   out=(dc, ac))
+    assert got[0] is dc and got[1] is ac
+    np.testing.assert_array_equal(dc, ref[0])
+    np.testing.assert_array_equal(ac, ref[1])
