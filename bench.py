@@ -829,7 +829,11 @@ def bench_overlap(rng, f, b, h, w):
             "device input pre-staged on device (link carries dispatches + "
             "one scalar fetch per chain call only); parse isolated is "
             "measured in the same process with the device idle, so the "
-            "ratios isolate CONCURRENCY cost, not tunnel-client presence"
+            "ratios isolate CONCURRENCY cost, not tunnel-client presence. "
+            "Meaningful at production geometry (chain calls ~0.5 s, "
+            "dispatch negligible); at tiny geometries the device loop "
+            "degenerates to a dispatch spin whose HOST cost is what "
+            "interferes (--small measured 0.51 for exactly that reason)"
         ),
     })
     _log(
