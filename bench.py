@@ -173,6 +173,18 @@ def _kernel_quality(trace_dir, bytes_per_iter):
         by_op = {k: v for k, v in by_op.items()
                  if not k.lstrip("%").startswith(
                      ("while", "cond", "body", "call"))}
+        # Fallback for differently-named wrappers: a SINGLE-event op whose
+        # duration ~covers the sum of everything else, where that
+        # everything-else clearly contains repeated leaf work (some op
+        # with >= 5 events), is a container double-counting its children
+        # — a once-run dominant kernel in a once-run module has no such
+        # repeated sibling and is kept.
+        total_all = sum(t for t, _ in by_op.values())
+        has_repeated = any(n >= 5 for _, n in by_op.values())
+        if has_repeated:
+            by_op = {k: v for k, v in by_op.items()
+                     if not (v[1] == 1
+                             and v[0] >= 0.95 * (total_all - v[0]))}
         if not by_op:
             return None
         total_ns = sum(t for t, _ in by_op.values())
@@ -232,11 +244,17 @@ def _timed_reps(fn, reps, budget_s=None, trim=False):
     }
 
 
-# Committed clean-hour probe rate (BENCH_FULL @918d9d5: 42.3 Mblocks/s,
-# spread 1.26) — the reference point the contention-aware retry compares
-# against.  A probe far below it means the box-hour is contended and the
-# stage rate will under-report the code's capability.
-CLEAN_PROBE_MBLOCKS = 42.3
+# Committed clean-hour probe rate on the round-4/5 dev box (BENCH_FULL
+# @918d9d5: 42.3 Mblocks/s, spread 1.26) — the reference point the
+# contention-aware retry compares against.  A probe far below it means
+# the box-hour is contended and the stage rate will under-report the
+# code's capability.  BOX-CALIBRATED: on other hosts set
+# BENCH_CLEAN_PROBE_MBLOCKS (0 disables the absolute-rate criterion);
+# either way, attempts whose probes match the PREVIOUS attempt's are
+# treated as a consistently-slow host, not transient contention, and
+# stop the retry loop.
+CLEAN_PROBE_MBLOCKS = float(
+    os.environ.get("BENCH_CLEAN_PROBE_MBLOCKS", "42.3"))
 
 
 def bench_parse(rng, f, b, h, w):
@@ -443,6 +461,7 @@ def bench_parse(rng, f, b, h, w):
     spacing = float(os.environ.get("BENCH_PARSE_RETRY_SPACING_S", "60"))
     max_attempts = max(1, int(os.environ.get("BENCH_PARSE_ATTEMPTS", "3")))
     best = None
+    prev_rate = None
     for att in range(max_attempts):
         res = measure_once()
         rate, spread = probe_health(res)
@@ -457,9 +476,17 @@ def bench_parse(rng, f, b, h, w):
                 or res["frames_per_s_balanced"]
                 > best["frames_per_s_balanced"]):
             best = res
-        clean = (rate is not None and spread is not None
-                 and rate >= 0.6 * CLEAN_PROBE_MBLOCKS and spread <= 1.5)
-        if clean or res["frames_per_s_balanced"] >= 1000.0:
+        clean = (rate is None or spread is None
+                 or ((CLEAN_PROBE_MBLOCKS <= 0
+                      or rate >= 0.6 * CLEAN_PROBE_MBLOCKS)
+                     and spread <= 1.5))
+        # A probe matching the previous attempt's is a consistently-slow
+        # host (different hardware, fewer cores), not transient
+        # contention — retrying cannot help.
+        steady = (rate is not None and prev_rate is not None
+                  and 0.9 <= rate / max(prev_rate, 1e-9) <= 1.1)
+        prev_rate = rate
+        if clean or steady or res["frames_per_s_balanced"] >= 1000.0:
             break
         if att + 1 < max_attempts:
             _log(f"stage=parse attempt {att}: contended hour (probe "
@@ -632,15 +659,22 @@ def bench_encode_device(rng, f, b, h, w):
                               fetch_i8=True)
         data_i8 = encoder.encode_frames_device(
             frames, config=cfg_i8, use_pallas=True)  # warm
-        assert data_i8 == data_ov, "fetch_i8 must be byte-identical"
-        dt_i8, st_i8 = _timed_reps(
-            lambda: encoder.encode_frames_device(
-                frames, config=cfg_i8, use_pallas=True),
-            7, budget_s=90, trim=True)
-        res["frames_per_s_fetch_i8"] = round(f / dt_i8, 1)
-        res["fetch_i8_stats"] = st_i8
-        _log(f"stage=encode_device (fetch_i8 packed D2H): "
-             f"{f / dt_i8:.1f} frames/s")
+        if data_i8 != data_ov:
+            # A parity regression must be VISIBLE in the artifact, not
+            # swallowed as a skipped row (and not an assert, which -O
+            # strips): record the violation, publish no perf number.
+            res["fetch_i8_parity"] = "MISMATCH"
+            _log("stage=encode_device: fetch_i8 BYTE-IDENTITY VIOLATION "
+                 "— row withheld, parity flag recorded")
+        else:
+            dt_i8, st_i8 = _timed_reps(
+                lambda: encoder.encode_frames_device(
+                    frames, config=cfg_i8, use_pallas=True),
+                7, budget_s=90, trim=True)
+            res["frames_per_s_fetch_i8"] = round(f / dt_i8, 1)
+            res["fetch_i8_stats"] = st_i8
+            _log(f"stage=encode_device (fetch_i8 packed D2H): "
+                 f"{f / dt_i8:.1f} frames/s")
     except Exception as e:  # noqa: BLE001 — the extra row must not kill it
         _log(f"encode_device fetch_i8 row failed: {type(e).__name__}: {e}")
 
@@ -1989,7 +2023,6 @@ def main():
                 # factor when available.
                 ov = stages.get("overlap") or {}
                 interf = ov.get("interference_factor")
-                derate = interf if interf else 1.0
                 parse_eff = parse_iso * min(
                     1.0, ov.get("parse_under_load_ratio", 1.0))
                 kern_eff = kern * min(

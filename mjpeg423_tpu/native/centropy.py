@@ -445,9 +445,8 @@ def decode_batch_i8(
     cbuf, _keep = _as_cbuf(data)
     if out is not None:
         dc, ac = out
-        assert dc.shape == (n, num_blocks) and dc.dtype == np.int16
-        assert ac.shape == (n, num_blocks, 64) and ac.dtype == np.int8
-        assert dc.flags.c_contiguous and ac.flags.c_contiguous
+        dc = _out_buf(dc, (n, num_blocks), np.int16)
+        ac = _out_buf(ac, (n, num_blocks, 64), np.int8)
     else:
         dc = np.empty((n, num_blocks), dtype=np.int16)
         ac = np.empty((n, num_blocks, 64), dtype=np.int8)

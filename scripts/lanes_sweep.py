@@ -81,14 +81,20 @@ for t in range(trials):
     # must agree on the outcome class (packed tuple / overflow-None /
     # raise) and byte-identically on the packed outputs.
     def _i8(forced):
+        prior = os.environ.get("MJ_I8_NO_LANES")
         if forced:
             os.environ["MJ_I8_NO_LANES"] = "1"
+        else:
+            os.environ.pop("MJ_I8_NO_LANES", None)  # fast path means LANES
         try:
             return centropy.decode_batch_i8(data, offs, lens, isp, nb)
         except ValueError as e:
             return ("raise", str(e))
         finally:
-            os.environ.pop("MJ_I8_NO_LANES", None)
+            if prior is None:
+                os.environ.pop("MJ_I8_NO_LANES", None)
+            else:
+                os.environ["MJ_I8_NO_LANES"] = prior
     fast, slow = _i8(False), _i8(True)
     def _raised(r):
         return isinstance(r, tuple) and len(r) == 2 and isinstance(r[0], str)

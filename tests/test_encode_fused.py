@@ -176,18 +176,24 @@ def test_encode_frames_device_overlap_consumer_abort(rng):
 
     from mjpeg423_tpu.utils.config import EncodeConfig
 
-    n_before = threading.active_count()
     with pytest.raises(RuntimeError, match="packer fault"):
         enc.encode_frames_device(
             frames, max_i_interval=4, use_pallas=True,
             entropy_encode=bad_pack,
             config=EncodeConfig(frames_per_batch=2, overlap_device=True),
         )
-    deadline = __import__("time").time() + 30
-    while threading.active_count() > n_before and (
-            __import__("time").time() < deadline):
-        __import__("time").sleep(0.05)
-    assert threading.active_count() <= n_before, "producer thread leaked"
+
+    def producer_alive():
+        # Assert on the NAMED thread: raw active_count() is flaky against
+        # unrelated thread churn (JAX/XLA spawn persistent workers).
+        return any(t.name == "mj-encode-producer" and t.is_alive()
+                   for t in threading.enumerate())
+
+    import time as _time
+    deadline = _time.time() + 30
+    while producer_alive() and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not producer_alive(), "producer thread leaked"
 
 
 def test_encode_frames_device_fetch_i8_identical(rng):
