@@ -568,3 +568,23 @@ def test_live_bad_header_raises():
     hdr = fmt.FileHeader(0, 0, 0, 0, 0).pack()
     with pytest.raises(ValueError, match="geometry"):
         decode_live_array(io.BytesIO(hdr))
+
+
+def test_live_pack_i8_matches_stored(stream, stored_frames):
+    """Live ingest with the compressed i8 device input (runtime/live.py's
+    want_packed branch, now produced by the lanes i8 flush) stays
+    bit-exact with the stored decode — including across awkward chunk
+    boundaries."""
+    from mjpeg423_tpu.utils.profile import Profiler
+
+    prof = Profiler()
+    got = decode_live_array(
+        _chunked(stream, [5, 4096, 1, 31]),
+        config=DecodeConfig(use_pallas=True, pack_i8=True,
+                            frames_per_batch=7),
+        profiler=prof,
+    )
+    np.testing.assert_array_equal(got, stored_frames)
+    from mjpeg423_tpu.native import centropy
+    if centropy.native_available():
+        assert prof.report().get("parse/i8_windows", {}).get("count", 0) > 0

@@ -432,3 +432,22 @@ def test_cli_resilient_npy_keeps_frame_alignment(tmp_path, stream):
     np.testing.assert_array_equal(arr[:bad_f], want[:bad_f])
     np.testing.assert_array_equal(arr[nxt:], want[nxt:])
     assert (arr[bad_f:nxt] == 0).all()
+
+
+class TestPackedInputResilience:
+    def test_corrupt_plane_with_pack_i8(self, stream):
+        """Resilient decode with the compressed i8 device input: the
+        corrupt GOP range is skipped identically and every delivered
+        frame stays bit-exact (the i8 parse raises on the corrupt
+        window exactly like the int16 path, so recovery logic is
+        format-independent)."""
+        data, want, index = stream
+        bad = corrupt_plane(data, index, frame=9, plane=1)
+        pipe = DecodePipeline(_cfg(use_pallas=True, pack_i8=True))
+        got, log = pipe.decode_resilient_array(bad)
+        ref_pipe = DecodePipeline(_cfg())
+        ref, ref_log = ref_pipe.decode_resilient_array(bad)
+        np.testing.assert_array_equal(got, ref)
+        assert [
+            (s.start_frame, s.end_frame) for s in log.skipped
+        ] == [(s.start_frame, s.end_frame) for s in ref_log.skipped]
