@@ -448,6 +448,5 @@ class TestPackedInputResilience:
         ref_pipe = DecodePipeline(_cfg())
         ref, ref_log = ref_pipe.decode_resilient_array(bad)
         np.testing.assert_array_equal(got, ref)
-        assert [
-            (s.start_frame, s.end_frame) for s in log.skipped
-        ] == [(s.start_frame, s.end_frame) for s in ref_log.skipped]
+        assert log.skipped == ref_log.skipped
+        assert log.frames_skipped > 0  # the corruption was actually hit
