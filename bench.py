@@ -1456,10 +1456,12 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
             @jax.jit
             def run(ay, acb, acr, s, mesh=mesh):
                 def body(i, tok):
+                    # raster=True: the XLA path produces raster frames
+                    # only (raster=False is a fused-kernel layout).
                     out = decode_transform_sharded(
                         ay + tok, acb, acr, s, mesh=mesh,
                         blocks_h=bh, blocks_w=bw,
-                        gop_aligned=True, use_pallas=False, raster=False,
+                        gop_aligned=True, use_pallas=False, raster=True,
                     )
                     flat = out[0, 0] if out.ndim == 3 else out[0, 0, 0, 0]
                     return jnp.sum(
