@@ -2078,8 +2078,15 @@ def main():
     # disk, and stdout's LAST line is ONLY the short headline record.
     if "stages" in out:
         try:
+            # Canonical BENCH_FULL.json is reserved for the default
+            # full-size TPU configuration; --small/--cpu runs write a
+            # suffixed file so a smoke run can never clobber the
+            # committed full-size artifact (it did, twice).
+            suffix = ""
+            if cli.small or cli.cpu:
+                suffix = "_small" if not cli.cpu else "_cpu"
             full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                     "BENCH_FULL.json")
+                                     f"BENCH_FULL{suffix}.json")
             with open(full_path, "w") as fh:
                 json.dump(out, fh, indent=1)
             _log(f"full stage tree -> {full_path}")
