@@ -647,6 +647,7 @@ def bench_encode_device(rng, f, b, h, w):
             frames, config=cfg_seq, use_pallas=True),
         5, budget_s=90, trim=True)
     res["frames_per_s_sequential"] = round(f / dt_seq, 1)
+    res["sequential_stats"] = st_seq
     res["overlap_speedup_vs_sequential"] = round(dt_seq / dt_ov, 2)
 
     # fetch_i8 row: quantized planes narrowed ON DEVICE before D2H
