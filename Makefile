@@ -4,7 +4,7 @@
 
 PY ?= python
 
-.PHONY: install test bench selftest soak soak-quick native clean tpu-check
+.PHONY: install test bench selftest soak soak-quick sanitize native clean tpu-check
 
 install:
 	$(PY) -m pip install -e . --no-build-isolation
@@ -31,6 +31,14 @@ soak-quick:
 	$(PY) scripts/parity_soak.py 5 $$SEED && \
 	$(PY) scripts/fuzz_native.py 10 $$SEED && \
 	$(PY) scripts/lanes_sweep.py 300 $$SEED
+
+# ASan/UBSan soak of the native codec's SIMD paths (valid + corrupted
+# streams; ctypes cannot load a sanitized .so, hence the C harness).
+sanitize:
+	gcc -O1 -g -std=c11 -fwrapv -march=native -fopenmp \
+	    -fsanitize=address,undefined -fno-sanitize-recover=all \
+	    -o /tmp/mj_san_native scripts/sanitize_native.c
+	/tmp/mj_san_native
 
 # Force a rebuild of the native entropy codec (normally on-demand at import).
 native:
