@@ -1272,6 +1272,29 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False,
     run()  # warm: compile + one pass
     dt, stats = _timed_reps(run, 5, budget_s=150)
     fps = nf / dt
+
+    # pack_i8 row: the ingest-optimized pipeline at the SAME headline
+    # geometry — halves the H2D amplitude bytes (what caps the measured
+    # rate on this tunnel, and what DCN-ingest serving is bound by).
+    fps_i8 = None
+    try:
+        pipe_i8 = DecodePipeline(DecodeConfig(use_pallas=use_pallas,
+                                              frames_per_batch=f_gop,
+                                              pack_i8=True))
+
+        def run_i8():
+            last = None
+            for win in pipe_i8.decode(data, device_resident=True):
+                last = win.frames
+            return float(last[(0,) * last.ndim])
+
+        run_i8()  # warm
+        dt8, _ = _timed_reps(run_i8, 3, budget_s=90, trim=True)
+        fps_i8 = nf / dt8
+        _log(f"stage=pipeline_1080p (pack_i8 ingest-optimized): "
+             f"{fps_i8:.1f} frames/s measured")
+    except Exception as e:  # noqa: BLE001 — the i8 row must not kill it
+        _log(f"pipeline_1080p pack_i8 row failed: {type(e).__name__}: {e}")
     _log(
         f"stage=pipeline_1080p: {len(data) / 1e6:.1f} MB, {nf} frames "
         f"@ {w}x{h} -> measured {fps:.1f} frames/s "
@@ -1279,6 +1302,7 @@ def bench_pipeline_1080p(rng, use_pallas, kernel_fps, small=False,
     )
     res = {
         "frames_per_s": round(fps, 1),
+        "frames_per_s_i8": round(fps_i8, 1) if fps_i8 else None,
         "geometry": f"{w}x{h}",
         "frames": nf,
         "layout": pipe.parse_layout(),
@@ -1492,6 +1516,64 @@ def bench_sharded(amps, bh, bw, f, on_tpu):
     return result
 
 
+def bench_geometry_sweep(rng):
+    """Driver-verifiable geometry scaling rows (README's pixel-rate-flat
+    claim): the fused cm kernel at the reference's 640x480 and at 4K,
+    chained-iteration timing like the headline.  The 1080p point is the
+    headline itself; these two bracket it 8.5x down and 4x up."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        _log("geometry_sweep: no TPU backend, skipping")
+        return None
+    from mjpeg423_tpu.ops import transform_fused
+    from mjpeg423_tpu.ops.transform_fused import to_cm
+    from mjpeg423_tpu.runtime.pipeline import auto_rows_per_step
+
+    rows = {}
+    for h, w, f in ((480, 640, 24), (2176, 3840, 5)):
+        bh, bw = h // 8, w // 8
+        b = bh * bw
+        amps, _ = make_amps(rng, f, b)
+        seg = np.zeros(f, dtype=bool)
+        seg[0] = True
+        rk = auto_rows_per_step(bh, bw, f)
+        g, bwe = bh // rk, rk * bw
+        d_cm = jax.device_put(jnp.asarray(to_cm(amps, bh, bw, rk)))
+        d_seg = jax.device_put(jnp.asarray(seg))
+        d_carry = jax.device_put(jnp.zeros((3, g, 64, bwe), jnp.int16))
+
+        def make_chain(iters, d_cm=d_cm, d_seg=d_seg, d_carry=d_carry,
+                       bh=bh, bw=bw, rk=rk):
+            @jax.jit
+            def run(a, s, c):
+                def body(i, cc):
+                    _, nc = transform_fused.decode_window_fused_cm(
+                        a, s, cc, blocks_h=bh, blocks_w=bw,
+                        rows_per_step=rk)
+                    return nc
+                return jnp.sum(
+                    jax.lax.fori_loop(0, iters, body, c).astype(jnp.int32))
+            return lambda: run(d_cm, d_seg, d_carry)
+
+        try:
+            dt, _ = bench_chained(make_chain, f)
+        except Exception as e:  # noqa: BLE001 — one geometry must not kill it
+            _log(f"geometry_sweep {w}x{h} failed: {type(e).__name__}: {e}")
+            continue
+        fps = f / dt
+        rows[f"{w}x{h}"] = {
+            "frames_per_s": round(fps, 1),
+            "gpix_per_s": round(fps * h * w / 1e9, 1),
+            "rows_per_step": rk,
+            "frames_per_window": f,
+        }
+        _log(f"stage=geometry_sweep: {w}x{h} {fps:.1f} frames/s "
+             f"({fps * h * w / 1e9:.1f} Gpix/s, k={rk})")
+    return rows or None
+
+
 def bench_encode_transform(rng, f, b, bh, bw, h, w):
     """Device encode transform: the fused FDCT+quantize Pallas kernel
     (ops/encode_fused.py), chained-iteration timing like the decode paths.
@@ -1582,7 +1664,7 @@ def main():
                     choices=("parse", "encode", "transcode", "e2e",
                              "e2e_device", "pipeline_1080p", "latency",
                              "sharded", "encode_transform", "encode_device",
-                             "overlap"),
+                             "overlap", "geometry_sweep"),
                     default=None,
                     help="run ONE stage and print its JSON (used by the "
                          "parent bench via subprocess)")
@@ -1725,6 +1807,8 @@ def main():
             res = bench_encode_device(rng, f, b, h, w)
         elif cli.stage == "overlap":
             res = bench_overlap(rng, f, b, h, w)
+        elif cli.stage == "geometry_sweep":
+            res = bench_geometry_sweep(rng)
         else:
             amps, _ = make_amps(rng, f, b)
             res = bench_sharded(amps, bh, bw, f, on_tpu)
@@ -1966,7 +2050,8 @@ def main():
         # the artifact even on a degraded-compile hour.
         for stage in ("parse", "overlap", "pipeline_1080p", "sharded",
                       "e2e_device", "encode_device", "latency", "e2e",
-                      "encode", "transcode", "encode_transform"):
+                      "encode", "transcode", "encode_transform",
+                      "geometry_sweep"):
             remaining = budget - (time.perf_counter() - t_start)
             if remaining < 30:
                 _log(f"stage budget exhausted, skipping {stage}+")
