@@ -144,4 +144,8 @@ class EncodeConfig:
                                        # int16 fetch, byte-identical).
                                        # Off by default: wins only where
                                        # the device->host link, not the
-                                       # host pack, is the bottleneck
+                                       # host pack, is the bottleneck.
+                                       # Single-device path only (ignored
+                                       # with mesh=: the sharded transform
+                                       # returns per-shard layouts the
+                                       # packer consumes whole)
